@@ -1,0 +1,271 @@
+"""Spark Column-expression tests: golden values transcribed from reference
+``test_tile.py``, ``test_tile_shapes.py``, ``test_geometries.py:11-73`` and
+``test_tilepyramid.py:130-181``."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilematrix_spark import exprs
+from tilematrix_spark.grid import PyramidConfig
+
+from .conftest import GRID_IRREGULAR, GRID_PROJ
+
+
+def _tiles_df(spark, ids):
+    return spark.createDataFrame(
+        [(int(z), int(r), int(c)) for z, r, c in ids], "zoom int, row long, col long"
+    )
+
+
+def _bounds_rows(spark, tp, ids, pixelbuffer=0):
+    df = _tiles_df(spark, ids).select(
+        "zoom", "row", "col",
+        exprs.tile_bounds(tp, "zoom", "row", "col", pixelbuffer).alias("b"),
+    )
+    return {
+        (r["zoom"], r["row"], r["col"]): (r["b"]["left"], r["b"]["bottom"], r["b"]["right"], r["b"]["top"])
+        for r in df.collect()
+    }
+
+
+def test_tile_bounds_golden(spark, geodetic):
+    # reference test_geometries.py:11-15,45-49
+    got = _bounds_rows(spark, geodetic, [(5, 3, 3)])
+    assert got[(5, 3, 3)] == (-163.125, 67.5, -157.5, 73.125)
+
+
+def test_tile_bounds_pixelbuffer_golden(spark, geodetic):
+    # reference test_geometries.py:52-73
+    got = _bounds_rows(spark, geodetic, [(5, 3, 3), (5, 0, 0), (5, 31, 0), (0, 0, 0)], pixelbuffer=1)
+    assert got[(5, 3, 3)] == (-163.14697265625, 67.47802734375, -157.47802734375, 73.14697265625)
+    # top row: top clamped to pyramid top
+    assert got[(5, 0, 0)] == (-180.02197265625, 84.35302734375, -174.35302734375, 90.0)
+    # bottom row: bottom clamped
+    assert got[(5, 31, 0)] == (-180.02197265625, -90.0, -174.35302734375, -84.35302734375)
+    # zoom 0 overflow: top and bottom both clamped
+    assert got[(0, 0, 0)] == (-180.703125, -90.0, 0.703125, 90.0)
+
+
+def test_tile_bounds_matches_python_mirror(spark, geodetic, mercator):
+    # engine expr == PyramidConfig scalar mirror across zooms/metatiling
+    for base in (geodetic, mercator):
+        for mt in (1, 2, 8):
+            tp = PyramidConfig(base.grid, base.tile_size, mt)
+            ids = [(z, r, c) for z in (0, 1, 5, 9) for r in (0, 1) for c in (0, 1)
+                   if r < tp.matrix_height(z) and c < tp.matrix_width(z)]
+            got = _bounds_rows(spark, tp, ids)
+            for (z, r, c), bounds in got.items():
+                h = tp.tile_y_size(z)
+                w = tp.tile_x_size(z)
+                top = tp.top - r * h
+                bottom = max(top - h, tp.bottom)
+                left = tp.left + c * w
+                right = min(left + w, tp.right)
+                assert bounds == (left, bottom, right, top), (z, r, c, mt)
+
+
+def test_tile_affine_golden(spark, geodetic):
+    # reference test_tile.py:9-32
+    df = _tiles_df(spark, [(0, 0, 0), (1, 1, 1), (2, 2, 2)]).select(
+        "zoom", "row", "col",
+        exprs.tile_affine(geodetic, "zoom", "row", "col").alias("a"),
+        exprs.tile_bounds(geodetic, "zoom", "row", "col").alias("b"),
+    )
+    for r in df.collect():
+        px = geodetic.pixel_x_size(r["zoom"])
+        py = geodetic.pixel_y_size(r["zoom"])
+        assert r["a"] == [px, 0.0, r["b"]["left"], 0.0, -py, r["b"]["top"]]
+    # with pixelbuffer: affine anchored at buffered left/top
+    df = _tiles_df(spark, [(1, 1, 1), (2, 2, 2), (3, 3, 3)]).select(
+        "zoom",
+        exprs.tile_affine(geodetic, "zoom", "row", "col", 10).alias("a"),
+        exprs.tile_bounds(geodetic, "zoom", "row", "col", 10).alias("b"),
+    )
+    for r in df.collect():
+        assert r["a"][2] == r["b"]["left"]
+        assert r["a"][5] == r["b"]["top"]
+
+
+# tile shape goldens — reference test_tile_shapes.py
+METATILING_SHAPES = {
+    2: {(0, 0, 0): (256, 512), (1, 0, 0): (512, 512), (2, 0, 0): (512, 512),
+        (3, 0, 0): (512, 512), (4, 0, 0): (512, 512), (5, 0, 0): (512, 512)},
+    4: {(0, 0, 0): (256, 512), (1, 0, 0): (512, 1024), (2, 0, 0): (1024, 1024),
+        (3, 0, 0): (1024, 1024), (4, 0, 0): (1024, 1024), (5, 0, 0): (1024, 1024)},
+    8: {(0, 0, 0): (256, 512), (1, 0, 0): (512, 1024), (2, 0, 0): (1024, 2048),
+        (3, 0, 0): (2048, 2048), (4, 0, 0): (2048, 2048), (5, 0, 0): (2048, 2048)},
+    16: {(0, 0, 0): (256, 512), (1, 0, 0): (512, 1024), (2, 0, 0): (1024, 2048),
+         (3, 0, 0): (2048, 4096), (4, 0, 0): (4096, 4096), (5, 0, 0): (4096, 4096)},
+}
+
+PIXELBUFFER_SHAPES = {
+    (0, 0, 0): (256, 276), (1, 0, 0): (266, 276), (2, 0, 0): (266, 276),
+    (2, 0, 2): (266, 276), (2, 0, 3): (266, 276), (2, 3, 0): (266, 276),
+    (2, 3, 2): (266, 276), (2, 3, 7): (266, 276), (3, 1, 0): (276, 276),
+    (3, 1, 1): (276, 276), (3, 1, 15): (276, 276),
+}
+
+METATILE_BUFFER_SHAPES = {
+    2: {(0, 0, 0): (256, 532), (1, 0, 0): (512, 532), (2, 0, 0): (522, 532),
+        (3, 0, 0): (522, 532), (4, 0, 0): (522, 532), (5, 0, 0): (522, 532),
+        (5, 1, 1): (532, 532)},
+    4: {(0, 0, 0): (256, 532), (1, 0, 0): (512, 1044), (2, 0, 0): (1024, 1044),
+        (3, 0, 0): (1034, 1044), (4, 0, 0): (1034, 1044), (5, 0, 0): (1034, 1044),
+        (5, 1, 1): (1044, 1044)},
+    8: {(0, 0, 0): (256, 532), (1, 0, 0): (512, 1044), (2, 0, 0): (1024, 2068),
+        (3, 0, 0): (2048, 2068), (4, 0, 0): (2058, 2068), (5, 0, 0): (2058, 2068),
+        (5, 1, 1): (2068, 2068)},
+    16: {(0, 0, 0): (256, 532), (1, 0, 0): (512, 1044), (2, 0, 0): (1024, 2068),
+         (3, 0, 0): (2048, 4116), (4, 0, 0): (4096, 4116), (5, 0, 0): (4106, 4116),
+         (6, 1, 1): (4116, 4116)},
+}
+
+
+def _shape_rows(spark, tp, ids, pixelbuffer=0):
+    df = _tiles_df(spark, ids).select(
+        "zoom", "row", "col",
+        exprs.tile_shape(tp, "zoom", "row", "col", pixelbuffer).alias("s"),
+    )
+    return {
+        (r["zoom"], r["row"], r["col"]): (r["s"]["height"], r["s"]["width"]) for r in df.collect()
+    }
+
+
+def test_simple_shapes(spark, geodetic):
+    assert _shape_rows(spark, geodetic, [(0, 0, 0)])[(0, 0, 0)] == (256, 256)
+    tp512 = PyramidConfig.create("geodetic", tile_size=512)
+    assert _shape_rows(spark, tp512, [(0, 0, 0)])[(0, 0, 0)] == (512, 512)
+
+
+@pytest.mark.parametrize("mt", [2, 4, 8, 16])
+def test_metatiling_shapes(spark, mt):
+    tp = PyramidConfig.create("geodetic", metatiling=mt)
+    golden = METATILING_SHAPES[mt]
+    assert _shape_rows(spark, tp, list(golden)) == golden
+
+
+def test_pixelbuffer_shapes(spark, geodetic):
+    assert _shape_rows(spark, geodetic, list(PIXELBUFFER_SHAPES), 10) == PIXELBUFFER_SHAPES
+
+
+@pytest.mark.parametrize("mt", [2, 4, 8, 16])
+def test_metatile_buffer_shapes(spark, mt):
+    tp = PyramidConfig.create("geodetic", metatiling=mt)
+    golden = METATILE_BUFFER_SHAPES[mt]
+    assert _shape_rows(spark, tp, list(golden), 10) == golden
+
+
+def test_irregular_grid_invariants(spark):
+    # reference test_grids.py:62-97
+    for mt in (1, 2, 4, 8):
+        tp = PyramidConfig.create(GRID_IRREGULAR, metatiling=mt)
+        ids = [(0, 0, 0), (0, tp.matrix_height(0) - 1, tp.matrix_width(0) - 1)]
+        unbuffered = _bounds_rows(spark, tp, ids)
+        for bounds in unbuffered.values():
+            assert bounds[0] >= tp.left and bounds[1] >= tp.bottom
+            assert bounds[2] <= tp.right and bounds[3] <= tp.top
+        buffered = _bounds_rows(spark, tp, ids, pixelbuffer=2)
+        corner = buffered[(0, 0, 0)]
+        # non-global grid: buffered corner tile exceeds pyramid bounds
+        assert corner[0] < tp.left and corner[3] > tp.top
+
+
+# point -> tile on_edge_use golden table — reference test_tilepyramid.py:130-181
+XY_CASES = [
+    # (x, y, on_edge_use) -> (row, col) or None
+    (0.5, 0.5, "rb", (15, 32)),
+    (0.5, 0.5, "lb", (15, 32)),
+    (0.5, 0.5, "rt", (15, 32)),
+    (0.5, 0.5, "lt", (15, 32)),
+    (0.0, 0.0, "rb", (16, 32)),
+    (0.0, 0.0, "lb", (16, 31)),
+    (0.0, 0.0, "rt", (15, 32)),
+    (0.0, 0.0, "lt", (15, 31)),
+    (180.0, -90.0, "rb", None),
+    (180.0, -90.0, "lb", None),
+    (180.0, -90.0, "rt", (31, 0)),
+    (180.0, -90.0, "lt", (31, 63)),
+    (-180.0, 90.0, "lt", None),
+    (-180.0, 90.0, "rt", None),
+    (-180.0, 90.0, "rb", (0, 0)),
+    (-180.0, 90.0, "lb", (0, 63)),
+    # out-of-grid -> NULL (reference raises, _tilepyramid.py:285-286)
+    (200.0, 0.0, "rb", None),
+    (0.0, 95.0, "rb", None),
+]
+
+
+def test_tile_from_xy_edge_table(spark, geodetic):
+    for edge in ("rb", "lb", "rt", "lt"):
+        cases = [(x, y, exp) for x, y, e, exp in XY_CASES if e == edge]
+        df = spark.createDataFrame([(x, y) for x, y, _ in cases], "x double, y double")
+        rows = df.select(
+            "x", "y", exprs.tile_from_xy(geodetic, "x", "y", 5, on_edge_use=edge).alias("t")
+        ).collect()
+        got = {(r["x"], r["y"]): (None if r["t"] is None else (r["t"]["row"], r["t"]["col"])) for r in rows}
+        for x, y, exp in cases:
+            assert got[(x, y)] == exp, (x, y, edge)
+
+
+def test_tile_from_xy_invalid_edge_param(geodetic):
+    with pytest.raises(ValueError):
+        exprs.tile_from_xy(geodetic, "x", "y", 5, on_edge_use="invalid")
+
+
+def test_matrix_exprs_match_python(spark, geodetic, mercator):
+    for base in (geodetic, mercator):
+        for mt in (1, 2, 4, 8, 16):
+            tp = PyramidConfig(base.grid, base.tile_size, mt)
+            df = spark.createDataFrame([(z,) for z in range(7)], "zoom int").select(
+                "zoom",
+                exprs.matrix_width(tp, F.col("zoom")).alias("mw"),
+                exprs.matrix_height(tp, F.col("zoom")).alias("mh"),
+                exprs.pixel_x_size(tp, F.col("zoom")).alias("px"),
+                exprs.pixel_y_size(tp, F.col("zoom")).alias("py"),
+            )
+            for r in df.collect():
+                z = r["zoom"]
+                assert r["mw"] == tp.matrix_width(z)
+                assert r["mh"] == tp.matrix_height(z)
+                assert r["px"] == tp.pixel_x_size(z)
+                assert r["py"] == tp.pixel_y_size(z)
+
+
+def test_tile_id_pack_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(28, (1 << 29) - 1, (1 << 29) - 1), (0, 0, 0), (5, 3, 3)],
+        "zoom int, row long, col long",
+    )
+    out = df.select(
+        "zoom", "row", "col",
+        exprs.tile_id_parts(exprs.tile_id("zoom", "row", "col")).alias("p"),
+    ).collect()
+    for r in out:
+        assert (r["p"]["zoom"], r["p"]["row"], r["p"]["col"]) == (r["zoom"], r["row"], r["col"])
+
+
+def test_snap_bounds_golden(spark, geodetic):
+    # reference test_tilepyramid.py:348-366: snap(0,1,2,3)@z8 == union of cover bounds
+    df = spark.createDataFrame([(0.0, 1.0, 2.0, 3.0)], "l double, b double, r double, t double")
+    for pb in (0, 10):
+        got = df.select(exprs.snap_bounds(geodetic, "l", "b", "r", "t", 8, pb).alias("s")).collect()[0]["s"]
+        # compute control via python mirror: corner tiles at z8
+        tp = geodetic
+        h = tp.tile_y_size(8)
+        w = tp.tile_x_size(8)
+        # lb corner (0,1) edge rt; rt corner (2,3) edge lb
+        import math
+        lb_row = int((tp.top - 1.0) / h)
+        lb_col = int((0.0 - tp.left) / w)
+        if (0.0 - tp.left) % w == 0.0:
+            pass  # rt does not adjust col
+        rt_row = int((tp.top - 3.0) / h)
+        rt_col = int((2.0 - tp.left) / w)
+        px = tp.pixel_x_size(8)
+        left = tp.left + lb_col * w - px * pb
+        bottom = max(tp.top - lb_row * h - h, tp.bottom) - px * pb
+        right = min(tp.left + rt_col * w + w, tp.right) + px * pb
+        top = tp.top - rt_row * h + px * pb
+        top = min(top, tp.top)
+        bottom = max(bottom, tp.bottom)
+        assert (got["left"], got["bottom"], got["right"], got["top"]) == (left, bottom, right, top)
