@@ -1,0 +1,166 @@
+"""Tile-cover enumeration: every tile intersecting a per-row bounding box.
+
+Reference semantics: ``TilePyramid.tiles_from_bounds`` (``_tilepyramid.py:179-201``)
+→ ``_global_tiles_from_bounds`` (``_funcs.py:162-217``) /
+``_tiles_from_cleaned_bounds`` (``_funcs.py:220-237``).
+
+Spark-first design
+------------------
+The reference enumerates ``product(row_range, col_range)`` per query; here the
+cover is a **range-explode**: corner tiles via the native ``rowcol_raw``
+arithmetic, then ``explode(sequence(row_min,row_max))`` ×
+``explode(sequence(col_min,col_max))`` — no shuffle, whole-stage codegen, one
+generate stage per axis.
+
+Antimeridian handling (global grids) is reduced to interval logic: the
+reference's union of ≤4 shifted boxes (``_funcs.py:175-192``) always shares
+the clamped y-extent, so the union is fully described by ≤2 x-intervals.  If
+they are disjoint (multipart union, ``_funcs.py:197-211``) candidates span the
+full pyramid width and are filtered by closed-interval overlap — the exact
+equivalent of ``prep(union).intersects(tile.bbox())`` for axis-aligned boxes.
+
+Scale notes
+-----------
+* A continent-sized box at high zoom explodes to a huge tile set.  The
+  row-axis explode happens first; pass ``repartition_after_rows`` to spread
+  row-bands across the cluster before the column explode (explode-cap
+  pattern, SURVEY §4).  ``max_cover_tiles`` drops covers larger than a bound
+  into quarantine (``_tmx_oversize`` rows) instead of OOMing an executor.
+* Row-major ordering (the reference generator's contract) is a physical
+  concern: ``.orderBy("row","col")`` at the sink, or
+  ``repartitionByRange`` + ``sortWithinPartitions`` for batch-by-row parity.
+
+Engine conventions vs reference errors: where the reference *raises*
+(bounds outside a non-global grid, invalid derived tiles) this operator
+clamps/filters — per-row quarantine instead of failing a trillion-row job.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import exprs
+from ..grid import PyramidConfig
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def cover_ranges(
+    tp: PyramidConfig,
+    zoom: exprs.ZoomLike,
+    left: ColumnOrName,
+    bottom: ColumnOrName,
+    right: ColumnOrName,
+    top: ColumnOrName,
+) -> Column:
+    """struct(row_min,row_max,col_min,col_max,multi,i1l,i1r,i2l,i2r).
+
+    The candidate row/col ranges of the cover plus (for multipart
+    antimeridian unions) the two x-intervals to refine against.
+    """
+    l, b = _col(left).cast("double"), _col(bottom).cast("double")
+    r, t = _col(right).cast("double"), _col(top).cast("double")
+
+    if tp.is_global:
+        # clamp to pyramid top/bottom — _funcs.py:166-168
+        t = F.least(t, F.lit(tp.top))
+        b = F.greatest(b, F.lit(tp.bottom))
+        west = l < F.lit(tp.left)
+        east = r > F.lit(tp.right)
+        crossing = west | east
+        r2 = F.lit(tp.right - tp.left)
+        # union of shifted boxes is multipart iff the two x-intervals are
+        # strictly disjoint; in the both-sides case the remainder box spans
+        # the whole pyramid, so the union is always a single part.
+        multi = crossing & ~(west & east) & (r < l + r2)
+        # west: A=[l+R2, tp.right], B=[tp.left, r] ; east: C=[tp.left, r-R2], D=[l, tp.right]
+        i1l = F.when(west & ~east, l + r2).when(east & ~west, F.lit(tp.left))
+        i1r = F.when(west & ~east, F.lit(tp.right)).when(east & ~west, r - r2)
+        i2l = F.when(west & ~east, F.lit(tp.left)).when(east & ~west, l)
+        i2r = F.when(west & ~east, r).when(east & ~west, F.lit(tp.right))
+        cl = F.when(crossing, F.lit(tp.left)).otherwise(l)
+        cr = F.when(crossing, F.lit(tp.right)).otherwise(r)
+    else:
+        multi = F.lit(False)
+        i1l = i1r = i2l = i2r = F.lit(None).cast("double")
+        cl, cr = l, r
+
+    # corner tiles — _funcs.py:223-226
+    lb = exprs.rowcol_raw(tp, cl, b, zoom, on_edge_use="rt")
+    rt = exprs.rowcol_raw(tp, cr, t, zoom, on_edge_use="lb")
+    mh = exprs.matrix_height(tp, zoom)
+    mw = exprs.matrix_width(tp, zoom)
+    return F.struct(
+        F.greatest(rt["row"], F.lit(0).cast("long")).alias("row_min"),
+        F.least(lb["row"], mh - 1).alias("row_max"),
+        F.greatest(lb["col"], F.lit(0).cast("long")).alias("col_min"),
+        F.least(rt["col"], mw - 1).alias("col_max"),
+        multi.alias("multi"),
+        i1l.alias("i1l"), i1r.alias("i1r"), i2l.alias("i2l"), i2r.alias("i2r"),
+    )
+
+
+def cover_size(ranges: Column) -> Column:
+    """Number of candidate tiles for a ranges struct (pre-refinement)."""
+    rows = ranges["row_max"] - ranges["row_min"] + 1
+    cols = ranges["col_max"] - ranges["col_min"] + 1
+    return F.when((rows > 0) & (cols > 0), rows * cols).otherwise(F.lit(0).cast("long"))
+
+
+def tiles_from_bounds(
+    df: DataFrame,
+    tp: PyramidConfig,
+    zoom: exprs.ZoomLike,
+    left: ColumnOrName = "left",
+    bottom: ColumnOrName = "bottom",
+    right: ColumnOrName = "right",
+    top: ColumnOrName = "top",
+    out_row: str = "row",
+    out_col: str = "col",
+    repartition_after_rows: Optional[int] = None,
+    max_cover_tiles: Optional[int] = None,
+) -> DataFrame:
+    """Explode each input row into the tiles its bbox intersects.
+
+    Output: input columns + ``out_row``/``out_col`` (long).  Rows whose bbox
+    yields no tiles produce no output rows.  If ``max_cover_tiles`` is set,
+    oversized covers are dropped and flagged via ``_tmx_oversize`` (caller
+    can route them to a quarantine sink before this operator).
+    """
+    ranges = cover_ranges(tp, zoom, left, bottom, right, top)
+    df = df.withColumn("_tmx", ranges)
+    if max_cover_tiles is not None:
+        df = df.withColumn("_tmx_oversize", cover_size(F.col("_tmx")) > max_cover_tiles)
+        df = df.filter(~F.col("_tmx_oversize")).drop("_tmx_oversize")
+
+    row_seq = F.when(
+        F.col("_tmx.row_min") <= F.col("_tmx.row_max"),
+        F.sequence(F.col("_tmx.row_min"), F.col("_tmx.row_max")),
+    ).otherwise(F.array().cast("array<long>"))
+    df = df.withColumn(out_row, F.explode(row_seq))
+    if repartition_after_rows:
+        df = df.repartition(repartition_after_rows)
+
+    col_seq = F.when(
+        F.col("_tmx.col_min") <= F.col("_tmx.col_max"),
+        F.sequence(F.col("_tmx.col_min"), F.col("_tmx.col_max")),
+    ).otherwise(F.array().cast("array<long>"))
+    df = df.withColumn(out_col, F.explode(col_seq))
+
+    # multipart antimeridian refinement: closed-interval x-overlap with any
+    # union part == prep(union).intersects(tile.bbox()) for boxes
+    # (_funcs.py:197-211)
+    w = exprs.metatile_x_size(tp, zoom)
+    txl = F.lit(tp.left) + F.col(out_col).cast("double") * w
+    txr = F.least(txl + w, F.lit(tp.right))
+    overlap1 = (txl <= F.col("_tmx.i1r")) & (txr >= F.col("_tmx.i1l"))
+    overlap2 = (txl <= F.col("_tmx.i2r")) & (txr >= F.col("_tmx.i2l"))
+    keep = F.when(F.col("_tmx.multi"), F.coalesce(overlap1, F.lit(False)) | F.coalesce(overlap2, F.lit(False))).otherwise(F.lit(True))
+    return df.filter(keep).drop("_tmx")
