@@ -1,0 +1,144 @@
+"""Point → tile assignment over tables + skew-aware aggregation helpers.
+
+The engine's flagship operator (north_star: "batched tile-index computation
+… point-in-polygon assignment of image centroids to pyramid tiles"): one
+codegen'd projection per row — reference semantics ``_funcs.py:240-267``.
+
+Skew: at low zooms a handful of tiles hold nearly all rows (a zoom-0 tile is
+half the world).  Every aggregation over ``tile_id`` here is two-stage
+salt-and-reaggregate (north_rule): partial agg on ``(keys…, salt)``, final
+agg on ``keys`` — the partial stage spreads a hot key over ``salt_buckets``
+reducers, the final stage combines ``salt_buckets`` pre-aggregated rows per
+key.  AQE skew handling remains enabled as a backstop, not the design.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import exprs
+from ..grid import PyramidConfig
+
+ColumnOrName = Union[Column, str]
+
+
+def with_tile(
+    df: DataFrame,
+    tp: PyramidConfig,
+    zoom: exprs.ZoomLike,
+    x: ColumnOrName = "lon",
+    y: ColumnOrName = "lat",
+    on_edge_use: str = "rb",
+    out_row: str = "row",
+    out_col: str = "col",
+    out_tile_id: Optional[str] = "tile_id",
+    keep_invalid: bool = False,
+) -> DataFrame:
+    """Assign each point row its pyramid tile (native projection).
+
+    Rows outside the grid get NULL row/col (and are dropped unless
+    ``keep_invalid`` — the engine's quarantine convention where the
+    reference raises, ``_tilepyramid.py:285-286``).
+    """
+    t = exprs.tile_from_xy(tp, x, y, zoom, on_edge_use=on_edge_use)
+    out = df.withColumn("_t", t).withColumn(out_row, F.col("_t.row")).withColumn(
+        out_col, F.col("_t.col")
+    )
+    if out_tile_id:
+        out = out.withColumn(out_tile_id, exprs.tile_id(zoom, out_row, out_col))
+    out = out.drop("_t")
+    if not keep_invalid:
+        out = out.filter(F.col(out_row).isNotNull())
+    return out
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Dict[str, str],
+    salt_buckets: int = 32,
+    salt_on: Optional[ColumnOrName] = None,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    ``aggs``: {output_col: "sum:col" | "count:*" | "min:col" | "max:col"}
+    (decomposable aggregates only — they re-combine exactly).
+    ``salt_on``: expression to derive the salt from (default: random spread
+    via a hash of all columns is NOT deterministic, so we hash the first
+    key's value plus ``spark_partition_id`` — cheap and reproducible).
+    """
+    salt_src = (
+        F.col(salt_on) if isinstance(salt_on, str) else salt_on
+    ) if salt_on is not None else F.spark_partition_id()
+    salt = F.pmod(F.hash(salt_src), F.lit(salt_buckets)).alias("_salt")
+
+    partial_exprs = []
+    final_exprs = []
+    for out_name, spec in aggs.items():
+        op, _, col = spec.partition(":")
+        pname = f"_p_{out_name}"
+        if op == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(pname))
+            final_exprs.append(F.sum(pname).alias(out_name))
+        elif op == "sum":
+            partial_exprs.append(F.sum(col).alias(pname))
+            final_exprs.append(F.sum(pname).alias(out_name))
+        elif op == "min":
+            partial_exprs.append(F.min(col).alias(pname))
+            final_exprs.append(F.min(pname).alias(out_name))
+        elif op == "max":
+            partial_exprs.append(F.max(col).alias(pname))
+            final_exprs.append(F.max(pname).alias(out_name))
+        else:
+            raise ValueError(f"unsupported salted agg op: {op}")
+
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def tile_histogram(
+    df: DataFrame,
+    tp: PyramidConfig,
+    zoom: exprs.ZoomLike,
+    x: ColumnOrName = "lon",
+    y: ColumnOrName = "lat",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Rows-per-tile counts at ``zoom`` — the skew-statistics / rollup-input
+    aggregation, salted against dense cells."""
+    tiled = with_tile(df, tp, zoom, x, y)
+    return salted_agg(tiled, ["row", "col"], {"n": "count:*"}, salt_buckets=salt_buckets)
+
+
+def zoom_rollup(
+    tile_counts: DataFrame,
+    from_zoom: int,
+    to_zoom: int,
+    count_col: str = "n",
+) -> DataFrame:
+    """Roll per-tile counts up the pyramid via parent ids
+    (``_tile.py:180-186``): repeated ``groupBy(row//2, col//2)``.
+
+    Input: (row, col, n) at ``from_zoom``; output adds rows for every zoom
+    in [to_zoom, from_zoom] with columns (zoom, row, col, n).
+    """
+    out = tile_counts.withColumn("zoom", F.lit(from_zoom))
+    levels = [out]
+    cur = out
+    for z in range(from_zoom - 1, to_zoom - 1, -1):
+        cur = (
+            cur.groupBy(
+                F.floor(F.col("row") / 2).alias("row"),
+                F.floor(F.col("col") / 2).alias("col"),
+            )
+            .agg(F.sum(count_col).alias(count_col))
+            .withColumn("zoom", F.lit(z))
+        )
+        levels.append(cur)
+    result = levels[0]
+    for lvl in levels[1:]:
+        result = result.unionByName(lvl)
+    return result

@@ -125,6 +125,42 @@ def k_ring(
     )
 
 
+def disc_tiles(
+    df: DataFrame,
+    tp: PyramidConfig,
+    radius: int,
+    zoom: exprs.ZoomLike = "zoom",
+    row: ColumnOrName = "row",
+    col: ColumnOrName = "col",
+    out_prefix: str = "ring_",
+) -> DataFrame:
+    """All tiles within Chebyshev distance ``radius`` (center included) via
+    ``sequence`` explodes — O(1) plan size regardless of radius, unlike the
+    literal-offset ``k_ring`` (use that for small fixed rings).  Rows clamp
+    to the matrix; columns wrap on global grids (dedup'd when the disc is
+    wider than the matrix)."""
+    mh = exprs.matrix_height(tp, zoom)
+    mw = exprs.matrix_width(tp, zoom)
+    r_lo = F.greatest(_col(row) - radius, F.lit(0).cast("long"))
+    r_hi = F.least(_col(row) + radius, mh - 1)
+    out = df.withColumn(out_prefix + "row", F.explode(F.sequence(r_lo, r_hi)))
+    c_lo = _col(col) - radius
+    c_hi = _col(col) + radius
+    if tp.is_global:
+        # clamp the span to one full wrap, then pmod + distinct
+        c_hi = F.least(c_hi, c_lo + mw - 1)
+        cols = F.array_distinct(
+            F.transform(F.sequence(c_lo, c_hi), lambda c: F.pmod(c, mw))
+        )
+    else:
+        c_lo = F.greatest(c_lo, F.lit(0).cast("long"))
+        c_hi = F.least(c_hi, mw - 1)
+        cols = F.when(c_lo <= c_hi, F.sequence(c_lo, c_hi)).otherwise(
+            F.array().cast("array<long>")
+        )
+    return out.withColumn(out_prefix + "col", F.explode(cols))
+
+
 def _ring_explode(df, tp, zoom, row, col, offs, out_prefix, exclude_self=True):
     z = exprs._zcol(zoom)
     mh = exprs.matrix_height(tp, zoom)
