@@ -1,0 +1,76 @@
+"""Synthetic images table + raster verification tests."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tilematrix_spark import images, raster
+
+
+def test_images_deterministic(spark):
+    df1 = images.images_df(spark, 50, partitions=4).orderBy("image_id").collect()
+    df2 = images.images_df(spark, 50, partitions=2).orderBy("image_id").collect()
+    assert [r["image_id"] for r in df1] == [r["image_id"] for r in df2]
+    assert [r["phash"] for r in df1] == [r["phash"] for r in df2]
+    assert [bytes(r["bytes"]) for r in df1] == [bytes(r["bytes"]) for r in df2]
+
+
+def test_encode_decode_roundtrip():
+    px = images.gen_pixels(7, 32, 16)
+    raw = images.decode(images.encode(px, "raw"), 32, 16, "raw")
+    assert np.array_equal(raw, px)
+    lossy = images.decode(images.encode(px, "q8"), 32, 16, "q8")
+    assert images.psnr(lossy, px) >= 40.0
+    assert np.abs(lossy.astype(int) - px.astype(int)).max() <= 4
+
+
+def test_verify_images_all_ok(spark):
+    df = images.images_df(spark, 200, partitions=4)
+    v = raster.verify_images(df)
+    agg = v.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ok").cast("int")).alias("n_ok"),
+        F.min("psnr").alias("min_psnr"),
+    ).collect()[0]
+    assert agg["n"] == 200
+    assert agg["n_ok"] == 200
+    assert agg["min_psnr"] >= 40.0
+
+
+def test_verify_images_detects_corruption(spark):
+    df = images.images_df(spark, 20, partitions=2)
+    corrupted = df.withColumn(
+        "caption", F.when(F.col("image_id") == "img000000000003", F.lit("tampered")).otherwise(F.col("caption"))
+    )
+    v = raster.verify_images(corrupted)
+    bad = v.filter(~F.col("ok")).collect()
+    assert [r["image_id"] for r in bad] == ["img000000000003"]
+    assert not bad[0]["caption_ok"]
+
+
+def test_raster_tile_windows(spark, geodetic):
+    df = images.images_df(spark, 100, partitions=4)
+    win = raster.raster_tile_windows(df, geodetic, 6)
+    rows = win.select("image_id", "w", "h", "row", "col", "win_col_off", "win_row_off", "win_width", "win_height").collect()
+    assert len(rows) >= 100  # every footprint covers >= 1 tile
+    for r in rows:
+        assert 0 <= r["win_col_off"] <= 256
+        assert 0 <= r["win_row_off"] <= 256
+        assert 0 <= r["win_width"] <= 256
+        assert 0 <= r["win_height"] <= 256
+    # windows tile the footprint: per image, total window area >= footprint pixel area
+    per_img = {}
+    for r in rows:
+        per_img.setdefault(r["image_id"], 0)
+        per_img[r["image_id"]] += r["win_width"] * r["win_height"]
+    assert all(v > 0 for v in per_img.values())
+
+
+def test_hot_cluster_skew_present(spark, geodetic):
+    from tilematrix_spark.operators import assign
+
+    df = images.images_df(spark, 1000, partitions=4)
+    hist = assign.tile_histogram(df, geodetic, 3, salt_buckets=8)
+    top = hist.orderBy(F.desc("n")).first()
+    # ~10% of rows in one small cluster -> that z3 tile is clearly hottest
+    assert top["n"] >= 100
+    assert (top["row"], top["col"]) == (1, 8)

@@ -1,0 +1,185 @@
+"""Deterministic synthetic ``images`` table — the engine's primary input per
+``BASELINE.json:input_hint``: (image_id, bytes, w, h, fmt, caption, phash)
+plus derived geo columns for the spatial operators.
+
+Everything is a pure function of the row index (seed 42, golden-ratio
+scatter) — no wall clock, no external data — so correctness checks can
+REGENERATE the expected pixels from ``image_id`` alone and compare
+(decoded-pixel allclose / PSNR ≥ 40 dB for the lossy format + caption
+equality), which is the per-row invariant the driver grades.
+
+Formats:
+* ``raw``: uncompressed row-major uint8 RGB (h, w, 3) — exact equality.
+* ``q8``: lossy uniform quantization to step 8 (32 levels), decoded to bin
+  midpoints → PSNR ≈ 40.9 dB ≥ the 40 dB gate.
+
+Generation runs distributed: ``spark.range`` → ``mapInPandas`` (Arrow
+batches, numpy PCG64 per row) — scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SEED = 42
+PHI1 = 0.6180339887498949  # 1/phi
+PHI2 = 0.3819660112501051  # 1/phi^2
+
+HOT_BOUNDS = (9.0, 47.0, 12.1, 49.1)  # injected dense cluster (skew driver)
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("lon", T.DoubleType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("fp_left", T.DoubleType(), False),
+        T.StructField("fp_bottom", T.DoubleType(), False),
+        T.StructField("fp_right", T.DoubleType(), False),
+        T.StructField("fp_top", T.DoubleType(), False),
+    ]
+)
+
+
+def row_lonlat(idx: int) -> Tuple[float, float]:
+    """Deterministic scatter; 10% of rows snap into the hot cluster and a
+    small slice lands exactly on grid lines to exercise on-edge ties."""
+    lon = -180.0 + ((idx * PHI1) % 1.0) * 360.0
+    lat = -90.0 + ((idx * PHI2) % 1.0) * 180.0
+    if idx % 10 == 3:  # hot cluster (skew)
+        l, b, r, t = HOT_BOUNDS
+        lon = l + ((idx * PHI1) % 1.0) * (r - l)
+        lat = b + ((idx * PHI2) % 1.0) * (t - b)
+    elif idx % 97 == 0:  # exact grid-line hits (on_edge_use ties)
+        lon = float([-180.0, -90.0, 0.0, 45.0, 90.0][(idx // 97) % 5])
+        lat = float([0.0, 45.0, -45.0, 22.5, 67.5][(idx // 97) % 5])
+    return lon, lat
+
+
+def row_dims(idx: int) -> Tuple[int, int]:
+    return 16 + (idx % 4) * 16, 16 + ((idx // 4) % 4) * 16
+
+
+def row_fmt(idx: int) -> str:
+    return "raw" if idx % 5 else "q8"
+
+
+def row_caption(idx: int, lon: float, lat: float) -> str:
+    return f"synthetic scene {idx} at ({lon:.6f},{lat:.6f})"
+
+
+def gen_pixels(idx: int, w: int, h: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(SEED ^ idx))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return pixels.tobytes()
+    if fmt == "q8":
+        return (pixels // 8).astype(np.uint8).tobytes()
+    raise NotImplementedError(f"unsupported fmt: {fmt}")
+
+
+def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "raw":
+        return arr
+    if fmt == "q8":
+        return (arr.astype(np.uint16) * 8 + 4).clip(0, 255).astype(np.uint8)
+    raise NotImplementedError(f"unsupported fmt: {fmt}")
+
+
+def average_hash(pixels: np.ndarray) -> int:
+    """64-bit average hash: gray → 8×8 block means → >global-mean bits."""
+    gray = pixels.mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    # interpret as signed int64
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def row_footprint(idx: int, lon: float, lat: float, w: int, h: int):
+    """Footprint bbox: centroid ± (w,h)·pixel_size at a per-row zoom
+    (4 + idx % 8 on the geodetic 256px grid); ~1% straddle the antimeridian."""
+    zoom = 4 + idx % 8
+    px = 360.0 / (2 * 2**zoom * 256)
+    half_w = w * px / 2
+    half_h = h * px / 2
+    left, right = lon - half_w, lon + half_w
+    bottom = max(lat - half_h, -90.0)
+    top = min(lat + half_h, 90.0)
+    if idx % 101 == 7:  # antimeridian straddler
+        left, right = 180.0 - half_w, 180.0 + half_w
+    return left, bottom, right, top
+
+
+def make_row(idx: int) -> dict:
+    w, h = row_dims(idx)
+    fmt = row_fmt(idx)
+    lon, lat = row_lonlat(idx)
+    pixels = gen_pixels(idx, w, h)
+    data = encode(pixels, fmt)
+    ph = average_hash(decode(data, w, h, fmt))
+    fp = row_footprint(idx, lon, lat, w, h)
+    return {
+        "image_id": f"img{idx:012d}",
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": row_caption(idx, lon, lat),
+        "phash": ph,
+        "lon": lon,
+        "lat": lat,
+        "fp_left": fp[0],
+        "fp_bottom": fp[1],
+        "fp_right": fp[2],
+        "fp_top": fp[3],
+    }
+
+
+def images_df(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Distributed deterministic generation of the images table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n, numPartitions=partitions)
+        .mapInPandas(gen, schema=IMAGES_SCHEMA)
+    )
+
+
+def image_idx(image_id_series: pd.Series) -> np.ndarray:
+    return image_id_series.str.slice(3).astype(np.int64).to_numpy()

@@ -1,0 +1,141 @@
+"""Raster ↔ vector bridge + per-row image verification.
+
+* ``raster_tile_windows``: map each image footprint onto pyramid tiles and
+  compute the pixel window of the footprint inside each tile via the tile
+  affine (``_tile.py:126-139``) — pure native Column math after the cover
+  explode; this is the engine's "raster↔vector tiling onto row/col/zoom
+  addressing" operator.
+* ``verify_images``: the BASELINE per-row invariant — decode each image,
+  REGENERATE the expected pixels deterministically from image_id
+  (images.py), check allclose for ``raw`` / PSNR ≥ 40 dB for lossy, caption
+  equality, and phash equality.  Arrow-batched ``mapInPandas``; no per-row
+  Python UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import exprs, images
+from .grid import PyramidConfig
+from .operators import cover as cover_ops
+
+
+def raster_tile_windows(
+    df: DataFrame,
+    tp: PyramidConfig,
+    zoom: exprs.ZoomLike,
+    fp_left: str = "fp_left",
+    fp_bottom: str = "fp_bottom",
+    fp_right: str = "fp_right",
+    fp_top: str = "fp_top",
+    pixelbuffer: int = 0,
+    max_cover_tiles: Optional[int] = None,
+) -> DataFrame:
+    """Explode images onto the tiles their footprint covers, with the pixel
+    window of the footprint inside each (buffered) tile.
+
+    Output adds: row, col, tile pixel window (win_col_off, win_row_off,
+    win_width, win_height) — the affine-inverse mapping
+    ``col = (x - tile.left)/px``, ``row = (tile.top - y)/py``, clipped to the
+    tile shape.  Windows are in the tile's pixel grid; callers slice decoded
+    arrays with them.
+    """
+    out = cover_ops.tiles_from_bounds(
+        df, tp, zoom, left=fp_left, bottom=fp_bottom, right=fp_right, top=fp_top,
+        max_cover_tiles=max_cover_tiles,
+    )
+    b = exprs.tile_bounds(tp, zoom, "row", "col", pixelbuffer)
+    s = exprs.tile_shape(tp, zoom, "row", "col", pixelbuffer)
+    px = exprs.pixel_x_size(tp, zoom)
+    py = exprs.pixel_y_size(tp, zoom)
+    w_px = s["width"].cast("long")
+    h_px = s["height"].cast("long")
+
+    # x-axis: a footprint straddling the antimeridian meets wrapped tiles —
+    # evaluate the window at footprint shifts {0, ±span} and keep the one
+    # with the widest overlap (native when-chain, no Python)
+    def x_window(shift: float):
+        fl = F.col(fp_left) + F.lit(shift)
+        fr = F.col(fp_right) + F.lit(shift)
+        off = F.greatest(F.floor((fl - b["left"]) / px), F.lit(0).cast("long"))
+        end = F.least(F.ceil((fr - b["left"]) / px), w_px)
+        width = F.greatest(end - off, F.lit(0).cast("long"))
+        return off, width
+
+    shifts = [0.0]
+    if tp.is_global:
+        span = tp.right - tp.left
+        shifts += [-span, span]
+    offs_widths = [x_window(sh) for sh in shifts]
+    best_off, best_width = offs_widths[0]
+    for off, width in offs_widths[1:]:
+        better = width > best_width
+        best_off = F.when(better, off).otherwise(best_off)
+        best_width = F.when(better, width).otherwise(best_width)
+    # keep offset within the tile even for zero-width windows
+    best_off = F.least(best_off, w_px)
+
+    row_off = F.greatest(F.floor((b["top"] - F.col(fp_top)) / py), F.lit(0).cast("long"))
+    row_end = F.least(F.ceil((b["top"] - F.col(fp_bottom)) / py), h_px)
+    return (
+        out.withColumn("win_col_off", best_off)
+        .withColumn("win_row_off", F.least(row_off, h_px))
+        .withColumn("win_width", best_width)
+        .withColumn("win_height", F.greatest(row_end - row_off, F.lit(0).cast("long")))
+    )
+
+
+_VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("pixels_ok", T.BooleanType()),
+        T.StructField("psnr", T.DoubleType()),
+        T.StructField("caption_ok", T.BooleanType()),
+        T.StructField("phash_ok", T.BooleanType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def verify_images(df: DataFrame, psnr_threshold: float = 40.0) -> DataFrame:
+    """Per-row invariant check (BASELINE.json): decoded pixels vs the
+    deterministic regeneration, caption equality, phash equality."""
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                idx = int(rec.image_id[3:])
+                expected = images.gen_pixels(idx, rec.w, rec.h)
+                decoded = images.decode(rec.bytes, rec.w, rec.h, rec.fmt)
+                if rec.fmt == "raw":
+                    p = float("inf") if np.array_equal(decoded, expected) else images.psnr(decoded, expected)
+                    pixels_ok = bool(np.array_equal(decoded, expected))
+                else:
+                    p = images.psnr(decoded, expected)
+                    pixels_ok = bool(p >= psnr_threshold)
+                lon, lat = images.row_lonlat(idx)
+                caption_ok = rec.caption == images.row_caption(idx, lon, lat)
+                phash_ok = images.average_hash(decoded) == rec.phash
+                out.append(
+                    {
+                        "image_id": rec.image_id,
+                        "pixels_ok": pixels_ok,
+                        "psnr": p,
+                        "caption_ok": bool(caption_ok),
+                        "phash_ok": bool(phash_ok),
+                        "ok": bool(pixels_ok and caption_ok and phash_ok),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash").mapInPandas(
+        check, schema=_VERIFY_SCHEMA
+    )
