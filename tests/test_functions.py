@@ -1,0 +1,194 @@
+"""Training-data pipeline function tests: text analysis, dedup, similarity,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tilematrix_spark.functions import dedup, multimodal, similarity, text
+
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog and runs to the barn"),
+    (2, "the quick   brown fox Jumps over the lazy dog and runs to the barn"),  # ws/case dup of 1
+    (3, "El perro de la casa que corre por los campos de la montana"),
+    (4, "Der Hund und die Katze sind nicht in das Haus gegangen"),
+    (5, "completely unrelated text about spark query engines and tile pyramids"),
+    (6, "The quick brown fox jumps over the lazy dog and runs to the shed"),  # near-dup of 1
+    (7, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_counts(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", text.token_count("text").alias("n")).collect()}
+    assert got[1] == 14
+    assert got[7] == 0
+    sub = {r["doc_id"]: r["n"] for r in docs.select("doc_id", text.subword_count("text").alias("n")).collect()}
+    assert sub[1] >= 14  # subword splitting never merges words
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = docs.select("doc_id", text.quality_score("text").alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+    got = {r["doc_id"]: r["q"] for r in rows}
+    assert got[1] > got[7]
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[3] == "es"
+    assert got[4] == "de"
+    assert got[7] == "und"
+
+
+def test_fingerprint_normalizes(spark, docs):
+    got = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", text.fingerprint("text").alias("fp")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[6]
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicates(docs)
+    rows = groups.collect()
+    assert len(rows) == 1
+    assert rows[0]["keep_id"] == 1 and rows[0]["dup_ids"] == [1, 2]
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == len(DOCS) - 1
+    assert kept.filter("doc_id = 2").count() == 0
+
+
+def test_shingles(spark, docs):
+    got = docs.filter("doc_id = 1").select(text.shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert "the quick brown" in got
+    assert len(got) == 12  # 14 tokens -> 12 trigrams, all distinct here
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # normalized identical
+    assert (1, 6) in got and 0.5 <= got[(1, 6)] < 1.0
+    assert all(a != 5 and b != 5 for a, b in got)
+
+
+def test_minhash_lsh_recall(spark, docs):
+    cands = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in got  # identical docs always collide
+    assert (1, 6) in got  # 80%-similar docs collide with 8 bands of 2
+    assert (3, 4) not in got
+
+
+def test_simhash_near_pairs(spark, docs):
+    sk = {r["doc_id"]: r["simhash"] for r in dedup.simhash_buckets(docs).collect()}
+    assert sk[1] == sk[2]
+    assert 0 <= sk[1] < (1 << 16)
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_pairs(docs, radius=1).collect()}
+    assert (1, 2) in pairs
+
+
+def _vec_df(spark, n, dim=8, name="vec_id"):
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, f"{name} long, embedding array<float>")
+
+
+def test_cosine_topk_self_consistency(spark):
+    corpus = _vec_df(spark, 60)
+    queries = corpus.withColumnRenamed("vec_id", "qid").limit(5)
+    topk = similarity.cosine_topk(queries, corpus, k=3, query_id="qid")
+    got = {(r["qid"], r["rank"]): r["vec_id"] for r in topk.collect()}
+    assert len(got) == 15
+    # numpy oracle
+    import itertools
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in corpus.collect()}
+    for qid in range(5):
+        sims = []
+        for cid, v in vecs.items():
+            if cid == qid:
+                continue
+            q = vecs[qid]
+            sims.append((round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6), -cid))
+        sims.sort(reverse=True)
+        expect = [-s[1] for s in sims[:3]]
+        assert [got[(qid, r)] for r in (1, 2, 3)] == expect
+
+
+def test_lsh_topk_recall(spark):
+    corpus = _vec_df(spark, 120, dim=16)
+    queries = corpus.withColumnRenamed("vec_id", "qid").limit(8)
+    exact = similarity.cosine_topk(queries, corpus, k=1, query_id="qid")
+    approx = similarity.lsh_topk(queries, corpus, k=1, dim=16, num_bits=16, bands=8)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    # recall@1 with 8 bands of 2 bits should be high on 16-dim gaussians
+    assert len(e & a) >= 5
+
+
+def test_cosine_dup_pairs(spark):
+    base = _vec_df(spark, 30, dim=8)
+    # add a near-duplicate of vec 3 as id 1000
+    dup = base.filter("vec_id = 3").select(
+        F.lit(1000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+    )
+    df = base.unionByName(dup)
+    pairs = similarity.cosine_dup_pairs(df, threshold=0.999, dim=8, exact=True)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (3, 1000) in got
+    lsh_pairs = similarity.cosine_dup_pairs(df, threshold=0.999, dim=8, exact=False)
+    assert (3, 1000) in {(r["id_a"], r["id_b"]) for r in lsh_pairs.collect()}
+
+
+def test_image_features_and_resize(spark):
+    from tilematrix_spark import images
+
+    df = images.images_df(spark, 30, partitions=2)
+    feats = multimodal.extract_image_features(df)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 100 < r["mean_r"] < 155  # uniform noise ≈ 127.5
+    resized = multimodal.resize_images(df, 8, 8)
+    for r in resized.collect():
+        assert (r["w"], r["h"], r["fmt"]) == (8, 8, "raw")
+        assert len(bytes(r["bytes"])) == 8 * 8 * 3
+
+
+def test_phash_dup_pairs(spark):
+    from tilematrix_spark import images
+
+    df = images.images_df(spark, 40, partitions=2)
+    # duplicate one image under a new id -> hamming 0 pair
+    clone = df.filter("image_id = 'img000000000005'").withColumn(
+        "image_id", F.lit("img000000009999")
+    )
+    pairs = multimodal.phash_dup_pairs(df.unionByName(clone), max_distance=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("img000000000005", "img000000009999") in got
+
+
+def test_stub_formats_raise(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"", 1, 1, "jpeg")
+    with pytest.raises(NotImplementedError):
+        multimodal.video_frame_sample(None)
+
+
+def test_audio_features_pcm16(spark):
+    sig = (np.sin(np.linspace(0, 20, 1000)) * 10000).astype(np.int16)
+    df = spark.createDataFrame(
+        [("c1", bytearray(sig.tobytes()), "pcm16")], "clip_id string, bytes binary, fmt string"
+    )
+    r = multimodal.audio_features(df).collect()[0]
+    assert r["n_samples"] == 1000
+    assert 6000 < r["rms"] < 8000
+    assert r["peak"] <= 10000

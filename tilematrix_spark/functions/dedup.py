@@ -1,0 +1,189 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes:
+* exact: one salted hash-groupBy on the md5 of normalized text.
+* n-gram Jaccard: shingle explode → self equi-join on shingle (the inverted
+  index) → per-pair common counts → Jaccard.  The shingle join is the skew
+  point: hot shingles are capped (``max_docs_per_shingle``) exactly like
+  stop-shingle filtering in production dedup pipelines.
+* MinHash/LSH: H per-shingle md5 min-aggregations in ONE pass over the
+  exploded shingles (no H× shuffles), band hashes = md5 of concatenated
+  signature slices, candidate pairs join per band.  All md5-string-based →
+  byte-identical in the DuckDB oracle.
+* SimHash: 16-bit portable variant (functions/text.py) — near-dups share
+  bucket when Hamming distance ≤ radius via precomputed bit-flip explode.
+* embedding cosine: see functions/similarity.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as textfns
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(fp, n_dups, keep_id, dup_ids): exact-duplicate groups by normalized
+    md5 fingerprint; ``keep_id`` is the smallest id (canonical survivor)."""
+    fp = df.select(F.col(id_col), textfns.fingerprint(text_col).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row (smallest id) per distinct normalized text."""
+    w = Window.partitionBy(textfns.fingerprint(text_col)).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(textfns.shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_docs_per_shingle: Optional[int] = 1000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ τ).
+
+    inverted-index self-join; per-doc shingle counts broadcast back in.
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    if max_docs_per_shingle:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_docs_per_shingle)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    counts = sh.groupBy("_id").agg(F.count("*").alias("_n_sh"))
+    a = sh.withColumnRenamed("_id", "id_a")
+    b = sh.withColumnRenamed("_id", "id_b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_common"))
+    )
+    ca = counts.withColumnRenamed("_id", "id_a").withColumnRenamed("_n_sh", "_na")
+    cb = counts.withColumnRenamed("_id", "id_b").withColumnRenamed("_n_sh", "_nb")
+    out = (
+        common.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = MIN(md5(shingle || '#i')) — the min
+    of a uniform hash as hex STRING, portable across engines.  One shuffle
+    for all H signatures."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket
+    (band hash = md5 of its signature slice).  Returns distinct
+    (id_a < id_b) candidates; feed into ngram_jaccard or minhash-similarity
+    for verification."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    buckets = sigs.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.withColumnRenamed("_id", "id_a")
+    b2 = buckets.withColumnRenamed("_id", "id_b")
+    return (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash16) — group identical 16-bit sketches for near-dup
+    blocking; Hamming-≤1 matching = explode 17 bit-flips and self-join."""
+    return df.select(F.col(id_col), textfns.simhash16(text_col).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", radius: int = 1
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ radius via bit-flip explode —
+    a join on equal sketch values after enumerating C(16,≤r) flips."""
+    sk = simhash_buckets(df, id_col, text_col)
+    flips = [0]
+    if radius >= 1:
+        flips += [1 << i for i in range(16)]
+    if radius >= 2:
+        flips += [(1 << i) | (1 << j) for i in range(16) for j in range(i + 1, 16)]
+    probe = sk.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        F.explode(F.array(*[F.lit(x) for x in flips])).alias("_flip"),
+    ).withColumn("probe", F.col("sh_a").bitwiseXOR(F.col("_flip")))
+    base = sk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("probe"))
+    return (
+        probe.join(base, "probe")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

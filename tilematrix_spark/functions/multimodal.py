@@ -1,0 +1,186 @@
+"""Multimodal column operators: decode / feature-extract / resize /
+frame-sample over opaque ``binary`` payload columns with typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, UDF signatures,
+partition behavior) is real and tested; codecs the container lacks libraries
+for (jpeg/png/audio/video) are STUBBED behind ``NotImplementedError`` or a
+clearly-marked deterministic fake — swap in PIL/ffmpeg decoders on a real
+cluster without touching the plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import images as imglib
+
+#: formats the sandbox can really decode (numpy-only codecs)
+REAL_FORMATS = {"raw", "q8"}
+#: formats requiring external libs — stubbed
+STUB_FORMATS = {"jpeg", "png", "webp"}
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt in REAL_FORMATS:
+        return imglib.decode(data, w, h, fmt)
+    if fmt in STUB_FORMATS:
+        # STUB: container has no image codec libraries; a real deployment
+        # plugs PIL/turbojpeg here. Plumbing (shapes, batching) is identical.
+        raise NotImplementedError(f"decoder for '{fmt}' requires an image codec library")
+    raise ValueError(f"unknown image format: {fmt}")
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("std_gray", T.DoubleType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """Per-image channel means, gray stddev, and average-hash — Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                px = decode_image(rec.bytes, rec.w, rec.h, rec.fmt).astype(np.float64)
+                gray = px.mean(axis=2)
+                out.append(
+                    {
+                        "image_id": rec.image_id,
+                        "mean_r": float(px[:, :, 0].mean()),
+                        "mean_g": float(px[:, :, 1].mean()),
+                        "mean_b": float(px[:, :, 2].mean()),
+                        "std_gray": float(gray.std()),
+                        "phash": imglib.average_hash(px.astype(np.uint8)),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, _FEATURES_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize to (out_w, out_h); output fmt is ``raw``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                px = decode_image(rec.bytes, rec.w, rec.h, rec.fmt)
+                ys = (np.arange(out_h) * rec.h) // out_h
+                xs = (np.arange(out_w) * rec.w) // out_w
+                resized = px[ys][:, xs]
+                out.append(
+                    {
+                        "image_id": rec.image_id,
+                        "bytes": resized.tobytes(),
+                        "w": out_w,
+                        "h": out_h,
+                        "fmt": "raw",
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, _RESIZE_SCHEMA)
+
+
+def phash_hamming(a, b):
+    """Hamming distance between two packed-64-bit perceptual hashes (native)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b))
+
+
+def phash_dup_pairs(df: DataFrame, max_distance: int = 2, id_col: str = "image_id") -> DataFrame:
+    """Perceptual-hash near-dup image pairs via banded blocking: split the
+    64-bit hash into 4 16-bit bands; pairs matching on any band get an exact
+    Hamming check (pigeonhole: distance ≤ 3 guarantees ≥1 equal band;
+    distance ≤ max_distance ≤ 3 keeps recall exact)."""
+    h = df.select(F.col(id_col), F.col("phash"))
+    bands = []
+    for b in range(4):
+        bands.append(
+            F.shiftright(F.col("phash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}")
+        )
+    hb = h.select(id_col, "phash", *bands)
+    cands = None
+    for b in range(4):
+        left = hb.select(F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a"), F.col(f"b{b}").alias("_bk"))
+        right = hb.select(F.col(id_col).alias("id_b"), F.col("phash").alias("ph_b"), F.col(f"b{b}").alias("_bk"))
+        p = left.join(right, "_bk").filter(F.col("id_a") < F.col("id_b")).drop("_bk")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    dist = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cands.withColumn("hamming", dist).filter(F.col("hamming") <= max_distance).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio / video plumbing (deterministic fake + stubs)
+# ---------------------------------------------------------------------------
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, clip_id: str = "clip_id", payload: str = "bytes", fmt: str = "fmt") -> DataFrame:
+    """Audio feature extraction.  Real path for fmt='pcm16' (raw int16 mono);
+    compressed codecs are stubbed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                f = getattr(rec, fmt)
+                if f != "pcm16":
+                    raise NotImplementedError(f"audio codec '{f}' requires an audio library")
+                samples = np.frombuffer(getattr(rec, payload), dtype=np.int16).astype(np.float64)
+                out.append(
+                    {
+                        "clip_id": getattr(rec, clip_id),
+                        "n_samples": len(samples),
+                        "rms": float(np.sqrt((samples**2).mean())) if len(samples) else 0.0,
+                        "peak": float(np.abs(samples).max()) if len(samples) else 0.0,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(clip_id, payload, fmt).mapInPandas(run, _AUDIO_SCHEMA)
+
+
+def video_frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB: video frame sampling requires ffmpeg — unavailable in this
+    container.  The operator contract: explode each video row into frame
+    rows (video_id, frame_no, bytes raw RGB) sampled every ``every_n``
+    frames, executed via mapInPandas exactly like resize_images."""
+    raise NotImplementedError("video decoding requires ffmpeg; plumbing mirrors resize_images")

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk``: brute-force exact top-k — broadcast the (small) query set,
+  native ``zip_with``/``aggregate`` dot products (JVM codegen, no Python),
+  windowed rank.  The correctness baseline.
+* ``lsh_topk``: random-hyperplane LSH buckets (deterministic hyperplanes from
+  a seeded PCG64, computed vectorized in a pandas UDF as one matmul per
+  Arrow batch) → candidates share ≥1 band bucket → exact re-rank within
+  candidates.  The scale path: the self-join is on short band keys instead
+  of a full cross join.
+* ``cosine_dup_pairs``: embedding near-dup pairs above a cosine threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(query_id, corpus_id, rank): exact cosine top-k, ties → smaller id."""
+    q = queries.select(F.col(query_id).alias("_qid"), F.col(q_vec).alias("_qv"))
+    c = corpus.select(F.col(corpus_id), F.col(c_vec).alias("_cv"))
+    joined = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        joined = joined.filter(F.col("_qid") != F.col(corpus_id))
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    win = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.col(corpus_id).asc())
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(query_id), F.col(corpus_id), "rank")
+    )
+
+
+def _hyperplanes(dim: int, num_bits: int, seed: int = 1234) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((dim, num_bits))
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    num_bits: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    seed: int = 1234,
+) -> DataFrame:
+    """Add ``bucket_0..bucket_{bands-1}`` sign-LSH band keys — one Arrow
+    matmul per batch (vectorized; no per-row Python)."""
+    if num_bits % bands:
+        raise ValueError("num_bits must be divisible by bands")
+    bits_per_band = num_bits // bands
+    planes = _hyperplanes(dim, num_bits, seed)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        signs = (mat @ planes) > 0  # (n, num_bits)
+        weights = 1 << np.arange(bits_per_band)
+        out = []
+        for row in signs:
+            out.append(
+                [int(row[b * bits_per_band:(b + 1) * bits_per_band] @ weights) for b in range(bands)]
+            )
+        return pd.Series(out)
+
+    out = df.withColumn("_bands", band_keys(F.col(vec_col)))
+    for b in range(bands):
+        out = out.withColumn(f"bucket_{b}", F.element_at("_bands", b + 1))
+    return out.drop("_bands")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    num_bits: int = 16,
+    bands: int = 4,
+    seed: int = 1234,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share ≥1 LSH band bucket, then
+    exact re-rank.  Recall grows with bands; verify against cosine_topk."""
+    qb = with_lsh_buckets(
+        queries.select(F.col(query_id).alias("_qid"), F.col(q_vec).alias("_qv")),
+        dim, num_bits, bands, "_qv", seed,
+    )
+    cb = with_lsh_buckets(
+        corpus.select(F.col(corpus_id), F.col(c_vec).alias("_cv")),
+        dim, num_bits, bands, "_cv", seed,
+    )
+    cands = None
+    for b in range(bands):
+        pair = F.broadcast(
+            qb.select("_qid", "_qv", F.col(f"bucket_{b}").alias("_bk"))
+        ).join(
+            cb.select(F.col(corpus_id), "_cv", F.col(f"bucket_{b}").alias("_bk")), "_bk"
+        ).drop("_bk")
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.dropDuplicates(["_qid", corpus_id]).filter(F.col("_qid") != F.col(corpus_id))
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    win = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.col(corpus_id).asc())
+    return (
+        cands.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(query_id), F.col(corpus_id), "rank")
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_bits: int = 16,
+    bands: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a < id_b, sim ≥ τ).
+
+    ``exact=True`` does the full O(n²) self-join (oracle path / small n);
+    otherwise LSH-blocked candidates re-ranked exactly.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    if exact:
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        ab = with_lsh_buckets(
+            df.select(F.col(id_col), F.col(vec_col)), dim, num_bits, bands, vec_col
+        )
+        cands = None
+        for band in range(bands):
+            left = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col(f"bucket_{band}").alias("_bk"))
+            right = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col(f"bucket_{band}").alias("_bk"))
+            p = left.join(right, "_bk").filter(F.col("id_a") < F.col("id_b")).drop("_bk")
+            cands = p if cands is None else cands.unionByName(p)
+        pairs = cands.dropDuplicates(["id_a", "id_b"])
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

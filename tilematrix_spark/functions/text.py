@@ -1,0 +1,153 @@
+"""Text-analysis operators for the training-data pipeline: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All pure native Column expressions (JVM, codegen) — deliberately built from
+engine-portable primitives (``md5``, ``regexp``, ``split``) so the DuckDB
+oracle can run the byte-identical computation in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+# tiny stopword marker sets per language — heuristic n-gram/stopword
+# language ID; deliberately small so the SQL oracle mirrors them verbatim
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "es": ["el", "la", "que", "de", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+_PUNCT_RE = r"[.,;:!?'\"()\[\]{}]"
+# BPE-ish subword splitter: word-initial chunk + continuation chunks of <=4 chars
+_BPE_RE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize(text: ColumnOrName) -> Column:
+    """Whitespace-collapsed, lowercased text — the dedup key normalization."""
+    return F.lower(F.trim(F.regexp_replace(_col(text), r"\s+", " ")))
+
+
+def tokens(text: ColumnOrName) -> Column:
+    """Whitespace tokens (non-empty)."""
+    return F.filter(F.split(F.trim(_col(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: ColumnOrName) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def subword_count(text: ColumnOrName) -> Column:
+    """BPE-ish token count: bounded-length alpha/digit/punct chunks."""
+    return F.regexp_count(_col(text), F.lit(_BPE_RE))
+
+
+def char_count(text: ColumnOrName) -> Column:
+    return F.length(_col(text))
+
+
+def punct_ratio(text: ColumnOrName) -> Column:
+    n = F.length(_col(text))
+    return F.when(n > 0, F.regexp_count(_col(text), F.lit(_PUNCT_RE)).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: ColumnOrName, lang: str = "en") -> Column:
+    toks = tokens(normalize(text))
+    markers = LANG_MARKERS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: ColumnOrName) -> Column:
+    toks = tokens(_col(text))
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: ColumnOrName) -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation band +
+    stopword presence + word-length band.  Deterministic, SQL-mirrorable."""
+    t = _col(text)
+    n_tok = token_count(t).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    pr = punct_ratio(t)
+    punct_score = F.when(pr <= 0.2, F.lit(1.0)).otherwise(F.greatest(F.lit(0.0), F.lit(1.0) - (pr - 0.2) * 2.0))
+    sw = stopword_ratio(t)
+    sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
+    mwl = mean_word_length(t)
+    wl_score = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.25))
+    return F.round((len_score + punct_score + sw_score + wl_score) / F.lit(4.0), 6)
+
+
+def lang_scores(text: ColumnOrName) -> Column:
+    """struct of per-language stopword hit counts."""
+    toks = tokens(normalize(text))
+    fields = []
+    for lang, markers in LANG_MARKERS.items():
+        fields.append(F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(lang))
+    return F.struct(*fields)
+
+
+def lang_id(text: ColumnOrName) -> Column:
+    """argmax language by marker hits; 'und' (undetermined) when all zero.
+    Ties break in LANG_MARKERS declaration order (en, de, es, fr)."""
+    s = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[s[lang] for lang in langs])
+    out = F.lit("und")
+    for lang in reversed(langs):
+        out = F.when((best > 0) & (s[lang] == best), F.lit(lang)).otherwise(out)
+    # earlier language wins ties because later whens overwrite in reversed order
+    return out
+
+
+def fingerprint(text: ColumnOrName) -> Column:
+    """Document fingerprint: md5 of normalized text (portable to SQL)."""
+    return F.md5(normalize(text))
+
+
+def shingles(text: ColumnOrName, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = tokens(normalize(text))
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def simhash16(text: ColumnOrName) -> Column:
+    """16-bit SimHash over whitespace tokens using the first 4 hex chars of
+    each token's md5 — small on purpose so the SQL oracle can mirror the
+    per-bit CASE table exactly."""
+    toks = tokens(normalize(text))
+    bits = []
+    for b in range(16):
+        hex_pos = b // 4 + 1  # 1-based md5 hex char
+        bit_in_nibble = 3 - (b % 4)
+        mask = 1 << bit_in_nibble
+
+        def contrib(t, mask=mask, hex_pos=hex_pos):
+            nibble = F.conv(F.substring(F.md5(t), hex_pos, 1), 16, 10).cast("int")
+            return F.when(nibble.bitwiseAND(F.lit(mask)) > 0, F.lit(1)).otherwise(F.lit(-1))
+
+        total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + contrib(t))
+        bits.append(F.when(total > 0, F.lit(1 << (15 - b))).otherwise(F.lit(0)))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out.cast("int")
