@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2), each a
+callable (spark, sf_dir) -> DataFrame built from the engine operators in
+``tilematrix_spark``.
+``oracle_sql()`` — ANSI-SQL equivalents for DuckDB over the same parquet
+tables.  Float parity notes: every SQL literal is cast ``::DOUBLE`` (DuckDB
+parses decimal literals as DECIMAL), ``fmod`` mirrors Spark's double ``%``,
+``trunc`` mirrors CAST-to-long truncation, and md5-hex strings are the
+portable hash primitive.  Geo coordinates are derived deterministically from
+ids via the golden-ratio scatter so both engines compute bit-identical
+doubles.
 """
 
 from __future__ import annotations
@@ -12,27 +18,849 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from tilematrix_spark import exprs
+from tilematrix_spark.functions import dedup as dedupfns
+from tilematrix_spark.functions import similarity as simfns
+from tilematrix_spark.functions import text as textfns
+from tilematrix_spark.grid import PyramidConfig
+from tilematrix_spark.operators import assign, cover, hierarchy, knn
+
+GEODETIC = PyramidConfig.create("geodetic")
+PHI1 = 0.6180339887498949
+PHI2 = 0.3819660112501051
+
+# geodetic z-scalars used in oracle SQL (exact binary doubles)
+TOP, BOTTOM, LEFT, RIGHT = 90.0, -90.0, -180.0, 180.0
+
+
+def _d(x: float) -> str:
+    """Exact DOUBLE literal for DuckDB."""
+    return f"({x!r})::DOUBLE"
+
+
+def _tile_size(zoom: int) -> float:
+    return GEODETIC.tile_y_size(zoom)  # == tile_x_size on geodetic
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon = F.lit(-180.0) + (F.col("event_id") * F.lit(PHI1)) % F.lit(1.0) * F.lit(360.0)
+    lat = F.lit(-90.0) + (F.col("event_id") * F.lit(PHI2)) % F.lit(1.0) * F.lit(180.0)
+    return df.withColumn("lon", lon).withColumn("lat", lat)
+
+
+_EVENTS_SQL = f"""
+  SELECT event_id, user_id, event_type, value,
+         {_d(-180.0)} + fmod(event_id * {_d(PHI1)}, {_d(1.0)}) * {_d(360.0)} AS lon,
+         {_d(-90.0)} + fmod(event_id * {_d(PHI2)}, {_d(1.0)}) * {_d(180.0)} AS lat
+  FROM events
+"""
+
+
+def _tiles_sql(zoom: int, source: str = "pts") -> str:
+    """SQL mirror of exprs.tile_from_xy (on_edge_use='rb') at ``zoom``."""
+    h = _d(_tile_size(zoom))
+    mw = GEODETIC.matrix_width(zoom)
+    mh = GEODETIC.matrix_height(zoom)
+    return f"""
+      SELECT *,
+        CAST(trunc(({_d(TOP)} - lat) / {h}) AS BIGINT) AS tile_row,
+        CASE
+          WHEN CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT) = -1 THEN {mw - 1}
+          WHEN CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT) >= {mw}
+            THEN CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT) % {mw}
+          ELSE CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT)
+        END AS tile_col
+      FROM {source}
+      WHERE lon >= {_d(LEFT)} AND lon <= {_d(RIGHT)}
+        AND lat >= {_d(BOTTOM)} AND lat <= {_d(TOP)}
+    """
+
+
+def _valid_sql(zoom: int) -> str:
+    mw = GEODETIC.matrix_width(zoom)
+    mh = GEODETIC.matrix_height(zoom)
+    return f"tile_row >= 0 AND tile_row < {mh} AND tile_col >= 0 AND tile_col < {mw}"
+
+
+# ---------------------------------------------------------------------------
+# query builders (Spark side uses the engine operators)
+# ---------------------------------------------------------------------------
+
+def q_point_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 point->tile assignment + salted per-tile aggregation (zoom 5)."""
+    pts = _events(spark, sf_dir)
+    tiled = assign.with_tile(pts, GEODETIC, 5, "lon", "lat", out_row="tile_row", out_col="tile_col", out_tile_id=None)
+    return assign.salted_agg(tiled, ["tile_row", "tile_col"], {"n": "count:*"}, salt_buckets=16)
+
+
+def sql_point_tile_counts() -> str:
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(5)})
+      SELECT tile_row, tile_col, count(*) AS n
+      FROM tiled WHERE {_valid_sql(5)}
+      GROUP BY tile_row, tile_col
+    """
+
+
+def q_tile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8/O10 tile bounds (zoom 5) for the distinct tiles hit by events."""
+    tiles = q_point_tile_counts(spark, sf_dir).select("tile_row", "tile_col")
+    b = exprs.tile_bounds(GEODETIC, 5, "tile_row", "tile_col")
+    return tiles.select(
+        "tile_row", "tile_col",
+        b["left"].alias("left"), b["bottom"].alias("bottom"),
+        b["right"].alias("right"), b["top"].alias("top"),
+    )
+
+
+def sql_tile_bounds() -> str:
+    h = _d(_tile_size(5))
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(5)}),
+      tiles AS (
+        SELECT tile_row, tile_col FROM tiled WHERE {_valid_sql(5)}
+        GROUP BY tile_row, tile_col
+      )
+      SELECT tile_row, tile_col,
+        {_d(LEFT)} + tile_col * {h} AS left,
+        greatest(({_d(TOP)} - tile_row * {h}) - {h}, {_d(BOTTOM)}) AS bottom,
+        least(({_d(LEFT)} + tile_col * {h}) + {h}, {_d(RIGHT)}) AS right,
+        {_d(TOP)} - tile_row * {h} AS top
+      FROM tiles
+    """
+
+
+def q_tile_shape_pixelbuffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 tile pixel shapes with pixelbuffer=10 (global-grid edge rules)."""
+    tiles = q_point_tile_counts(spark, sf_dir).select("tile_row", "tile_col")
+    s = exprs.tile_shape(GEODETIC, 5, "tile_row", "tile_col", 10)
+    return tiles.select(
+        "tile_row", "tile_col",
+        s["height"].cast("long").alias("height"), s["width"].cast("long").alias("width"),
+    )
+
+
+def sql_tile_shape_pixelbuffer() -> str:
+    mh = GEODETIC.matrix_height(5)
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(5)}),
+      tiles AS (
+        SELECT tile_row, tile_col FROM tiled WHERE {_valid_sql(5)}
+        GROUP BY tile_row, tile_col
+      )
+      SELECT tile_row, tile_col,
+        CASE WHEN tile_row IN (0, {mh - 1}) THEN 266 ELSE 276 END::BIGINT AS height,
+        276::BIGINT AS width
+      FROM tiles
+    """
+
+
+def q_matrix_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2-O5 matrix dimensions and pixel sizes, zooms 0..10."""
+    zooms = spark.range(0, 11).select(F.col("id").cast("int").alias("zoom"))
+    return zooms.select(
+        "zoom",
+        exprs.matrix_width(GEODETIC, F.col("zoom")).alias("mw"),
+        exprs.matrix_height(GEODETIC, F.col("zoom")).alias("mh"),
+        exprs.pixel_x_size(GEODETIC, F.col("zoom")).alias("px"),
+        exprs.pixel_y_size(GEODETIC, F.col("zoom")).alias("py"),
+    )
+
+
+def sql_matrix_dims() -> str:
+    return f"""
+      WITH z AS (SELECT unnest(generate_series(0, 10)) AS zoom)
+      SELECT zoom::INTEGER AS zoom,
+        greatest(1, CAST(ceil({_d(2.0)} * power({_d(2.0)}, zoom) / {_d(1.0)}) AS BIGINT)) AS mw,
+        greatest(1, CAST(ceil({_d(1.0)} * power({_d(2.0)}, zoom) / {_d(1.0)}) AS BIGINT)) AS mh,
+        {_d(360.0)} / ({_d(2.0)} * power({_d(2.0)}, zoom) * {_d(256.0)}) AS px,
+        {_d(180.0)} / ({_d(1.0)} * power({_d(2.0)}, zoom) * {_d(256.0)}) AS py
+      FROM z
+    """
+
+
+def q_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14 zoom-up rollup: z6 tile counts aggregated to z5 parents."""
+    pts = _events(spark, sf_dir)
+    tiled = assign.with_tile(pts, GEODETIC, 6, "lon", "lat", out_row="r6", out_col="c6", out_tile_id=None)
+    p = hierarchy.parent(6, "r6", "c6")
+    return (
+        tiled.select(p["row"].alias("tile_row"), p["col"].alias("tile_col"))
+        .groupBy("tile_row", "tile_col")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_parent_rollup() -> str:
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}),
+      tiled AS ({_tiles_sql(6)})
+      SELECT tile_row // 2 AS tile_row, tile_col // 2 AS tile_col, count(*) AS n
+      FROM tiled WHERE {_valid_sql(6)}
+      GROUP BY 1, 2
+    """
+
+
+def q_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 children explode of the distinct z4 tiles hit by events."""
+    pts = _events(spark, sf_dir)
+    tiled = assign.with_tile(pts, GEODETIC, 4, "lon", "lat", out_tile_id=None)
+    tiles = tiled.select(F.lit(4).alias("zoom"), "row", "col").distinct()
+    out = hierarchy.children(tiles, GEODETIC, "zoom", "row", "col")
+    return out.select(
+        F.col("row").alias("tile_row"), F.col("col").alias("tile_col"),
+        F.col("child_row"), F.col("child_col"),
+    )
+
+
+def sql_children() -> str:
+    mh5, mw5 = GEODETIC.matrix_height(5), GEODETIC.matrix_width(5)
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(4)}),
+      tiles AS (SELECT DISTINCT tile_row, tile_col FROM tiled WHERE {_valid_sql(4)}),
+      offs AS (SELECT * FROM (VALUES (0,0),(0,1),(1,1),(1,0)) AS t(dr, dc))
+      SELECT tile_row, tile_col,
+             tile_row * 2 + dr AS child_row, tile_col * 2 + dc AS child_col
+      FROM tiles CROSS JOIN offs
+      WHERE tile_row * 2 + dr < {mh5} AND tile_col * 2 + dc < {mw5}
+    """
+
+
+def q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 8-connected neighbors (antimeridian wrap) of distinct z5 tiles."""
+    pts = _events(spark, sf_dir)
+    tiled = assign.with_tile(pts, GEODETIC, 5, "lon", "lat", out_tile_id=None)
+    tiles = tiled.select(F.lit(5).alias("zoom"), "row", "col").distinct()
+    out = hierarchy.neighbors(tiles, GEODETIC, "zoom", "row", "col")
+    return out.select(
+        F.col("row").alias("tile_row"), F.col("col").alias("tile_col"),
+        F.col("neighbor_row"), F.col("neighbor_col"),
+    )
+
+
+def sql_neighbors() -> str:
+    mh, mw = GEODETIC.matrix_height(5), GEODETIC.matrix_width(5)
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(5)}),
+      tiles AS (SELECT DISTINCT tile_row, tile_col FROM tiled WHERE {_valid_sql(5)}),
+      offs AS (SELECT * FROM (VALUES (-1,0),(0,1),(1,0),(0,-1),(-1,1),(1,1),(1,-1),(-1,-1)) AS t(dr, dc))
+      SELECT DISTINCT tile_row, tile_col,
+             tile_row + dr AS neighbor_row,
+             ((tile_col + dc) % {mw} + {mw}) % {mw} AS neighbor_col
+      FROM tiles CROSS JOIN offs
+      WHERE tile_row + dr >= 0 AND tile_row + dr < {mh}
+        AND NOT (tile_row + dr = tile_row AND ((tile_col + dc) % {mw} + {mw}) % {mw} = tile_col)
+    """
+
+
+def _event_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-event bboxes, ~2% crossing the antimeridian."""
+    pts = _events(spark, sf_dir).filter(F.col("event_id") % 20 == 0)
+    w = F.lit(2.0) + (F.col("event_id") % 7).cast("double")
+    h = F.lit(1.0) + (F.col("event_id") % 5).cast("double")
+    left = F.when(F.col("event_id") % 50 == 0, F.lit(178.0)).otherwise(F.col("lon"))
+    return pts.select(
+        "event_id",
+        left.alias("bl"),
+        F.greatest(F.col("lat") - h, F.lit(-90.0)).alias("bb"),
+        (left + w).alias("br"),
+        F.least(F.col("lat") + h, F.lit(90.0)).alias("bt"),
+    )
+
+
+_EVENT_BOXES_SQL = f"""
+  SELECT event_id,
+    CASE WHEN event_id % 50 = 0 THEN {_d(178.0)} ELSE lon END AS bl,
+    greatest(lat - ({_d(1.0)} + CAST(event_id % 5 AS DOUBLE)), {_d(-90.0)}) AS bb,
+    (CASE WHEN event_id % 50 = 0 THEN {_d(178.0)} ELSE lon END)
+      + ({_d(2.0)} + CAST(event_id % 7 AS DOUBLE)) AS br,
+    least(lat + ({_d(1.0)} + CAST(event_id % 5 AS DOUBLE)), {_d(90.0)}) AS bt
+  FROM ({_EVENTS_SQL}) WHERE event_id % 20 = 0
+"""
+
+
+def q_cover_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25-O27 range-explode bbox cover at z4 incl. antimeridian split."""
+    boxes = _event_boxes(spark, sf_dir)
+    out = cover.tiles_from_bounds(boxes, GEODETIC, 4, left="bl", bottom="bb", right="br", top="bt", out_row="tile_row", out_col="tile_col")
+    return out.select("event_id", "tile_row", "tile_col")
+
+
+def sql_cover_bbox() -> str:
+    zoom = 4
+    h = _d(_tile_size(zoom))
+    mw = GEODETIC.matrix_width(zoom)
+    mh = GEODETIC.matrix_height(zoom)
+    r2 = _d(RIGHT - LEFT)
+    # mirror of cover.cover_ranges: clamp y, crossing -> full x range,
+    # corner tiles rt/lb edge rules, multipart interval filter
+    return f"""
+      WITH boxes AS ({_EVENT_BOXES_SQL}),
+      rng AS (
+        SELECT event_id, multi, i1l, i1r, i2l, i2r,
+          greatest(CAST(trunc(({_d(TOP)} - ct) / {h}) AS BIGINT), 0) AS row_min,
+          least(
+            CAST(trunc(({_d(TOP)} - cb) / {h}) AS BIGINT)
+              - CASE WHEN fmod({_d(TOP)} - cb, {h}) = {_d(0.0)} THEN 1 ELSE 0 END,
+            {mh - 1}) AS row_max,
+          greatest(CAST(trunc((cl - {_d(LEFT)}) / {h}) AS BIGINT), 0) AS col_min,
+          least(
+            CASE
+              WHEN cr_col = -1 THEN {mw - 1}
+              WHEN cr_col >= {mw} THEN cr_col % {mw}
+              ELSE cr_col END,
+            {mw - 1}) AS col_max
+        FROM (
+          SELECT event_id, multi, i1l, i1r, i2l, i2r, cl, cr, ct, cb,
+            CAST(trunc((cr - {_d(LEFT)}) / {h}) AS BIGINT)
+              - CASE WHEN fmod(cr - {_d(LEFT)}, {h}) = {_d(0.0)} THEN 1 ELSE 0 END AS cr_col
+          FROM (
+            SELECT event_id,
+              least(bt, {_d(TOP)}) AS ct,
+              greatest(bb, {_d(BOTTOM)}) AS cb,
+              (bl < {_d(LEFT)} OR br > {_d(RIGHT)}) AS crossing,
+              (bl < {_d(LEFT)}) AS west, (br > {_d(RIGHT)}) AS east,
+              CASE WHEN (bl < {_d(LEFT)} OR br > {_d(RIGHT)}) THEN {_d(LEFT)} ELSE bl END AS cl,
+              CASE WHEN (bl < {_d(LEFT)} OR br > {_d(RIGHT)}) THEN {_d(RIGHT)} ELSE br END AS cr,
+              ((bl < {_d(LEFT)}) <> (br > {_d(RIGHT)})) AND (br < bl + {r2}) AS multi,
+              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN bl + {r2}
+                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN {_d(LEFT)} END AS i1l,
+              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN {_d(RIGHT)}
+                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN br - {r2} END AS i1r,
+              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN {_d(LEFT)}
+                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN bl END AS i2l,
+              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN br
+                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN {_d(RIGHT)} END AS i2r
+            FROM boxes
+          )
+        )
+      ),
+      rows_exp AS (
+        SELECT event_id, multi, i1l, i1r, i2l, i2r, col_min, col_max,
+               unnest(generate_series(row_min, row_max)) AS tile_row
+        FROM rng WHERE row_min <= row_max
+      ),
+      cells AS (
+        SELECT event_id, multi, i1l, i1r, i2l, i2r, tile_row,
+               unnest(generate_series(col_min, col_max)) AS tile_col
+        FROM rows_exp WHERE col_min <= col_max
+      )
+      SELECT event_id, tile_row, tile_col FROM cells
+      WHERE NOT multi
+         OR (({_d(LEFT)} + tile_col * {h}) <= i1r
+             AND least(({_d(LEFT)} + tile_col * {h}) + {h}, {_d(RIGHT)}) >= i1l)
+         OR (({_d(LEFT)} + tile_col * {h}) <= i2r
+             AND least(({_d(LEFT)} + tile_col * {h}) + {h}, {_d(RIGHT)}) >= i2l)
+    """
+
+
+def q_snap_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19 snap_bounds of event bboxes (z6, in-grid boxes only)."""
+    boxes = _event_boxes(spark, sf_dir).filter(
+        (F.col("bl") >= -180.0) & (F.col("br") <= 180.0)
+    )
+    s = exprs.snap_bounds(GEODETIC, "bl", "bb", "br", "bt", 6)
+    return boxes.select(
+        "event_id",
+        s["left"].alias("snap_left"), s["bottom"].alias("snap_bottom"),
+        s["right"].alias("snap_right"), s["top"].alias("snap_top"),
+    )
+
+
+def sql_snap_bounds() -> str:
+    zoom = 6
+    h = _d(_tile_size(zoom))
+    return f"""
+      WITH boxes AS (
+        SELECT * FROM ({_EVENT_BOXES_SQL})
+        WHERE bl >= {_d(LEFT)} AND br <= {_d(RIGHT)}
+      ),
+      corners AS (
+        SELECT event_id,
+          CAST(trunc(({_d(TOP)} - bb) / {h}) AS BIGINT)
+            - CASE WHEN fmod({_d(TOP)} - bb, {h}) = {_d(0.0)} THEN 1 ELSE 0 END AS lb_row,
+          CAST(trunc((bl - {_d(LEFT)}) / {h}) AS BIGINT) AS lb_col,
+          CAST(trunc(({_d(TOP)} - bt) / {h}) AS BIGINT) AS rt_row,
+          CAST(trunc((br - {_d(LEFT)}) / {h}) AS BIGINT)
+            - CASE WHEN fmod(br - {_d(LEFT)}, {h}) = {_d(0.0)} THEN 1 ELSE 0 END AS rt_col
+        FROM boxes
+      )
+      SELECT event_id,
+        {_d(LEFT)} + lb_col * {h} AS snap_left,
+        greatest(greatest(({_d(TOP)} - lb_row * {h}) - {h}, {_d(BOTTOM)}), {_d(BOTTOM)}) AS snap_bottom,
+        least(least(({_d(LEFT)} + rt_col * {h}) + {h}, {_d(RIGHT)}), {_d(RIGHT)}) AS snap_right,
+        least({_d(TOP)} - rt_row * {h}, {_d(TOP)}) AS snap_top
+      FROM corners
+    """
+
+
+def q_intersecting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17 cross-pyramid translation: z5 mt2 tiles -> mt1 subtiles."""
+    pts = _events(spark, sf_dir)
+    tp2 = PyramidConfig.create("geodetic", metatiling=2)
+    tiled = assign.with_tile(pts, tp2, 5, "lon", "lat", out_tile_id=None)
+    tiles = tiled.select(F.lit(5).alias("zoom"), "row", "col").distinct()
+    out = hierarchy.intersecting(tiles, tp2, GEODETIC, "zoom", "row", "col")
+    return out.select(
+        F.col("row").alias("tile_row"), F.col("col").alias("tile_col"),
+        F.col("target_row"), F.col("target_col"),
+    )
+
+
+def sql_intersecting() -> str:
+    tp2 = PyramidConfig.create("geodetic", metatiling=2)
+    h = _d(tp2.tile_y_size(5))
+    mw2, mh2 = tp2.matrix_width(5), tp2.matrix_height(5)
+    mw1, mh1 = GEODETIC.matrix_width(5), GEODETIC.matrix_height(5)
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}),
+      tiled AS (
+        SELECT *,
+          CAST(trunc(({_d(TOP)} - lat) / {h}) AS BIGINT) AS tile_row,
+          CASE
+            WHEN CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT) = -1 THEN {mw2 - 1}
+            WHEN CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT) >= {mw2}
+              THEN CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT) % {mw2}
+            ELSE CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT)
+          END AS tile_col
+        FROM pts
+        WHERE lon >= {_d(LEFT)} AND lon <= {_d(RIGHT)} AND lat >= {_d(BOTTOM)} AND lat <= {_d(TOP)}
+      ),
+      tiles AS (
+        SELECT DISTINCT tile_row, tile_col FROM tiled
+        WHERE tile_row >= 0 AND tile_row < {mh2} AND tile_col >= 0 AND tile_col < {mw2}
+      ),
+      offs AS (SELECT * FROM (VALUES (0,0),(0,1),(1,0),(1,1)) AS t(dr, dc))
+      SELECT tile_row, tile_col,
+             tile_row * 2 + dr AS target_row, tile_col * 2 + dc AS target_col
+      FROM tiles CROSS JOIN offs
+      WHERE tile_row * 2 + dr < {mh1} AND tile_col * 2 + dc < {mw1}
+    """
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O30 k-ring kNN: 40 query points vs all event points, k=3."""
+    pts = _events(spark, sf_dir).select(
+        F.col("event_id").alias("pid"), "lon", "lat"
+    )
+    queries = pts.filter(F.col("pid") % 157 == 3).select(
+        F.col("pid").alias("qid"), "lon", "lat"
+    )
+    out = knn.knn_join(queries, pts, GEODETIC, zoom=4, k=3, query_id="qid", point_id="pid")
+    return out.select("qid", "pid", F.col("rank").cast("int").alias("rank"))
+
+
+def sql_knn() -> str:
+    span = _d(RIGHT - LEFT)
+    return f"""
+      WITH pts AS (
+        SELECT event_id AS pid, lon, lat FROM ({_EVENTS_SQL})
+      ),
+      valid AS (
+        SELECT * FROM pts
+        WHERE lon >= {_d(LEFT)} AND lon <= {_d(RIGHT)} AND lat >= {_d(BOTTOM)} AND lat <= {_d(TOP)}
+          AND NOT (lat = {_d(BOTTOM)})
+      ),
+      queries AS (SELECT pid AS qid, lon AS qx, lat AS qy FROM valid WHERE pid % 157 = 3),
+      ranked AS (
+        SELECT q.qid, p.pid,
+          row_number() OVER (
+            PARTITION BY q.qid
+            ORDER BY sqrt(least(abs(q.qx - p.lon), {span} - abs(q.qx - p.lon))
+                          * least(abs(q.qx - p.lon), {span} - abs(q.qx - p.lon))
+                          + (q.qy - p.lat) * (q.qy - p.lat)) ASC,
+                     p.pid ASC
+          ) AS rank
+        FROM queries q CROSS JOIN valid p
+      )
+      SELECT qid, pid, rank::INTEGER AS rank FROM ranked WHERE rank <= 3
+    """
+
+
+def q_events_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: top-3 events by value per user (deterministic ties)."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "rank")
+    )
+
+
+def sql_events_topk_window() -> str:
+    return """
+      SELECT user_id, event_id, rank::INTEGER AS rank FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+        FROM events
+      ) WHERE rank <= 3
+    """
+
+
+# -- documents: dedup / text analysis ---------------------------------------
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by md5 fingerprint of normalized text.  The corpus
+    is the documents table plus a whitespace-mangled copy of every 7th doc
+    (ids +10^6) so real duplicate groups exist to find."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mangled = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" ")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mangled)
+    out = dedupfns.exact_duplicates(corpus)
+    return out.select("fp", "n_dups", "keep_id")
+
+
+def sql_dedup_exact() -> str:
+    return f"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, '  ' || upper(text) || ' ' AS text
+        FROM documents WHERE doc_id % 7 = 0
+      )
+      SELECT md5({_NORM_SQL}) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
+      FROM corpus GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", textfns.fingerprint("text").alias("fp"))
+
+
+def sql_fingerprints() -> str:
+    return f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish subwords, punct hits."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        textfns.token_count("text").cast("long").alias("n_tokens"),
+        textfns.subword_count("text").cast("long").alias("n_subwords"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def sql_token_stats() -> str:
+    bpe = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+    return f"""
+      SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+        len(regexp_extract_all(text, '{bpe}')) AS n_subwords,
+        length(text) AS n_chars
+      FROM documents
+    """
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic -> docs per detected language."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(textfns.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_lang_id_counts() -> str:
+    hits = {
+        lang: f"len(list_filter({_TOKENS_SQL}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in textfns.LANG_MARKERS.items()
+    }
+    langs = list(textfns.LANG_MARKERS)
+    best = f"greatest({', '.join(hits[lang] for lang in langs)})"
+    case = "CASE"
+    for lang in langs:
+        case += f" WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return f"""
+      SELECT {case} AS lang_pred, count(*) AS n FROM documents GROUP BY 1
+    """
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", textfns.quality_score("text").alias("q"))
+
+
+def sql_quality_scores() -> str:
+    punct = r"[.,;:!?'\"()\[\]{}]"
+    toks = f"list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+    ntok = f"CAST(len({toks}) AS DOUBLE)"
+    len_score = f"least({ntok} / ({_d(20.0)}), {_d(1.0)})"
+    pr = (
+        f"CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, $${punct}$$)) AS DOUBLE)"
+        f" / length(text) ELSE {_d(0.0)} END"
+    )
+    punct_score = (
+        f"CASE WHEN ({pr}) <= ({_d(0.2)}) THEN {_d(1.0)} "
+        f"ELSE greatest({_d(0.0)}, {_d(1.0)} - (({pr}) - ({_d(0.2)})) * ({_d(2.0)})) END"
+    )
+    en = ", ".join(repr(m) for m in textfns.LANG_MARKERS["en"])
+    ntoks_norm = f"CAST(len(list_filter({_TOKENS_SQL}, t -> t <> ''))  AS DOUBLE)"
+    sw = (
+        f"CASE WHEN {ntoks_norm} > 0 THEN "
+        f"CAST(len(list_filter(list_filter({_TOKENS_SQL}, t -> t <> ''), t -> t IN ({en}))) AS DOUBLE)"
+        f" / {ntoks_norm} ELSE {_d(0.0)} END"
+    )
+    sw_score = f"least(({sw}) * ({_d(5.0)}), {_d(1.0)})"
+    total_len = f"CAST(list_aggregate(list_transform({toks}, t -> length(t)), 'sum') AS DOUBLE)"
+    mwl = f"CASE WHEN {ntok} > 0 THEN {total_len} / {ntok} ELSE {_d(0.0)} END"
+    wl_score = (
+        f"CASE WHEN ({mwl}) >= ({_d(2.0)}) AND ({mwl}) <= ({_d(12.0)}) "
+        f"THEN {_d(1.0)} ELSE {_d(0.25)} END"
+    )
+    return f"""
+      SELECT doc_id,
+        round(({len_score} + {punct_score} + {sw_score} + {wl_score}) / ({_d(4.0)}), 6) AS q
+      FROM documents
+    """
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id,
+      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+    FROM (
+      SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t <> '') AS toks FROM documents
+    ), unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+  ) GROUP BY doc_id, shingle
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 md5-min hashes over word trigram shingles)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedupfns.minhash_signatures(docs, num_hashes=4)
+
+
+def sql_minhash_signatures() -> str:
+    sigs = ", ".join(
+        f"min(md5(shingle || '#{i}')) AS sig{i}" for i in range(4)
+    )
+    return f"WITH sh AS ({_SHINGLES_SQL}) SELECT doc_id, {sigs} FROM sh GROUP BY doc_id"
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (τ=0.5)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedupfns.ngram_jaccard_pairs(docs, threshold=0.5, max_docs_per_shingle=None)
+
+
+def sql_ngram_jaccard() -> str:
+    return f"""
+      WITH sh AS ({_SHINGLES_SQL}),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b,
+        round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+      FROM common
+      JOIN counts ca ON ca.doc_id = id_a
+      JOIN counts cb ON cb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= round(0.5, 6)
+    """
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 hashes, 8 bands of 2)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedupfns.minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+
+
+def sql_minhash_lsh_pairs() -> str:
+    sigs = ", ".join(f"min(md5(shingle || '#{i}')) AS sig{i}" for i in range(16))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(sig{2*b} || '|' || sig{2*b+1}) AS bucket FROM sigs"
+        for b in range(8)
+    )
+    return f"""
+      WITH sh AS ({_SHINGLES_SQL}),
+      sigs AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+      buckets AS ({bands})
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash sketch per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedupfns.simhash_buckets(docs)
+
+
+def sql_simhash() -> str:
+    nibble = (
+        "CASE substr(md5(t), {pos}, 1) "
+        + " ".join(f"WHEN '{c}' THEN {int(c, 16)}" for c in "0123456789abcdef")
+        + " END"
+    )
+    bit_sums = []
+    for b in range(16):
+        pos = b // 4 + 1
+        mask = 1 << (3 - b % 4)
+        contrib = (
+            f"CASE WHEN ({nibble.format(pos=pos)} & {mask}) > 0 THEN 1 ELSE -1 END"
+        )
+        total = f"list_aggregate(list_transform(toks, t -> {contrib}), 'sum')"
+        bit_sums.append(f"CASE WHEN coalesce({total}, 0) > 0 THEN {1 << (15 - b)} ELSE 0 END")
+    expr = " + ".join(bit_sums)
+    return f"""
+      SELECT doc_id, CAST({expr} AS INTEGER) AS simhash
+      FROM (SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t <> '') AS toks FROM documents)
+    """
+
+
+# -- embeddings: similarity ---------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 16 vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = simfns.cosine_topk(queries, emb, k=3, query_id="qid")
+    return out.select("qid", "vec_id", F.col("rank").cast("int").alias("rank"))
+
+
+def sql_cosine_topk() -> str:
+    return """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 16),
+      c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      scored AS (
+        SELECT q.qid, c.vec_id,
+          round(list_dot_product(q.qv, c.cv)
+            / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM q CROSS JOIN c WHERE q.qid <> c.vec_id
+      )
+      SELECT qid, vec_id, rank::INTEGER AS rank FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 3
+    """
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (exact O(n²) on a 300-vector slice
+    plus rescaled copies of every 13th vector, ids +10^6 — cosine is
+    scale-invariant so those pairs are exact near-dups to recover)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
+    clones = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    out = simfns.cosine_dup_pairs(corpus, threshold=0.999, exact=True)
+    return out.select("id_a", "id_b")
+
+
+def sql_embedding_dups() -> str:
+    return """
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding::DOUBLE[], x -> x * 2.0::DOUBLE) AS v
+        FROM embeddings WHERE vec_id < 300 AND vec_id % 13 = 0
+      )
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a CROSS JOIN e b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= round(0.999, 6)
+    """
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point->tile assignment + salted per-tile counts at z5,
+    rolled up one zoom, on sf0.001 events."""
+    counts = q_point_tile_counts(spark, "/root/testdata/sf0.001")
+    rolled = (
+        counts.select(
+            (F.col("tile_row") / 2).cast("long").alias("p_row"),
+            (F.col("tile_col") / 2).cast("long").alias("p_col"),
+            "n",
+        )
+        .groupBy("p_row", "p_col")
+        .agg(F.sum("n").alias("n"))
+    )
+    return rolled
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "point_tile_counts": q_point_tile_counts,
+        "tile_bounds": q_tile_bounds,
+        "tile_shape_pixelbuffer": q_tile_shape_pixelbuffer,
+        "matrix_dims": q_matrix_dims,
+        "parent_rollup": q_parent_rollup,
+        "children": q_children,
+        "neighbors": q_neighbors,
+        "cover_bbox": q_cover_bbox,
+        "snap_bounds": q_snap_bounds,
+        "intersecting": q_intersecting,
+        "knn": q_knn,
+        "events_topk_window": q_events_topk_window,
+        "dedup_exact": q_dedup_exact,
+        "fingerprints": q_fingerprints,
+        "token_stats": q_token_stats,
+        "lang_id_counts": q_lang_id_counts,
+        "quality_scores": q_quality_scores,
+        "minhash_signatures": q_minhash_signatures,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "embedding_dups": q_embedding_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "point_tile_counts": sql_point_tile_counts(),
+        "tile_bounds": sql_tile_bounds(),
+        "tile_shape_pixelbuffer": sql_tile_shape_pixelbuffer(),
+        "matrix_dims": sql_matrix_dims(),
+        "parent_rollup": sql_parent_rollup(),
+        "children": sql_children(),
+        "neighbors": sql_neighbors(),
+        "cover_bbox": sql_cover_bbox(),
+        "snap_bounds": sql_snap_bounds(),
+        "intersecting": sql_intersecting(),
+        "knn": sql_knn(),
+        "events_topk_window": sql_events_topk_window(),
+        "dedup_exact": sql_dedup_exact(),
+        "fingerprints": sql_fingerprints(),
+        "token_stats": sql_token_stats(),
+        "lang_id_counts": sql_lang_id_counts(),
+        "quality_scores": sql_quality_scores(),
+        "minhash_signatures": sql_minhash_signatures(),
+        "ngram_jaccard": sql_ngram_jaccard(),
+        "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+        "simhash": sql_simhash(),
+        "cosine_topk": sql_cosine_topk(),
+        "embedding_dups": sql_embedding_dups(),
+    }
