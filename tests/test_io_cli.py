@@ -1,0 +1,94 @@
+"""Checkpoint/lineage resume + CLI parity tests."""
+
+import json
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from tilematrix_spark.io import PyramidJob, TableIO
+from tilematrix_spark.operators import assign
+
+
+def test_pyramid_job_resume(spark, geodetic, tmp_path):
+    calls = []
+
+    def build(s, z):
+        calls.append(z)
+        df = s.createDataFrame([(i, float(i % 90), float(i % 45)) for i in range(1, 50)],
+                               "id int, lon double, lat double")
+        return assign.tile_histogram(df, geodetic, z, salt_buckets=2)
+
+    out = str(tmp_path / "pyr")
+    job = PyramidJob(spark, geodetic, out, build)
+    executed = job.run([2, 3, 4])
+    assert executed == [2, 3, 4]
+    # metrics recorded per zoom
+    m = job.metrics()
+    assert set(m) == {"zoom=2", "zoom=3", "zoom=4"}
+    for rec in m.values():
+        assert rec["rows"] > 0 and rec["wall_s"] >= 0
+    # resume: nothing re-runs, then only the new zoom runs
+    calls.clear()
+    job2 = PyramidJob(spark, geodetic, out, build)
+    assert job2.run([2, 3, 4]) == []
+    assert calls == []
+    assert job2.run([2, 3, 4, 5]) == [5]
+    assert calls == [5]
+    # output readable per zoom
+    assert job2.read_zoom(3).agg(F.sum("n")).collect()[0][0] == 49
+
+
+def test_table_io_roundtrip(spark, tmp_path):
+    io = TableIO(spark)
+    df = spark.range(10).withColumn("p", F.col("id") % 2)
+    io.write(df, str(tmp_path / "t"), partition_by=["p"])
+    assert io.read(str(tmp_path / "t")).count() == 10
+
+
+def _tmx(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "tilematrix_spark.cli", *args],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+
+
+def test_cli_bounds():
+    r = _tmx("bounds", "5", "3", "3")
+    assert r.returncode == 0
+    assert r.stdout.split() == ["-163.125", "67.5", "-157.5", "73.125"]
+
+
+def test_cli_bounds_pixelbuffer():
+    r = _tmx("-p", "1", "bounds", "5", "3", "3")
+    vals = [float(v) for v in r.stdout.split()]
+    assert vals == [-163.14697265625, 67.47802734375, -157.47802734375, 73.14697265625]
+
+
+def test_cli_bbox_wkt():
+    r = _tmx("-f", "WKT", "bbox", "5", "3", "3")
+    assert r.stdout.startswith("POLYGON ((")
+    assert "-163.125" in r.stdout
+
+
+def test_cli_tile_and_tiles():
+    r = _tmx("tile", "5", "0.5", "0.5")
+    assert r.stdout.strip() == "5 15 32"
+    r = _tmx("tiles", "5", "-163.125", "67.5", "-157.5", "73.125")
+    assert r.stdout.strip() == "5 3 3"
+    # antimeridian
+    r = _tmx("tiles", "5", "-183.125", "67.5", "-177.5", "73.125")
+    assert set(r.stdout.strip().splitlines()) == {"5 3 0", "5 3 63"}
+
+
+def test_cli_geojson():
+    r = _tmx("-f", "GeoJSON", "tile", "5", "0.5", "0.5")
+    fc = json.loads(r.stdout)
+    assert fc["type"] == "FeatureCollection"
+    assert fc["features"][0]["properties"] == {"zoom": 5, "row": 15, "col": 32}
+
+
+def test_cli_snap_bounds():
+    r = _tmx("snap-bounds", "8", "0", "1", "2", "3")
+    vals = [float(v) for v in r.stdout.split()]
+    assert vals[0] <= 0 and vals[1] <= 1 and vals[2] >= 2 and vals[3] >= 3
