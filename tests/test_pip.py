@@ -1,0 +1,89 @@
+"""Point-in-polygon join vs an independent brute-force oracle."""
+
+import json
+
+import numpy as np
+
+from tilematrix_spark.operators import pip
+
+
+def _polygons():
+    # a triangle, a concave polygon, and a multipolygon
+    tri = {"type": "Polygon", "coordinates": [[(0, 0), (30, 0), (15, 30), (0, 0)]]}
+    concave = {
+        "type": "Polygon",
+        "coordinates": [[(-60, -30), (-20, -30), (-20, 10), (-40, -10), (-60, 10), (-60, -30)]],
+    }
+    multi = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[(100, 40), (120, 40), (120, 60), (100, 60), (100, 40)]],
+            [[(130, -20), (150, -20), (150, 0), (130, 0), (130, -20)]],
+        ],
+    }
+    return [(1, tri), (2, concave), (3, multi)]
+
+
+def _brute_force_inside(poly, x, y):
+    """Independent matplotlib-free PIP: winding via angle sum is slow; use a
+    differently-structured crossing test (horizontal ray to the RIGHT,
+    strict/non-strict flipped) to avoid sharing code with the engine."""
+    def ring_crossings(ring, x, y):
+        n = 0
+        for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+            if (y0 <= y < y1) or (y1 <= y < y0):
+                t = (y - y0) / (y1 - y0)
+                if x0 + t * (x1 - x0) > x:
+                    n += 1
+        return n
+
+    total = 0
+    coords = poly["coordinates"] if poly["type"] == "Polygon" else None
+    parts = [poly["coordinates"]] if poly["type"] == "Polygon" else poly["coordinates"]
+    inside = False
+    for part in parts:
+        c = 0
+        for ring in part:
+            r = list(ring)
+            if r[0] != tuple(r[-1]) and list(r[0]) != list(r[-1]):
+                r = r + [r[0]]
+            c += ring_crossings(r, x, y)
+        inside = inside or (c % 2 == 1)
+    _ = (total, coords)
+    return inside
+
+
+def test_pip_join_matches_brute_force(spark, geodetic):
+    rng = np.random.Generator(np.random.PCG64(5))
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(-179, 179, 400), rng.uniform(-89, 89, 400)))]
+    points = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    polys = spark.createDataFrame(
+        [(pid, json.dumps(g)) for pid, g in _polygons()], "poly_id long, geometry string"
+    )
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in pip.pip_join(points, polys, geodetic, zoom=4).collect()
+    }
+    expected = set()
+    for pid, g in _polygons():
+        for i, x, y in pts:
+            if _brute_force_inside(g, x, y):
+                expected.add((i, pid))
+    assert got == expected
+    assert len(expected) > 10  # sanity: the polygons actually catch points
+
+
+def test_pip_join_zoom_invariance(spark, geodetic):
+    rng = np.random.Generator(np.random.PCG64(6))
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(-80, 150, 150), rng.uniform(-40, 70, 150)))]
+    points = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    polys = spark.createDataFrame(
+        [(pid, json.dumps(g)) for pid, g in _polygons()], "poly_id long, geometry string"
+    )
+    results = [
+        {(r["point_id"], r["poly_id"]) for r in pip.pip_join(points, polys, geodetic, zoom=z).collect()}
+        for z in (2, 5, 7)
+    ]
+    assert results[0] == results[1] == results[2]

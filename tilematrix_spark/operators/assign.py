@@ -55,6 +55,19 @@ def with_tile(
     return out
 
 
+def salt_buckets_for_zoom(tp: PyramidConfig, zoom: int, parallelism: int = 256) -> int:
+    """Per-zoom salt width ``S(z) = max(1, P / matrix_cells(z))`` (SURVEY §7.3).
+
+    Salting exists to spread a few HOT keys (zoom-0..4 tiles holding most of
+    the data) over many reducers.  At high zooms the tile key is already
+    high-cardinality; salting there only multiplies partial-agg hash-map
+    state (cells × salts entries per task) and *destroys* scaling — measured
+    7× slower at local[32] with salt=32 at z8.
+    """
+    cells = tp.matrix_width(zoom) * tp.matrix_height(zoom)
+    return max(1, parallelism // max(cells, 1))
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -69,7 +82,22 @@ def salted_agg(
     ``salt_on``: expression to derive the salt from (default: random spread
     via a hash of all columns is NOT deterministic, so we hash the first
     key's value plus ``spark_partition_id`` — cheap and reproducible).
+
+    ``salt_buckets`` must fit the key cardinality: use
+    :func:`salt_buckets_for_zoom` for tile keys.  ``salt_buckets <= 1``
+    degrades to a plain two-phase aggregate (Spark's partial/final combine).
     """
+    if salt_buckets <= 1:
+        final_direct = []
+        for out_name, spec in aggs.items():
+            op, _, col = spec.partition(":")
+            if op == "count":
+                final_direct.append(F.count(F.lit(1)).alias(out_name))
+            elif op in ("sum", "min", "max"):
+                final_direct.append(getattr(F, op)(col).alias(out_name))
+            else:
+                raise ValueError(f"unsupported salted agg op: {op}")
+        return df.groupBy(*keys).agg(*final_direct)
     salt_src = (
         F.col(salt_on) if isinstance(salt_on, str) else salt_on
     ) if salt_on is not None else F.spark_partition_id()
@@ -105,12 +133,14 @@ def tile_histogram(
     zoom: exprs.ZoomLike,
     x: ColumnOrName = "lon",
     y: ColumnOrName = "lat",
-    salt_buckets: int = 32,
+    salt_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Rows-per-tile counts at ``zoom`` — the skew-statistics / rollup-input
-    aggregation, salted against dense cells."""
+    aggregation, salted against dense cells with a per-zoom salt width."""
+    if salt_buckets is None and isinstance(zoom, int):
+        salt_buckets = salt_buckets_for_zoom(tp, zoom)
     tiled = with_tile(df, tp, zoom, x, y)
-    return salted_agg(tiled, ["row", "col"], {"n": "count:*"}, salt_buckets=salt_buckets)
+    return salted_agg(tiled, ["row", "col"], {"n": "count:*"}, salt_buckets=salt_buckets or 1)
 
 
 def zoom_rollup(

@@ -97,11 +97,13 @@ def knn_join(
         )
         scored = joined.withColumn("dist", _dist(tp))
         win = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(point_id).asc())
+        # persisted: reused by the done-check, the result emit, and the
+        # pending anti-join — otherwise the ring join recomputes 3x per round
         topk = (
             scored.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k)
             .select(query_id, point_id, "dist", "rank")
-        )
+        ).persist()
         # a query is DONE when it has k hits whose k-th distance fits the
         # guarantee radius, or when the disc already spans the whole matrix
         whole_matrix = (2 * r + 1) >= max(mw, mh)
@@ -116,10 +118,16 @@ def knn_join(
                 (F.col("_hits") >= k) & (F.col("_dk") <= F.lit(float(r) * guarantee))
             ).select(query_id)
         done_rows = topk.join(F.broadcast(done_q), query_id, "left_semi")
+        # materialize this round's winners so later rounds don't re-trigger
+        # the (now unpersisted) ring join lineage
         results = done_rows if results is None else results.unionByName(done_rows)
+        results = results.localCheckpoint(eager=True)
+        topk.unpersist()
         if final_round:
             break
-        pending = pending.join(F.broadcast(done_q), query_id, "left_anti")
+        pending = pending.join(F.broadcast(done_q), query_id, "left_anti").localCheckpoint(
+            eager=True
+        )
         if pending.limit(1).count() == 0:
             break
         r *= 2
