@@ -47,6 +47,9 @@ def make_spark(cpus: str) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-bench"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # ParallelGC: measured ~2x less run-to-run variance than G1 on the
+        # 32-thread shuffle-heavy kernels in this container
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .getOrCreate()
     )
 

@@ -104,16 +104,18 @@ def average_hash(pixels: np.ndarray) -> int:
     """64-bit average hash: gray → 8×8 block means → >global-mean bits."""
     gray = pixels.mean(axis=2)
     h, w = gray.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    if h % 8 == 0 and w % 8 == 0:
+        # equal blocks: single reshape-mean (same values as slice means)
+        blocks = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
     bits = (blocks > blocks.mean()).flatten()
-    val = 0
-    for bit in bits:
-        val = (val << 1) | int(bit)
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     # interpret as signed int64
     if val >= 1 << 63:
         val -= 1 << 64
