@@ -28,8 +28,8 @@ from tilematrix_spark.grid import PyramidConfig
 from tilematrix_spark.operators import assign, cover, hierarchy, knn
 
 GEODETIC = PyramidConfig.create("geodetic")
-PHI1 = 0.6180339887498949
-PHI2 = 0.3819660112501051
+PHI1 = 0.7548776662466927  # R2 low-discrepancy: 1/plastic-number
+PHI2 = 0.5698402909980532  # 1/plastic-number^2 (independent of PHI1 mod 1)
 
 # geodetic z-scalars used in oracle SQL (exact binary doubles)
 TOP, BOTTOM, LEFT, RIGHT = 90.0, -90.0, -180.0, 180.0
@@ -790,6 +790,193 @@ def sql_embedding_dups() -> str:
     """
 
 
+
+
+def q_point_tile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 on-edge tie-break semantics: points EXACTLY on z5 grid lines,
+    all four on_edge_use variants — the reference's trickiest float rule
+    (_funcs.py:244,250)."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").filter(F.col("event_id") % 11 == 0)
+    pts = df.select(
+        "event_id",
+        ((F.col("event_id") % 65).cast("double") * F.lit(5.625) - F.lit(180.0)).alias("lon"),
+        (F.lit(90.0) - (F.col("event_id") % 33).cast("double") * F.lit(5.625)).alias("lat"),
+    )
+    out = None
+    for edge in ("rb", "lb", "rt", "lt"):
+        t = assign.with_tile(
+            pts, GEODETIC, 5, "lon", "lat", on_edge_use=edge,
+            out_row="tile_row", out_col="tile_col", out_tile_id=None,
+        ).withColumn("edge", F.lit(edge))
+        out = t if out is None else out.unionByName(t)
+    return out.select("event_id", "edge", "tile_row", "tile_col")
+
+
+def sql_point_tile_edges() -> str:
+    h = _d(5.625)
+    mw, mh = 64, 32
+    variants = []
+    for edge in ("rb", "lb", "rt", "lt"):
+        row_adj = (
+            f"- CASE WHEN fmod({_d(90.0)} - lat, {h}) = {_d(0.0)} THEN 1 ELSE 0 END"
+            if edge in ("rt", "lt") else ""
+        )
+        col_adj = (
+            f"- CASE WHEN fmod(lon - {_d(-180.0)}, {h}) = {_d(0.0)} THEN 1 ELSE 0 END"
+            if edge in ("lb", "lt") else ""
+        )
+        variants.append(f"""
+          SELECT event_id, '{edge}' AS edge, tile_row,
+            CASE WHEN raw_col = -1 THEN {mw - 1}
+                 WHEN raw_col >= {mw} THEN raw_col % {mw}
+                 ELSE raw_col END AS tile_col
+          FROM (
+            SELECT event_id,
+              CAST(trunc(({_d(90.0)} - lat) / {h}) AS BIGINT) {row_adj} AS tile_row,
+              CAST(trunc((lon - {_d(-180.0)}) / {h}) AS BIGINT) {col_adj} AS raw_col
+            FROM pts
+            WHERE lon >= {_d(-180.0)} AND lon <= {_d(180.0)}
+              AND lat >= {_d(-90.0)} AND lat <= {_d(90.0)}
+          )""")
+    union = " UNION ALL ".join(variants)
+    return f"""
+      WITH pts AS (
+        SELECT event_id,
+          CAST(event_id % 65 AS DOUBLE) * {h} - {_d(180.0)} AS lon,
+          {_d(90.0)} - CAST(event_id % 33 AS DOUBLE) * {h} AS lat
+        FROM events WHERE event_id % 11 = 0
+      ),
+      u AS ({union})
+      SELECT event_id, edge, tile_row, tile_col FROM u
+      WHERE tile_row >= 0 AND tile_row < {mh} AND tile_col >= 0 AND tile_col < {mw}
+    """
+
+
+MERCATOR_TP = PyramidConfig.create("mercator")
+MERC_R = 20037508.3427892
+
+
+def q_point_tile_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 on the mercator grid (different zoom-0 shape and bounds)."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = df.select(
+        "event_id",
+        (F.lit(-MERC_R) + (F.col("event_id") * F.lit(PHI1)) % F.lit(1.0) * F.lit(2 * MERC_R)).alias("mx"),
+        (F.lit(-MERC_R) + (F.col("event_id") * F.lit(PHI2)) % F.lit(1.0) * F.lit(2 * MERC_R)).alias("my"),
+    )
+    tiled = assign.with_tile(
+        pts, MERCATOR_TP, 5, "mx", "my", out_row="tile_row", out_col="tile_col", out_tile_id=None
+    )
+    return tiled.groupBy("tile_row", "tile_col").agg(F.count("*").alias("n"))
+
+
+def sql_point_tile_mercator() -> str:
+    h = _d(MERCATOR_TP.tile_y_size(5))
+    r = _d(MERC_R)
+    r2 = _d(2 * MERC_R)
+    mw = MERCATOR_TP.matrix_width(5)
+    mh = MERCATOR_TP.matrix_height(5)
+    return f"""
+      WITH pts AS (
+        SELECT event_id,
+          -{r} + fmod(event_id * {_d(PHI1)}, {_d(1.0)}) * {r2} AS mx,
+          -{r} + fmod(event_id * {_d(PHI2)}, {_d(1.0)}) * {r2} AS my
+        FROM events
+      ),
+      tiled AS (
+        SELECT
+          CAST(trunc(({r} - my) / {h}) AS BIGINT) AS tile_row,
+          CASE
+            WHEN CAST(trunc((mx - (-{r})) / {h}) AS BIGINT) = -1 THEN {mw - 1}
+            WHEN CAST(trunc((mx - (-{r})) / {h}) AS BIGINT) >= {mw}
+              THEN CAST(trunc((mx - (-{r})) / {h}) AS BIGINT) % {mw}
+            ELSE CAST(trunc((mx - (-{r})) / {h}) AS BIGINT)
+          END AS tile_col
+        FROM pts
+        WHERE mx >= -{r} AND mx <= {r} AND my >= -{r} AND my <= {r}
+      )
+      SELECT tile_row, tile_col, count(*) AS n FROM tiled
+      WHERE tile_row >= 0 AND tile_row < {mh} AND tile_col >= 0 AND tile_col < {mw}
+      GROUP BY 1, 2
+    """
+
+
+def q_tile_ids_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed shuffle-key tile ids + unpack round-trip (exprs.tile_id)."""
+    tiles = q_point_tile_counts(spark, sf_dir).select("tile_row", "tile_col")
+    packed = exprs.tile_id(5, "tile_row", "tile_col")
+    parts = exprs.tile_id_parts(packed)
+    return tiles.select(
+        "tile_row", "tile_col", packed.alias("tid"),
+        parts["zoom"].alias("zoom2"), parts["row"].alias("row2"), parts["col"].alias("col2"),
+    )
+
+
+def sql_tile_ids_packed() -> str:
+    z_shift = 1 << 58
+    r_shift = 1 << 29
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(5)}),
+      tiles AS (
+        SELECT tile_row, tile_col FROM tiled WHERE {_valid_sql(5)}
+        GROUP BY tile_row, tile_col
+      )
+      SELECT tile_row, tile_col,
+        5 * {z_shift}::BIGINT + tile_row * {r_shift}::BIGINT + tile_col AS tid,
+        5::INTEGER AS zoom2, tile_row AS row2, tile_col AS col2
+      FROM tiles
+    """
+
+
+def q_per_row_zoom_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row zoom column (3 + id % 5): exercises the pow(2, zoom)
+    expression path of exprs instead of driver-side literals."""
+    pts = _events(spark, sf_dir).withColumn(
+        "zoom", (F.lit(3) + F.col("event_id") % 5).cast("int")
+    )
+    tiled = assign.with_tile(
+        pts, GEODETIC, F.col("zoom"), "lon", "lat",
+        out_row="tile_row", out_col="tile_col", out_tile_id=None,
+    )
+    return tiled.groupBy("zoom", "tile_row", "tile_col").agg(F.count("*").alias("n"))
+
+
+def sql_per_row_zoom_assign() -> str:
+    # H(z) mirrors exprs.metatile_y_size exactly:
+    # ((top-bottom) / (h0 * 2^z * ts)) * ts * mt  with h0=1, ts=256, mt=1
+    h = (
+        f"(({_d(180.0)} / (({_d(1.0)} * power({_d(2.0)}, zoom)) * {_d(256.0)}))"
+        f" * {_d(256.0)}) * {_d(1.0)}"
+    )
+    w = (
+        f"(({_d(360.0)} / (({_d(2.0)} * power({_d(2.0)}, zoom)) * {_d(256.0)}))"
+        f" * {_d(256.0)}) * {_d(1.0)}"
+    )
+    mw = f"greatest(1, CAST(ceil({_d(2.0)} * power({_d(2.0)}, zoom) / {_d(1.0)}) AS BIGINT))"
+    mh = f"greatest(1, CAST(ceil({_d(1.0)} * power({_d(2.0)}, zoom) / {_d(1.0)}) AS BIGINT))"
+    return f"""
+      WITH pts AS (
+        SELECT *, CAST(3 + event_id % 5 AS INTEGER) AS zoom FROM ({_EVENTS_SQL})
+      ),
+      tiled AS (
+        SELECT zoom,
+          CAST(trunc(({_d(90.0)} - lat) / ({h})) AS BIGINT) AS tile_row,
+          CASE
+            WHEN CAST(trunc((lon - {_d(-180.0)}) / ({w})) AS BIGINT) = -1 THEN {mw} - 1
+            WHEN CAST(trunc((lon - {_d(-180.0)}) / ({w})) AS BIGINT) >= {mw}
+              THEN CAST(trunc((lon - {_d(-180.0)}) / ({w})) AS BIGINT) % {mw}
+            ELSE CAST(trunc((lon - {_d(-180.0)}) / ({w})) AS BIGINT)
+          END AS tile_col
+        FROM pts
+        WHERE lon >= {_d(-180.0)} AND lon <= {_d(180.0)}
+          AND lat >= {_d(-90.0)} AND lat <= {_d(90.0)}
+      )
+      SELECT zoom, tile_row, tile_col, count(*) AS n FROM tiled
+      WHERE tile_row >= 0 AND tile_row < {mh} AND tile_col >= 0 AND tile_col < {mw}
+      GROUP BY 1, 2, 3
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -813,6 +1000,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_tile_counts": q_point_tile_counts,
+        "point_tile_edges": q_point_tile_edges,
+        "point_tile_mercator": q_point_tile_mercator,
+        "tile_ids_packed": q_tile_ids_packed,
+        "per_row_zoom_assign": q_per_row_zoom_assign,
         "tile_bounds": q_tile_bounds,
         "tile_shape_pixelbuffer": q_tile_shape_pixelbuffer,
         "matrix_dims": q_matrix_dims,
@@ -841,6 +1032,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "point_tile_counts": sql_point_tile_counts(),
+        "point_tile_edges": sql_point_tile_edges(),
+        "point_tile_mercator": sql_point_tile_mercator(),
+        "tile_ids_packed": sql_tile_ids_packed(),
+        "per_row_zoom_assign": sql_per_row_zoom_assign(),
         "tile_bounds": sql_tile_bounds(),
         "tile_shape_pixelbuffer": sql_tile_shape_pixelbuffer(),
         "matrix_dims": sql_matrix_dims(),

@@ -7,7 +7,8 @@ from tilematrix_spark.operators import assign, hierarchy, knn
 
 def _points_df(spark, n, seed_tag="p"):
     # deterministic low-discrepancy scatter (golden-ratio lattice)
-    phi1, phi2 = 0.6180339887498949, 0.3819660112501051
+    # R2 low-discrepancy pair (golden-ratio pair is collinear mod 1)
+    phi1, phi2 = 0.7548776662466927, 0.5698402909980532
     # start at 1: i=0 lands exactly on (-180,-90) where on_edge_use="rb"
     # yields an invalid tile (the reference raises there as well)
     rows = [

@@ -105,7 +105,11 @@ def main(argv: List[str] | None = None) -> int:
     sp.add_argument("bounds", nargs=4, type=float)
 
     args = p.parse_args(argv)
-    tp = PyramidConfig.create(args.grid, tile_size=args.tile_size, metatiling=args.metatiling)
+    try:
+        tp = PyramidConfig.create(args.grid, tile_size=args.tile_size, metatiling=args.metatiling)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     pb = args.pixelbuffer
 
     if args.cmd in ("bounds", "bbox"):

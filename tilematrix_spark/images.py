@@ -27,8 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 SEED = 42
-PHI1 = 0.6180339887498949  # 1/phi
-PHI2 = 0.3819660112501051  # 1/phi^2
+# R2 low-discrepancy constants (1/g, 1/g^2 for the plastic number g):
+# genuinely independent mod 1 — NOTE 1/phi + 1/phi^2 = 1 makes the golden
+# ratio pair collinear (points land on one diagonal), so don't use it in 2D
+PHI1 = 0.7548776662466927
+PHI2 = 0.5698402909980532
 
 HOT_BOUNDS = (9.0, 47.0, 12.1, 49.1)  # injected dense cluster (skew driver)
 
