@@ -50,8 +50,15 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("_id"), F.explode(textfns.shingles(text_col, n)).alias("shingle")
+    # two-step: tokens materialized as a bound column BEFORE the shingle
+    # transform — prevents Catalyst from inlining the tokenizer into every
+    # element_at (quadratic blowup; see shingles_from_tokens docstring)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        textfns.tokens(textfns.normalize(text_col)).alias("_toks"),
+    )
+    return toks.select(
+        "_id", F.explode(textfns.shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
     )
 
 
