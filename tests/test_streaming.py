@@ -1,0 +1,94 @@
+"""Structured Streaming parity: streaming windowed tile counts == batch."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tilematrix_spark import streaming
+
+
+def _events(spark, n, t0):
+    phi1, phi2 = 0.7548776662466927, 0.5698402909980532
+    rows = [
+        (
+            i,
+            t0 + datetime.timedelta(minutes=i % 60),
+            -180.0 + ((i * phi1) % 1.0) * 360.0,
+            -90.0 + ((i * phi2) % 1.0) * 180.0,
+        )
+        for i in range(1, n + 1)
+    ]
+    return spark.createDataFrame(rows, "id long, ts timestamp, lon double, lat double")
+
+
+def test_stream_tile_counts_matches_batch(spark, geodetic, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1)
+    src = str(tmp_path / "in")
+    batch_df = _events(spark, 500, t0)
+    batch_df.write.parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    agg = streaming.stream_tile_counts(
+        stream, geodetic, 4, window_duration="15 minutes", watermark="5 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tile_counts_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window"]["start"], r["row"], r["col"]): r["n"]
+        for r in spark.sql("SELECT * FROM tile_counts_stream").collect()
+    }
+    expected_df = streaming.stream_tile_counts(
+        batch_df.withColumnRenamed("ts", "_ts").withColumnRenamed("_ts", "ts"),
+        geodetic, 4, window_duration="15 minutes", watermark="5 minutes",
+    )
+    # batch equivalent: same expressions on the static frame (watermark is a
+    # no-op in batch)
+    expected = {
+        (r["window"]["start"], r["row"], r["col"]): r["n"] for r in expected_df.collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == 500  # scatter starts at 1; no invalid drops at z4 here
+
+
+def test_stream_incremental_append(spark, geodetic, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1)
+    src = str(tmp_path / "in2")
+    first = _events(spark, 200, t0)
+    first.write.parquet(src)
+
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def run_once():
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        tiled = streaming.stream_with_tile(stream, geodetic, 5)
+        q = (
+            tiled.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 200
+
+    # append a second chunk; restart from checkpoint processes ONLY new files
+    second = _events(spark, 300, t0 + datetime.timedelta(hours=2)).filter("id > 200")
+    second.write.mode("append").parquet(src)
+    run_once()
+    assert spark.read.parquet(out).count() == 300  # 200 + the 100 new rows
+
+    # a third run with no new input adds nothing (exactly-once file progress)
+    run_once()
+    assert spark.read.parquet(out).count() == 300
