@@ -198,3 +198,21 @@ def test_geom_batch_parity(spark, geodetic, batch):
     n2 = out.filter("id = 2").count()
     assert n1 == len(GOLDEN_POLYGON_TILES)
     assert n2 == len(_geom_tiles(spark, geodetic, LINESTRING, 9))
+
+
+def test_tiles_from_geometrycollection(spark, geodetic):
+    gc = {
+        "type": "GeometryCollection",
+        "geometries": [
+            {"type": "Point", "coordinates": (16.36, 48.2)},
+            POLYGON,
+        ],
+    }
+    # reference dispatches GeometryCollection through the generic path
+    # (_tilepyramid.py:232-239): bbox cover + intersects on all parts
+    got = _geom_tiles(spark, geodetic, gc, 9)
+    poly_tiles = _geom_tiles(spark, geodetic, POLYGON, 9)
+    pt_tiles = _geom_tiles(
+        spark, geodetic, {"type": "MultiPoint", "coordinates": [(16.36, 48.2)]}, 9
+    )
+    assert got == poly_tiles | pt_tiles

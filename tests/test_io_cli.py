@@ -92,3 +92,31 @@ def test_cli_snap_bounds():
     r = _tmx("snap-bounds", "8", "0", "1", "2", "3")
     vals = [float(v) for v in r.stdout.split()]
     assert vals[0] <= 0 and vals[1] <= 1 and vals[2] >= 2 and vals[3] >= 3
+
+
+def test_cli_flag_matrix():
+    # reference test_cli.py:16-95 exercises grid/metatiling/tile_size flags;
+    # spot-check each against the config mirror
+    from tilematrix_spark.grid import PyramidConfig
+
+    cases = [
+        (["-g", "mercator", "bounds", "3", "2", "2"], PyramidConfig.create("mercator"), (3, 2, 2), 0),
+        (["-m", "2", "bounds", "5", "1", "1"], PyramidConfig.create("geodetic", metatiling=2), (5, 1, 1), 0),
+        (["-s", "512", "-p", "2", "bounds", "4", "1", "1"], PyramidConfig.create("geodetic", tile_size=512), (4, 1, 1), 2),
+    ]
+    for args, tp, (z, r_, c), pb in cases:
+        r = _tmx(*args)
+        vals = [float(v) for v in r.stdout.split()]
+        h, w = tp.tile_y_size(z), tp.tile_x_size(z)
+        top = tp.top - r_ * h
+        left = tp.left + c * w
+        off = tp.pixel_x_size(z) * pb
+        expect = [left - off, max(top - h, tp.bottom) - off, min(left + w, tp.right) + off, min(top + off, tp.top)]
+        assert vals == expect, args
+
+
+def test_cli_invalid_metatiling_clean_error():
+    r = _tmx("-m", "5", "bounds", "5", "3", "3")
+    assert r.returncode == 2
+    assert r.stderr.startswith("error:")
+    assert "Traceback" not in r.stderr
