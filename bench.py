@@ -76,7 +76,7 @@ def flagship_throughput(spark: SparkSession, sf_dir: str) -> tuple[float, int]:
     return total / dt if dt > 0 else 0.0, int(total)
 
 
-def scaling_job(spark: SparkSession, sf_dir: str, multiplier: int = 400) -> tuple[float, int]:
+def scaling_job(spark: SparkSession, sf_dir: str, multiplier: int = 0) -> tuple[float, int]:
     """The scaling-efficiency workload: events replicated ``multiplier``×
     with jittered coordinates -> z8 tile assignment -> salted per-tile
     counts.  Pure native ops, big enough (40M rows at sf0.1) to amortize job
@@ -89,6 +89,10 @@ def scaling_job(spark: SparkSession, sf_dir: str, multiplier: int = 400) -> tupl
 
     par = spark.sparkContext.defaultParallelism * 2
     pts = em._events(spark, sf_dir).repartition(par)
+    if not multiplier:
+        # fixed ~40M-row workload regardless of sf, so the measurement
+        # amortizes job overhead identically at every scale factor
+        multiplier = max(1, 40_000_000 // max(pts.count(), 1))
     rep = pts.withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(multiplier - 1))))
     jitter = (F.col("_k") * F.lit(0.0001))
     rep = rep.withColumn("lon", F.col("lon") + jitter).withColumn("lat", F.greatest(F.col("lat") - jitter, F.lit(-90.0)))
@@ -101,11 +105,30 @@ def scaling_job(spark: SparkSession, sf_dir: str, multiplier: int = 400) -> tupl
     return total / dt if dt > 0 else 0.0, int(total)
 
 
+def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
+    """Subprocess entry: run one scaling measurement in a fresh JVM and
+    print the best rate on the last stdout line."""
+    s = make_spark(cpus)
+    s.sparkContext.setLogLevel("ERROR")
+    if job == "tile":
+        scaling_job(s, sf_dir)  # JIT warm-up
+        rate = max(scaling_job(s, sf_dir)[0] for _ in range(2))
+    else:
+        verify_scaling_job(s, 20000)
+        rate = max(verify_scaling_job(s, 100000) for _ in range(2))
+    s.stop()
+    print(rate)
+
+
 def main() -> None:
+    if "--scaling-worker" in sys.argv:
+        i = sys.argv.index("--scaling-worker")
+        scaling_worker(sys.argv[i + 1], sys.argv[i + 2], sys.argv[i + 3])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    do_scaling = "--scaling" in sys.argv
+    do_scaling = "--no-scaling" not in sys.argv
 
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -129,16 +152,24 @@ def main() -> None:
         spark.stop()
         stream = {}
         compute = {}
+        # one fresh PROCESS per (job, parallelism): SparkSession.stop() keeps
+        # the py4j JVM alive, so in-process measurements inherit the previous
+        # job's heap/GC state and python-worker RSS (measured 2x drift)
+        import subprocess
+
         for c in ("8", "32"):
-            s = make_spark(c)
-            s.sparkContext.setLogLevel("ERROR")
-            # JVM/codegen warm-up needs several runs; report best-of-3
-            for _ in range(2):
-                scaling_job(s, sf_dir)
-            stream[c] = max(scaling_job(s, sf_dir)[0] for _ in range(3))
-            verify_scaling_job(s, 20000)
-            compute[c] = max(verify_scaling_job(s, 150000) for _ in range(2))
-            s.stop()
+            stream[c] = float(
+                subprocess.run(
+                    [sys.executable, __file__, "--scaling-worker", "tile", c, sf_dir],
+                    capture_output=True, text=True, check=True,
+                ).stdout.strip().splitlines()[-1]
+            )
+            compute[c] = float(
+                subprocess.run(
+                    [sys.executable, __file__, "--scaling-worker", "verify", c, sf_dir],
+                    capture_output=True, text=True, check=True,
+                ).stdout.strip().splitlines()[-1]
+            )
         result["scaling"] = {
             # streaming kernel: native tile-assign + salted agg (memory-
             # bandwidth-bound on one node; saturates ~4-8 local cores —
