@@ -157,19 +157,22 @@ def main() -> None:
         # job's heap/GC state and python-worker RSS (measured 2x drift)
         import subprocess
 
-        for c in ("8", "32"):
-            stream[c] = float(
+        def measure(job: str, cpus: str) -> float:
+            # brief cooldown: sustained load drifts turbo clocks ~±30%,
+            # penalizing whichever measurement runs last (unattributable from inside the guest: reported MHz is static, steal ~1.5%)
+            time.sleep(5)
+            return float(
                 subprocess.run(
-                    [sys.executable, __file__, "--scaling-worker", "tile", c, sf_dir],
+                    [sys.executable, __file__, "--scaling-worker", job, cpus, sf_dir],
                     capture_output=True, text=True, check=True,
                 ).stdout.strip().splitlines()[-1]
             )
-            compute[c] = float(
-                subprocess.run(
-                    [sys.executable, __file__, "--scaling-worker", "verify", c, sf_dir],
-                    capture_output=True, text=True, check=True,
-                ).stdout.strip().splitlines()[-1]
-            )
+
+        # each pair back-to-back so both ends see similar thermal state
+        compute["8"] = measure("verify", "8")
+        compute["32"] = measure("verify", "32")
+        stream["8"] = measure("tile", "8")
+        stream["32"] = measure("tile", "32")
         result["scaling"] = {
             # streaming kernel: native tile-assign + salted agg (memory-
             # bandwidth-bound on one node; saturates ~4-8 local cores —
