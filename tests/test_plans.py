@@ -1,0 +1,90 @@
+"""Physical-plan quality gates: column pruning, codegen, broadcast joins,
+no Python in native pipelines — the properties that make the operators hold
+up at 100 TB (asserted, not assumed)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from tilematrix_spark import images
+from tilematrix_spark.operators import assign, cover, knn, pip
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_assign_plan_prunes_and_codegens(spark, geodetic):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lon = F.lit(-180.0) + (F.col("event_id") * F.lit(0.7548776662466927)) % F.lit(1.0) * F.lit(360.0)
+    lat = F.lit(-90.0) + (F.col("event_id") * F.lit(0.5698402909980532)) % F.lit(1.0) * F.lit(180.0)
+    pts = df.withColumn("lon", lon).withColumn("lat", lat)
+    out = assign.salted_agg(
+        assign.with_tile(pts, geodetic, 5, out_tile_id=None),
+        ["row", "col"], {"n": "count:*"}, 8,
+    )
+    plan = _plan(out)
+    # column pruning: the parquet scan reads ONLY event_id
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = [line for line in scan.splitlines() if "ReadSchema" in line][0]
+    assert read_schema.strip() == "ReadSchema: struct<event_id:bigint>"
+    # fully native: no Python/Arrow eval nodes in the pipeline
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # salted two-stage shape: two exchanges (partial agg then final)
+    assert sum(1 for line in plan.splitlines() if line.startswith("(") and ") Exchange" in line) == 2
+
+
+def test_knn_plan_broadcasts_query_side(spark, geodetic):
+    pts = spark.createDataFrame(
+        [(i, float(i % 170 - 85), float(i % 80 - 40)) for i in range(200)],
+        "pid long, lon double, lat double",
+    )
+    q = pts.limit(5).withColumnRenamed("pid", "qid")
+    out = knn.knn_join(q, pts, geodetic, zoom=3, k=2, query_id="qid", point_id="pid")
+    # the ring side must be broadcast: the point table never shuffles for
+    # the join itself (driver loop already ran; assert on a fresh round)
+    from tilematrix_spark.operators import hierarchy
+
+    ring = hierarchy.disc_tiles(
+        assign.with_tile(q.select("qid", "lon", "lat"), geodetic, 3, out_tile_id=None),
+        geodetic, radius=1, zoom=3,
+    )
+    p = assign.with_tile(pts, geodetic, 3, out_tile_id=None).withColumnRenamed(
+        "row", "prow"
+    ).withColumnRenamed("col", "pcol")
+    joined = F.broadcast(ring).join(
+        p, (F.col("ring_row") == F.col("prow")) & (F.col("ring_col") == F.col("pcol"))
+    )
+    assert "BroadcastHashJoin" in _plan(joined)
+    assert out.count() > 0
+
+
+def test_pip_plan_broadcasts_polygon_index(spark, geodetic):
+    pts = spark.createDataFrame(
+        [(i, float(i % 170 - 85), float(i % 80 - 40)) for i in range(100)],
+        "point_id long, lon double, lat double",
+    )
+    poly = {"type": "Polygon", "coordinates": [[(0, 0), (30, 0), (15, 30), (0, 0)]]}
+    polys = spark.createDataFrame([(1, json.dumps(poly))], "poly_id long, geometry string")
+    out = pip.pip_join(pts, polys, geodetic, zoom=3)
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_cover_plan_is_generate_no_shuffle(spark, geodetic):
+    df = spark.createDataFrame(
+        [(1, -10.0, -10.0, 25.0, 20.0)], "id int, l double, b double, r double, t double"
+    )
+    out = cover.tiles_from_bounds(df, geodetic, 6, "l", "b", "r", "t")
+    plan = _plan(out)
+    # pure generate pipeline: two explodes, zero exchanges, zero Python
+    assert sum(1 for line in plan.splitlines() if line.startswith("(") and ") Generate" in line) == 2
+    assert not any(line.startswith("(") and ") Exchange" in line for line in plan.splitlines())
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_images_pipeline_is_arrow_not_row_python(spark):
+    df = images.images_df(spark, 10, partitions=2)
+    plan = _plan(df)
+    # mapInPandas shows as MapInPandas (Arrow), never row-wise BatchEvalPython
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

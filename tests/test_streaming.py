@@ -92,3 +92,43 @@ def test_stream_incremental_append(spark, geodetic, tmp_path):
     # a third run with no new input adds nothing (exactly-once file progress)
     run_once()
     assert spark.read.parquet(out).count() == 300
+
+
+def test_stream_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState: duplicates are dropped ACROSS micro-batches."""
+    src = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "docs_ckpt")
+    first = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA   beta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    first.write.parquet(src)
+
+    out_dir = str(tmp_path / "docs_out")
+
+    def run_once():
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        out = streaming.stream_exact_dedup(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {r["doc_id"]: r["is_new"] for r in spark.read.parquet(out_dir).collect()}
+    # docs 1 and 2 normalize identically -> one survivor (smallest id)
+    assert got1 == {1: True, 3: True}
+
+    # second batch: another copy of doc 1's text plus a new doc — the state
+    # store remembers fingerprints across restarts, so only the new doc emerges
+    spark.createDataFrame(
+        [(10, "alpha  beta"), (11, "epsilon zeta")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    run_once()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {1, 3, 11}  # cumulative sink: batch-2 adds only doc 11
