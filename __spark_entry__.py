@@ -977,6 +977,138 @@ def sql_per_row_zoom_assign() -> str:
     """
 
 
+
+
+def q_geom_tiles_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29 tiles_from_geom through the full filter-refine path (bbox cover +
+    Arrow PIP kernel) on axis-aligned box POLYGONS — for boxes the result
+    equals the pure bbox cover, giving the refine kernel a SQL oracle."""
+    from tilematrix_spark.operators import geometry as geom_ops
+
+    boxes = _event_boxes(spark, sf_dir).filter(
+        (F.col("bl") >= -180.0) & (F.col("br") <= 180.0)
+    )
+    geojson = F.format_string(
+        '{"type": "Polygon", "coordinates": [[[%s, %s], [%s, %s], [%s, %s], [%s, %s], [%s, %s]]]}',
+        "bl", "bb", "bl", "bt", "br", "bt", "br", "bb", "bl", "bb",
+    )
+    gdf = boxes.select("event_id", geojson.alias("geometry"))
+    out = geom_ops.tiles_from_geom(gdf, GEODETIC, 4, out_row="tile_row", out_col="tile_col")
+    return out.select("event_id", "tile_row", "tile_col")
+
+
+def sql_geom_tiles_boxes() -> str:
+    zoom = 4
+    h = _d(_tile_size(zoom))
+    mw = GEODETIC.matrix_width(zoom)
+    mh = GEODETIC.matrix_height(zoom)
+    return f"""
+      WITH boxes AS (
+        SELECT * FROM ({_EVENT_BOXES_SQL})
+        WHERE bl >= {_d(LEFT)} AND br <= {_d(RIGHT)}
+      ),
+      rng AS (
+        SELECT event_id,
+          greatest(CAST(trunc(({_d(TOP)} - least(bt, {_d(TOP)})) / {h}) AS BIGINT), 0) AS row_min,
+          least(
+            CAST(trunc(({_d(TOP)} - greatest(bb, {_d(BOTTOM)})) / {h}) AS BIGINT)
+              - CASE WHEN fmod({_d(TOP)} - greatest(bb, {_d(BOTTOM)}), {h}) = {_d(0.0)} THEN 1 ELSE 0 END,
+            {mh - 1}) AS row_max,
+          greatest(CAST(trunc((bl - {_d(LEFT)}) / {h}) AS BIGINT), 0) AS col_min,
+          least(
+            CAST(trunc((br - {_d(LEFT)}) / {h}) AS BIGINT)
+              - CASE WHEN fmod(br - {_d(LEFT)}, {h}) = {_d(0.0)} THEN 1 ELSE 0 END,
+            {mw - 1}) AS col_max
+        FROM boxes
+      ),
+      rows_exp AS (
+        SELECT event_id, col_min, col_max,
+               unnest(generate_series(row_min, row_max)) AS tile_row
+        FROM rng WHERE row_min <= row_max
+      )
+      SELECT event_id, tile_row,
+             unnest(generate_series(col_min, col_max)) AS tile_col
+      FROM rows_exp WHERE col_min <= col_max
+    """
+
+
+def q_pip_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join of event points against three literal regions
+    (triangle / concave / multipolygon) — rows-only check (the PIP refine
+    kernel has no compact ANSI-SQL mirror; exactness is pinned by
+    tests/test_pip.py against an independent oracle)."""
+    import json as _json
+
+    from tilematrix_spark.operators import pip as pip_ops
+
+    pts = _events(spark, sf_dir).select(F.col("event_id").alias("point_id"), "lon", "lat")
+    regions = [
+        (1, {"type": "Polygon", "coordinates": [[(0, 0), (60, 0), (30, 60), (0, 0)]]}),
+        (2, {"type": "Polygon", "coordinates": [[(-120, -60), (-40, -60), (-40, 20), (-80, -20), (-120, 20), (-120, -60)]]}),
+        (3, {"type": "MultiPolygon", "coordinates": [
+            [[(100, 40), (140, 40), (140, 80), (100, 80), (100, 40)]],
+            [[(130, -40), (170, -40), (170, 0), (130, 0), (130, -40)]],
+        ]}),
+    ]
+    polys = spark.createDataFrame(
+        [(pid, _json.dumps(g)) for pid, g in regions], "poly_id long, geometry string"
+    )
+    out = pip_ops.pip_join(pts, polys, GEODETIC, zoom=3)
+    return out.groupBy("poly_id").agg(F.count("*").alias("n"))
+
+
+def q_verify_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row invariant gate over the synthetic images table: decoded-pixel
+    allclose / PSNR >= 40 dB + caption + phash equality (rows-only; images
+    are generated, not in the testdata views)."""
+    from tilematrix_spark import images as imglib
+    from tilematrix_spark import raster
+
+    df = imglib.images_df(spark, 2000, partitions=16)
+    v = raster.verify_images(df)
+    return v.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
+        F.sum(F.col("caption_ok").cast("long")).alias("n_caption_ok"),
+        F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok"),
+        F.round(F.min("psnr"), 3).alias("min_psnr"),
+    )
+
+
+def q_raster_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector tiling: image footprints onto z6 tiles with per-tile
+    pixel windows (rows-only; window math tested in test_images_raster)."""
+    from tilematrix_spark import images as imglib
+    from tilematrix_spark import raster
+
+    df = imglib.images_df(spark, 1000, partitions=16)
+    win = raster.raster_tile_windows(df, GEODETIC, 6)
+    return win.groupBy().agg(
+        F.count("*").alias("n_windows"),
+        F.countDistinct("image_id").alias("n_images"),
+        F.sum(F.col("win_width") * F.col("win_height")).alias("total_window_px"),
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-LSH buckets + exact re-rank, reported as
+    recall@1 against brute force (rows-only; hyperplane hashing is not
+    SQL-expressible)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 32).select(F.col("vec_id").alias("qid"), "embedding")
+    exact = simfns.cosine_topk(queries, emb, k=1, query_id="qid")
+    approx = simfns.lsh_topk(queries, emb, k=1, dim=64, num_bits=16, bands=8)
+    hits = exact.withColumnRenamed("vec_id", "e_id").join(
+        approx.withColumnRenamed("vec_id", "a_id"), ["qid", "rank"], "left"
+    ).select(
+        "qid", (F.col("e_id") == F.col("a_id")).cast("int").alias("hit")
+    )
+    return hits.agg(
+        F.count("*").alias("n_queries"), F.sum("hit").alias("recall_at_1_hits")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1026,6 +1158,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
+        "geom_tiles_boxes": q_geom_tiles_boxes,
+        "pip_join_regions": q_pip_join_regions,
+        "verify_images": q_verify_images,
+        "raster_windows": q_raster_windows,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -1058,4 +1195,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": sql_simhash(),
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),
+        "geom_tiles_boxes": sql_geom_tiles_boxes(),
+        # pip_join_regions / verify_images / raster_windows / ann_lsh_topk:
+        # deliberately no oracle (non-SQL-expressible kernels) -> the driver
+        # records the weaker rows-only check; pytest pins their exactness
     }
