@@ -269,3 +269,28 @@ def test_snap_bounds_golden(spark, geodetic):
         top = min(top, tp.top)
         bottom = max(bottom, tp.bottom)
         assert (got["left"], got["bottom"], got["right"], got["top"]) == (left, bottom, right, top)
+
+
+def test_ansi_safe_garbage_coordinates(spark, geodetic):
+    # Spark 4 runs ANSI mode: a plain double->long CAST on garbage magnitudes
+    # fails the JOB; the engine must quarantine the row instead
+    df = spark.createDataFrame(
+        [(1, 1e300, 0.0), (2, float("nan"), float("nan")), (3, 0.5, 0.5), (4, -1e300, 5.0)],
+        "id int, x double, y double",
+    )
+    rows = df.select(
+        "id", exprs.tile_from_xy(geodetic, "x", "y", 5).alias("t")
+    ).collect()
+    got = {r["id"]: (None if r["t"] is None else (r["t"]["row"], r["t"]["col"])) for r in rows}
+    assert got == {1: None, 2: None, 3: (15, 32), 4: None}
+
+
+def test_ansi_safe_garbage_cover(spark, geodetic):
+    from tilematrix_spark.operators import cover
+
+    df = spark.createDataFrame(
+        [(1e300, -1e300, 1e301, float("nan"))],
+        "left double, bottom double, right double, top double",
+    )
+    # must not raise; garbage bounds yield no tiles (clamped out of matrix)
+    assert cover.tiles_from_bounds(df, geodetic, 5).count() == 0

@@ -61,6 +61,25 @@ def pow2(zoom: ZoomLike) -> Column:
     return F.pow(F.lit(2.0), _zcol(zoom))
 
 
+#: double range that casts to long without ANSI overflow (|x| < 2^62)
+_SAFE_LONG = 4.611686018427388e18
+
+
+def trunc_long(v: Column) -> Column:
+    """Truncate-toward-zero double→long cast, safe under ANSI mode.
+
+    Spark 4 runs with ``spark.sql.ansi.enabled=true`` by default, where a
+    plain CAST on an out-of-range double *fails the job*.  The engine's
+    contract is per-row quarantine, so out-of-range magnitudes (garbage
+    coordinates, NaN) are clamped first — any clamped value lands far
+    outside every tile matrix and is dropped by the validity filter.
+    ``least(greatest(x, lo), hi)`` also maps NaN to a finite value
+    (Spark orders NaN greater than any double).
+    """
+    clamped = F.least(F.greatest(v, F.lit(-_SAFE_LONG)), F.lit(_SAFE_LONG))
+    return clamped.cast("long")
+
+
 # ---------------------------------------------------------------------------
 # per-zoom pyramid scalars — reference ``_tilepyramid.py:78-166``
 # ---------------------------------------------------------------------------
@@ -270,11 +289,11 @@ def rowcol_raw(
     h = metatile_y_size(tp, zoom)
     w = metatile_x_size(tp, zoom)
     dy = F.lit(tp.top) - yc
-    row = (dy / h).cast("long")
+    row = trunc_long(dy / h)
     if on_edge_use in ("rt", "lt"):
         row = F.when((dy % h) == F.lit(0.0), row - 1).otherwise(row)
     dx = xc - F.lit(tp.left)
-    col = (dx / w).cast("long")
+    col = trunc_long(dx / w)
     if on_edge_use in ("lb", "lt"):
         col = F.when((dx % w) == F.lit(0.0), col - 1).otherwise(col)
     if tp.is_global:

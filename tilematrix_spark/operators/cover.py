@@ -68,6 +68,14 @@ def cover_ranges(
     l, b = _col(left).cast("double"), _col(bottom).cast("double")
     r, t = _col(right).cast("double"), _col(top).cast("double")
 
+    # quarantine absurd inputs (NaN / magnitudes orders beyond the grid):
+    # the reference raises per call; the engine yields an empty cover.
+    # Legitimate antimeridian overflow stays well within the budget.
+    budget = max(abs(tp.left), abs(tp.right), abs(tp.top), abs(tp.bottom), 1.0) * 1e6
+    sane = F.lit(True)
+    for v in (l, b, r, t):
+        sane = sane & ~F.isnan(v) & (F.abs(v) <= F.lit(budget))
+
     if tp.is_global:
         # clamp to pyramid top/bottom — _funcs.py:166-168
         t = F.least(t, F.lit(tp.top))
@@ -97,11 +105,12 @@ def cover_ranges(
     rt = exprs.rowcol_raw(tp, cr, t, zoom, on_edge_use="lb")
     mh = exprs.matrix_height(tp, zoom)
     mw = exprs.matrix_width(tp, zoom)
+    neg1 = F.lit(-1).cast("long")
     return F.struct(
-        F.greatest(rt["row"], F.lit(0).cast("long")).alias("row_min"),
-        F.least(lb["row"], mh - 1).alias("row_max"),
-        F.greatest(lb["col"], F.lit(0).cast("long")).alias("col_min"),
-        F.least(rt["col"], mw - 1).alias("col_max"),
+        F.when(sane, F.greatest(rt["row"], F.lit(0).cast("long"))).otherwise(F.lit(0).cast("long")).alias("row_min"),
+        F.when(sane, F.least(lb["row"], mh - 1)).otherwise(neg1).alias("row_max"),
+        F.when(sane, F.greatest(lb["col"], F.lit(0).cast("long"))).otherwise(F.lit(0).cast("long")).alias("col_min"),
+        F.when(sane, F.least(rt["col"], mw - 1)).otherwise(neg1).alias("col_max"),
         multi.alias("multi"),
         i1l.alias("i1l"), i1r.alias("i1r"), i2l.alias("i2l"), i2r.alias("i2r"),
     )

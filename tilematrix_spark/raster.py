@@ -64,8 +64,8 @@ def raster_tile_windows(
     def x_window(shift: float):
         fl = F.col(fp_left) + F.lit(shift)
         fr = F.col(fp_right) + F.lit(shift)
-        off = F.greatest(F.floor((fl - b["left"]) / px), F.lit(0).cast("long"))
-        end = F.least(F.ceil((fr - b["left"]) / px), w_px)
+        off = F.greatest(exprs.trunc_long(F.floor((fl - b["left"]) / px)), F.lit(0).cast("long"))
+        end = F.least(exprs.trunc_long(F.ceil((fr - b["left"]) / px)), w_px)
         width = F.greatest(end - off, F.lit(0).cast("long"))
         return off, width
 
@@ -82,8 +82,8 @@ def raster_tile_windows(
     # keep offset within the tile even for zero-width windows
     best_off = F.least(best_off, w_px)
 
-    row_off = F.greatest(F.floor((b["top"] - F.col(fp_top)) / py), F.lit(0).cast("long"))
-    row_end = F.least(F.ceil((b["top"] - F.col(fp_bottom)) / py), h_px)
+    row_off = F.greatest(exprs.trunc_long(F.floor((b["top"] - F.col(fp_top)) / py)), F.lit(0).cast("long"))
+    row_end = F.least(exprs.trunc_long(F.ceil((b["top"] - F.col(fp_bottom)) / py)), h_px)
     return (
         out.withColumn("win_col_off", best_off)
         .withColumn("win_row_off", F.least(row_off, h_px))
