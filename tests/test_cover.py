@@ -124,3 +124,25 @@ def test_snap_bounds_equals_cover_union(spark, geodetic):
         assert (snapped["left"], snapped["bottom"], snapped["right"], snapped["top"]) == (
             b["l"], b["b"], b["r"], b["t"],
         )
+
+
+def test_batch_row_major_ordering(spark, geodetic):
+    # physical batch_by='row' parity: within each partition rows are
+    # monotone and columns monotone within a row (test_tilepyramid.py:199-260)
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 90.0, 90.0)], "left double, bottom double, right double, top double"
+    )
+    tiles = cover.tiles_from_bounds(df, geodetic, 6)
+    batched = cover.batch_row_major(tiles, num_partitions=4)
+
+    def check_partition(it):
+        prev = None
+        for r in it:
+            cur = (r["row"], r["col"])
+            if prev is not None:
+                assert cur > prev
+            prev = cur
+            yield r
+
+    total = batched.rdd.mapPartitions(lambda it: check_partition(it)).count()
+    assert total == tiles.count()

@@ -52,6 +52,21 @@ def _col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def batch_row_major(
+    df: DataFrame,
+    row: ColumnOrName = "row",
+    col: ColumnOrName = "col",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Physical equivalent of the reference's ``batch_by='row'`` generator
+    contract (``_funcs.py:227-235``): tiles partitioned by row bands, sorted
+    (row, col) within each partition — consumers stream row-major batches."""
+    parts = [num_partitions] if num_partitions else []
+    return df.repartitionByRange(*parts, _col(row)).sortWithinPartitions(
+        _col(row), _col(col)
+    )
+
+
 def cover_ranges(
     tp: PyramidConfig,
     zoom: exprs.ZoomLike,
