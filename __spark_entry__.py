@@ -1032,29 +1032,79 @@ def sql_geom_tiles_boxes() -> str:
     """
 
 
+_PIP_REGIONS = [
+    (1, {"type": "Polygon", "coordinates": [[(0, 0), (60, 0), (30, 60), (0, 0)]]}),
+    (2, {"type": "Polygon", "coordinates": [[(-120, -60), (-40, -60), (-40, 20), (-80, -20), (-120, 20), (-120, -60)]]}),
+    (3, {"type": "MultiPolygon", "coordinates": [
+        [[(100, 40), (140, 40), (140, 80), (100, 80), (100, 40)]],
+        [[(130, -40), (170, -40), (170, 0), (130, 0), (130, -40)]],
+    ]}),
+]
+
+
 def q_pip_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join of event points against three literal regions
-    (triangle / concave / multipolygon) — rows-only check (the PIP refine
-    kernel has no compact ANSI-SQL mirror; exactness is pinned by
-    tests/test_pip.py against an independent oracle)."""
+    (triangle / concave / multipolygon) through the full tile-index +
+    broadcast-join + Arrow ray-cast refine path (operators/pip.py)."""
     import json as _json
 
     from tilematrix_spark.operators import pip as pip_ops
 
     pts = _events(spark, sf_dir).select(F.col("event_id").alias("point_id"), "lon", "lat")
-    regions = [
-        (1, {"type": "Polygon", "coordinates": [[(0, 0), (60, 0), (30, 60), (0, 0)]]}),
-        (2, {"type": "Polygon", "coordinates": [[(-120, -60), (-40, -60), (-40, 20), (-80, -20), (-120, 20), (-120, -60)]]}),
-        (3, {"type": "MultiPolygon", "coordinates": [
-            [[(100, 40), (140, 40), (140, 80), (100, 80), (100, 40)]],
-            [[(130, -40), (170, -40), (170, 0), (130, 0), (130, -40)]],
-        ]}),
-    ]
     polys = spark.createDataFrame(
-        [(pid, _json.dumps(g)) for pid, g in regions], "poly_id long, geometry string"
+        [(pid, _json.dumps(g)) for pid, g in _PIP_REGIONS], "poly_id long, geometry string"
     )
     out = pip_ops.pip_join(pts, polys, GEODETIC, zoom=3)
     return out.groupBy("poly_id").agg(F.count("*").alias("n"))
+
+
+def _pip_inside_sql(geom: dict) -> str:
+    """Even-odd ray-cast membership as pure SQL: the exact unrolled mirror of
+    operators/pip._points_in_polygon for a literal (Multi)Polygon — per
+    non-horizontal edge, one crossing term (`(y0>lat) != (y1>lat)` and
+    `lon < x0 + (lat-y0)*dx/dy`); part parity = sum(crossings) % 2; parts OR."""
+    polys = (
+        [geom["coordinates"]] if geom["type"] == "Polygon" else geom["coordinates"]
+    )
+    part_exprs = []
+    for rings in polys:
+        terms = []
+        for ring in rings:
+            pts = list(ring)
+            if pts[0] != pts[-1]:
+                pts.append(pts[0])
+            for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+                x0, y0, x1, y1 = float(x0), float(y0), float(x1), float(y1)
+                if y0 == y1:
+                    continue  # horizontal edge never crosses (cond all-false)
+                terms.append(
+                    f"CASE WHEN (({_d(y0)} > lat) <> ({_d(y1)} > lat))"
+                    f" AND lon < {_d(x0)} + (lat - {_d(y0)}) * {_d(x1 - x0)} / {_d(y1 - y0)}"
+                    f" THEN 1 ELSE 0 END"
+                )
+        part_exprs.append(f"(({' + '.join(terms)}) % 2 = 1)")
+    return "(" + " OR ".join(part_exprs) + ")"
+
+
+def sql_pip_join_regions() -> str:
+    selects = []
+    for pid, geom in _PIP_REGIONS:
+        selects.append(
+            f"SELECT CAST({pid} AS BIGINT) AS poly_id, count(*) AS n"
+            f" FROM valid WHERE {_pip_inside_sql(geom)}"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}),
+      valid AS (
+        SELECT lon, lat FROM pts
+        WHERE lon >= {_d(LEFT)} AND lon <= {_d(RIGHT)}
+          AND lat >= {_d(BOTTOM)} AND lat <= {_d(TOP)}
+          AND NOT (lat = {_d(BOTTOM)})
+      ),
+      u AS ({union})
+      SELECT poly_id, n FROM u WHERE n > 0
+    """
 
 
 def q_verify_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,18 +1127,148 @@ def q_verify_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_raster_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster->vector tiling: image footprints onto z6 tiles with per-tile
-    pixel windows (rows-only; window math tested in test_images_raster)."""
+    """Raster->vector tiling: image footprints onto z6 tiles with the pixel
+    window of each footprint inside each tile (antimeridian straddlers take
+    the widest of the {0, ±span} shifted windows) — full per-row parity vs
+    an arithmetic SQL mirror of the deterministic images table."""
     from tilematrix_spark import images as imglib
     from tilematrix_spark import raster
 
     df = imglib.images_df(spark, 1000, partitions=16)
     win = raster.raster_tile_windows(df, GEODETIC, 6)
-    return win.groupBy().agg(
-        F.count("*").alias("n_windows"),
-        F.countDistinct("image_id").alias("n_images"),
-        F.sum(F.col("win_width") * F.col("win_height")).alias("total_window_px"),
+    return win.select(
+        "image_id",
+        F.col("row").alias("tile_row"), F.col("col").alias("tile_col"),
+        "win_col_off", "win_row_off", "win_width", "win_height",
     )
+
+
+def sql_raster_windows() -> str:
+    """Mirror of images.images_df(1000) footprints + cover.tiles_from_bounds
+    (z6) + raster.raster_tile_windows window math, all in DuckDB SQL."""
+    import tilematrix_spark.images as _img
+
+    zoom = 6
+    n = 1000
+    h = _d(_tile_size(zoom))
+    px = _d(GEODETIC.pixel_x_size(zoom))
+    mw = GEODETIC.matrix_width(zoom)
+    mh = GEODETIC.matrix_height(zoom)
+    r2 = _d(RIGHT - LEFT)
+    hl, hb, hr, ht = _img.HOT_BOUNDS
+    glon = [-180.0, -90.0, 0.0, 45.0, 90.0]
+    glat = [0.0, 45.0, -45.0, 22.5, 67.5]
+    lon_grid = " ".join(f"WHEN {i} THEN {_d(v)}" for i, v in enumerate(glon))
+    lat_grid = " ".join(f"WHEN {i} THEN {_d(v)}" for i, v in enumerate(glat))
+    # footprint pixel size at the per-row zoom 4 + idx % 8 (images.row_footprint)
+    fpx = f"({_d(360.0)} / (2 * power({_d(2.0)}, 4 + idx % 8) * 256))"
+
+    def x_win(shift: str):
+        off = f"greatest(CAST(floor(((bl {shift}) - t_left) / {px}) AS BIGINT), 0)"
+        end = f"least(CAST(ceil(((br {shift}) - t_left) / {px}) AS BIGINT), 256)"
+        return off, f"greatest({end} - {off}, 0)"
+
+    o0, w0 = x_win("+ 0.0")
+    om, wm = x_win(f"- {r2}")
+    op, wp = x_win(f"+ {r2}")
+    best_w1 = f"CASE WHEN {wm} > {w0} THEN {wm} ELSE {w0} END"
+    best_o1 = f"CASE WHEN {wm} > {w0} THEN {om} ELSE {o0} END"
+    best_w = f"CASE WHEN {wp} > {best_w1} THEN {wp} ELSE {best_w1} END"
+    best_o = f"CASE WHEN {wp} > {best_w1} THEN {op} ELSE {best_o1} END"
+    row_off = f"greatest(CAST(floor((t_top - bt) / {px}) AS BIGINT), 0)"
+    row_end = f"least(CAST(ceil((t_top - bb) / {px}) AS BIGINT), 256)"
+
+    return f"""
+      WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS idx),
+      base AS (
+        SELECT idx,
+          16 + (idx % 4) * 16 AS w, 16 + ((idx // 4) % 4) * 16 AS h,
+          CASE WHEN idx % 10 = 3 THEN {_d(hl)} + fmod(idx * {_d(PHI1)}, {_d(1.0)}) * {_d(hr - hl)}
+               WHEN idx % 97 = 0 THEN CASE (idx // 97) % 5 {lon_grid} END
+               ELSE {_d(-180.0)} + fmod(idx * {_d(PHI1)}, {_d(1.0)}) * {_d(360.0)} END AS lon,
+          CASE WHEN idx % 10 = 3 THEN {_d(hb)} + fmod(idx * {_d(PHI2)}, {_d(1.0)}) * {_d(ht - hb)}
+               WHEN idx % 97 = 0 THEN CASE (idx // 97) % 5 {lat_grid} END
+               ELSE {_d(-90.0)} + fmod(idx * {_d(PHI2)}, {_d(1.0)}) * {_d(180.0)} END AS lat
+        FROM ids
+      ),
+      fp0 AS (
+        SELECT idx, lon, lat,
+          (w * {fpx}) / 2 AS half_w, (h * {fpx}) / 2 AS half_h
+        FROM base
+      ),
+      boxes AS (
+        SELECT printf('img%012d', idx) AS image_id,
+          CASE WHEN idx % 101 = 7 THEN {_d(180.0)} - half_w ELSE lon - half_w END AS bl,
+          greatest(lat - half_h, {_d(-90.0)}) AS bb,
+          CASE WHEN idx % 101 = 7 THEN {_d(180.0)} + half_w ELSE lon + half_w END AS br,
+          least(lat + half_h, {_d(90.0)}) AS bt
+        FROM fp0
+      ),
+      rng AS (
+        SELECT image_id, bl, bb, br, bt, multi, i1l, i1r, i2l, i2r,
+          greatest(CAST(trunc(({_d(TOP)} - ct) / {h}) AS BIGINT), 0) AS row_min,
+          least(
+            CAST(trunc(({_d(TOP)} - cb) / {h}) AS BIGINT)
+              - CASE WHEN fmod({_d(TOP)} - cb, {h}) = {_d(0.0)} THEN 1 ELSE 0 END,
+            {mh - 1}) AS row_max,
+          greatest(CAST(trunc((cl - {_d(LEFT)}) / {h}) AS BIGINT), 0) AS col_min,
+          least(
+            CASE
+              WHEN cr_col = -1 THEN {mw - 1}
+              WHEN cr_col >= {mw} THEN cr_col % {mw}
+              ELSE cr_col END,
+            {mw - 1}) AS col_max
+        FROM (
+          SELECT *,
+            CAST(trunc((cr - {_d(LEFT)}) / {h}) AS BIGINT)
+              - CASE WHEN fmod(cr - {_d(LEFT)}, {h}) = {_d(0.0)} THEN 1 ELSE 0 END AS cr_col
+          FROM (
+            SELECT image_id, bl, bb, br, bt,
+              least(bt, {_d(TOP)}) AS ct,
+              greatest(bb, {_d(BOTTOM)}) AS cb,
+              CASE WHEN (bl < {_d(LEFT)} OR br > {_d(RIGHT)}) THEN {_d(LEFT)} ELSE bl END AS cl,
+              CASE WHEN (bl < {_d(LEFT)} OR br > {_d(RIGHT)}) THEN {_d(RIGHT)} ELSE br END AS cr,
+              ((bl < {_d(LEFT)}) <> (br > {_d(RIGHT)})) AND (br < bl + {r2}) AS multi,
+              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN bl + {r2}
+                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN {_d(LEFT)} END AS i1l,
+              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN {_d(RIGHT)}
+                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN br - {r2} END AS i1r,
+              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN {_d(LEFT)}
+                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN bl END AS i2l,
+              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN br
+                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN {_d(RIGHT)} END AS i2r
+            FROM boxes
+          )
+        )
+      ),
+      rows_exp AS (
+        SELECT image_id, bl, bb, br, bt, multi, i1l, i1r, i2l, i2r, col_min, col_max,
+               unnest(generate_series(row_min, row_max)) AS tile_row
+        FROM rng WHERE row_min <= row_max
+      ),
+      cells AS (
+        SELECT image_id, bl, bb, br, bt, multi, i1l, i1r, i2l, i2r, tile_row,
+               unnest(generate_series(col_min, col_max)) AS tile_col
+        FROM rows_exp WHERE col_min <= col_max
+      ),
+      cand AS (
+        SELECT image_id, bl, bb, br, bt, tile_row, tile_col,
+          {_d(LEFT)} + tile_col * {h} AS t_left,
+          {_d(TOP)} - tile_row * {h} AS t_top
+        FROM cells
+        WHERE NOT multi
+           OR (({_d(LEFT)} + tile_col * {h}) <= i1r
+               AND least(({_d(LEFT)} + tile_col * {h}) + {h}, {_d(RIGHT)}) >= i1l)
+           OR (({_d(LEFT)} + tile_col * {h}) <= i2r
+               AND least(({_d(LEFT)} + tile_col * {h}) + {h}, {_d(RIGHT)}) >= i2l)
+      )
+      SELECT image_id, tile_row, tile_col,
+        least({best_o}, 256) AS win_col_off,
+        least({row_off}, 256) AS win_row_off,
+        {best_w} AS win_width,
+        greatest({row_end} - {row_off}, 0) AS win_height
+      FROM cand
+    """
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,7 +1376,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),
         "geom_tiles_boxes": sql_geom_tiles_boxes(),
-        # pip_join_regions / verify_images / raster_windows / ann_lsh_topk:
-        # deliberately no oracle (non-SQL-expressible kernels) -> the driver
-        # records the weaker rows-only check; pytest pins their exactness
+        "pip_join_regions": sql_pip_join_regions(),
+        "raster_windows": sql_raster_windows(),
+        # verify_images / ann_lsh_topk: deliberately no oracle (binary image
+        # decode and seeded-hyperplane LSH are not SQL-expressible) -> the
+        # driver records the weaker rows-only check; pytest pins exactness
     }
