@@ -44,6 +44,9 @@ def make_spark(cpus: str) -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus if cpus != "*" else "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # bigger Arrow batches: fewer per-batch python/Arrow fixed costs in
+        # the refine kernels (group sizes grow with batch size)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-bench"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
@@ -105,6 +108,55 @@ def scaling_job(spark: SparkSession, sf_dir: str, multiplier: int = 0) -> tuple[
     return total / dt if dt > 0 else 0.0, int(total)
 
 
+def _scaling_polygons(spark: SparkSession, m: int = 100, verts: int = 400):
+    """Deterministic wobbly star polygons scattered over the globe — the
+    region side of the flagship tile-index + PIP join (BASELINE.json metric).
+    ~400 edges each makes the Arrow ray-cast refine the dominant cost, like
+    real admin/footprint polygons (vs the 3-5-vertex toy regions)."""
+    import json
+    import math
+
+    import __spark_entry__ as em
+
+    rows = []
+    for i in range(m):
+        cx = -180.0 + ((i * em.PHI1) % 1.0) * 360.0
+        cy = -75.0 + ((i * em.PHI2) % 1.0) * 150.0
+        base_r = 6.0 + (i % 7) * 2.0
+        pts = []
+        for j in range(verts):
+            ang = 2.0 * math.pi * j / verts
+            r = base_r * (0.6 + 0.4 * ((j * i + j * j) % 10) / 10.0)
+            pts.append(
+                (cx + r * math.cos(ang), max(min(cy + r * math.sin(ang), 89.9), -89.9))
+            )
+        pts.append(pts[0])
+        rows.append((i, json.dumps({"type": "Polygon", "coordinates": [pts]})))
+    return spark.createDataFrame(rows, "poly_id long, geometry string")
+
+
+def pip_scaling_job(spark: SparkSession, n_points: int) -> float:
+    """points/s of the flagship pipeline: point->tile index + broadcast
+    tile->polygon join + Arrow ray-cast PIP refine (the BASELINE.json
+    'tile-index + PIP join' metric)."""
+    import __spark_entry__ as em
+    from tilematrix_spark.operators import pip as pip_ops
+
+    polys = _scaling_polygons(spark)
+    par = spark.sparkContext.defaultParallelism * 2
+    pts = spark.range(0, n_points, numPartitions=par).select(
+        F.col("id").alias("point_id"),
+        (F.lit(-180.0) + (F.col("id") * F.lit(em.PHI1)) % F.lit(1.0) * F.lit(360.0)).alias("lon"),
+        (F.lit(-90.0) + (F.col("id") * F.lit(em.PHI2)) % F.lit(1.0) * F.lit(180.0)).alias("lat"),
+    )
+    t0 = time.time()
+    out = pip_ops.pip_join(pts, polys, em.GEODETIC, zoom=4, fused=True)
+    n = out.count()
+    dt = time.time() - t0
+    assert n > 0
+    return n_points / dt
+
+
 def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
     """Subprocess entry: run one scaling measurement in a fresh JVM and
     print the best rate on the last stdout line."""
@@ -113,11 +165,42 @@ def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
     if job == "tile":
         scaling_job(s, sf_dir)  # JIT warm-up
         rate = max(scaling_job(s, sf_dir)[0] for _ in range(2))
+    elif job == "pip":
+        pip_scaling_job(s, 500_000)  # JIT + Arrow warm-up
+        rate = max(pip_scaling_job(s, 12_000_000) for _ in range(2))
     else:
         verify_scaling_job(s, 20000)
-        rate = max(verify_scaling_job(s, 100000) for _ in range(2))
+        rate = max(verify_scaling_job(s, 200000) for _ in range(2))
     s.stop()
     print(rate)
+
+
+def spin_control(procs: int, dur: float = 6.0) -> float:
+    """Hardware-envelope control: pure-register python compute, no Spark, no
+    memory traffic.  Whatever efficiency THIS loses between two process
+    counts is the machine's ceiling (turbo/steal/throttle), not the
+    engine's — report job efficiencies against it."""
+    import multiprocessing as mp
+
+    def spin(q):
+        x = 1
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < dur:
+            for _ in range(100000):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            n += 100000
+        q.put(n)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=spin, args=(q,)) for _ in range(procs)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / (time.time() - t0)
 
 
 def main() -> None:
@@ -169,11 +252,22 @@ def main() -> None:
             )
 
         # each pair back-to-back so both ends see similar thermal state
+        flagship = {}
+        flagship["8"] = measure("pip", "8")
+        flagship["32"] = measure("pip", "32")
         compute["8"] = measure("verify", "8")
         compute["32"] = measure("verify", "32")
         stream["8"] = measure("tile", "8")
         stream["32"] = measure("tile", "32")
+        env8 = spin_control(8)
+        env32 = spin_control(32)
         result["scaling"] = {
+            # FLAGSHIP (BASELINE.json metric): tile-index + PIP join, fused
+            # broadcast lookup + Arrow ray-cast refine, 12M points x 100
+            # 400-vertex polygons
+            "pip_join_points_per_sec_local8": round(flagship["8"]),
+            "pip_join_points_per_sec_local32": round(flagship["32"]),
+            "pip_join_efficiency_8_to_32": round(flagship["32"] / (4 * flagship["8"]), 3),
             # streaming kernel: native tile-assign + salted agg (memory-
             # bandwidth-bound on one node; saturates ~4-8 local cores —
             # bandwidth scales with NODES on a real cluster)
@@ -184,6 +278,11 @@ def main() -> None:
             "image_verify_imgs_per_sec_local8": round(compute["8"]),
             "image_verify_imgs_per_sec_local32": round(compute["32"]),
             "image_verify_efficiency_8_to_32": round(compute["32"] / (4 * compute["8"]), 3),
+            # hardware envelope: pure-register python, no Spark/no memory —
+            # the best ANY sustained job can scale on this box right now
+            "spin_control_mops_8": round(env8 / 1e6, 1),
+            "spin_control_mops_32": round(env32 / 1e6, 1),
+            "spin_control_efficiency_8_to_32": round(env32 / (4 * env8), 3),
         }
 
     print(json.dumps(result))

@@ -87,3 +87,21 @@ def test_pip_join_zoom_invariance(spark, geodetic):
         for z in (2, 5, 7)
     ]
     assert results[0] == results[1] == results[2]
+
+
+def test_pip_join_fused_matches_default(spark, geodetic):
+    """The fused map-side-join path (broadcast tile->poly index + single
+    Arrow pass) must produce exactly the default join-then-refine pairs."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(-179, 179, 300), rng.uniform(-89, 89, 300)))]
+    points = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    polys = spark.createDataFrame(
+        [(pid, json.dumps(g)) for pid, g in _polygons()], "poly_id long, geometry string"
+    )
+    default = {(r["point_id"], r["poly_id"])
+               for r in pip.pip_join(points, polys, geodetic, zoom=4).collect()}
+    fused = {(r["point_id"], r["poly_id"])
+             for r in pip.pip_join(points, polys, geodetic, zoom=4, fused=True).collect()}
+    assert fused == default
+    assert len(default) > 5

@@ -42,16 +42,34 @@ def with_tile(
     Rows outside the grid get NULL row/col (and are dropped unless
     ``keep_invalid`` — the engine's quarantine convention where the
     reference raises, ``_tilepyramid.py:285-286``).
+
+    The drop-invalid path (the default) is structured as filter → raw
+    projection → validity filter rather than projecting the NULL-guarded
+    ``tile_from_xy`` struct: the guarded struct embeds the full row/col
+    arithmetic inside its own validity predicate, and projection collapse
+    inlines that tree ~6× into any downstream join/aggregate key — measured
+    6× slower on a 2M-point broadcast join (same rows either way).
     """
-    t = exprs.tile_from_xy(tp, x, y, zoom, on_edge_use=on_edge_use)
-    out = df.withColumn("_t", t).withColumn(out_row, F.col("_t.row")).withColumn(
-        out_col, F.col("_t.col")
-    )
+    xc = (F.col(x) if isinstance(x, str) else x).cast("double")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("double")
+    if keep_invalid:
+        t = exprs.tile_from_xy(tp, x, y, zoom, on_edge_use=on_edge_use)
+        out = df.withColumn("_t", t).withColumn(out_row, F.col("_t.row")).withColumn(
+            out_col, F.col("_t.col")
+        ).drop("_t")
+    else:
+        in_grid = (
+            (xc >= F.lit(tp.left))
+            & (xc <= F.lit(tp.right))
+            & (yc >= F.lit(tp.bottom))
+            & (yc <= F.lit(tp.top))
+        )
+        rc = exprs.rowcol_raw(tp, x, y, zoom, on_edge_use=on_edge_use)
+        out = df.filter(in_grid).select(
+            "*", rc["row"].alias(out_row), rc["col"].alias(out_col)
+        ).filter(exprs.tile_is_valid(tp, zoom, out_row, out_col))
     if out_tile_id:
         out = out.withColumn(out_tile_id, exprs.tile_id(zoom, out_row, out_col))
-    out = out.drop("_t")
-    if not keep_invalid:
-        out = out.filter(F.col(out_row).isNotNull())
     return out
 
 

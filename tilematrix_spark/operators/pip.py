@@ -5,22 +5,33 @@ This is the engine's general spatial equi-join pattern (north_star:
 "point-in-polygon assignment … via per-partition prepared-geometry PIP"):
 
 1. polygons → their covering tiles at ``zoom`` (filter-refine cover,
-   operators/geometry.py) → a (tile → poly) index, broadcast when small;
+   operators/geometry.py) → a (tile → poly_id) index, broadcast when small;
 2. points → their tile (native O18 projection);
-3. equi-join on (row, col) — co-located, no theta-join;
-4. exact refine per (point, polygon) pair: vectorized even-odd ray-cast,
-   geometry parsed once per polygon per batch (the prepared-geometry
-   amortization), executed in Arrow batches.
+3. equi-join on (row, col) — co-located, no theta-join. Candidate rows carry
+   ONLY (point_id, poly_id, x, y): never ship geometry per candidate —
+   measured 4× end-to-end on 48-vertex polygons (a ~3 KB GeoJSON string per
+   row saturates memory bandwidth long before the refine kernel does, and
+   at 10^12 rows it would dominate every shuffle);
+4. exact refine per (point, polygon) pair: even-odd ray-cast vectorized
+   over points × edges, against PREPARED geometries — parsed once on the
+   driver, broadcast to executors (the prepared-geometry amortization:
+   one parse per polygon per job, not per batch), in Arrow batches.
 
 Index zoom trades candidate precision against index size: cells ≈
 polygon_area / tile_area; pick zoom so the average polygon covers 4-64
 tiles.  Skew (a polygon covering a hot tile with millions of points) is
 bounded by the tile granularity itself; AQE skew-split is the backstop.
+
+``broadcast_index=True`` (the default) requires the polygon side to fit on
+the driver (same constraint the broadcast join itself imposes).  For huge
+polygon tables pass ``broadcast_index=False``: the index is shuffled and
+each candidate row carries the geometry string to the refine kernel
+(per-batch parse cache instead of the driver broadcast).
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -36,21 +47,50 @@ from .geometry import tiles_from_geom
 def _points_in_polygon(geom: dict, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Even-odd ray-cast of many points against one (multi)polygon.
     Interior semantics; boundary points follow ray-cast parity (documented)."""
-    inside = np.zeros(len(xs), dtype=bool)
+    return _points_in_prepared(_prepare_parts(geom), xs, ys)
+
+
+def _prepare_parts(geom: dict) -> List[List[np.ndarray]]:
+    """Closed-ring vertex arrays per polygon part — the 'prepared geometry':
+    parse + ring-close once, reuse across every refine batch."""
+    parts: List[List[np.ndarray]] = []
     for kind, coords in geomkernels._iter_parts(geom):
         if kind != "polygon":
             continue
-        part_inside = np.zeros(len(xs), dtype=bool)
-        for ring in coords:
-            arr = geomkernels._close_ring(ring)
+        parts.append([geomkernels._close_ring(ring) for ring in coords if len(ring)])
+    return parts
+
+
+def _points_in_prepared(
+    parts: List[List[np.ndarray]], xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Vectorized even-odd ray-cast: crossings summed over all edges of all
+    rings of a part, parity per part, parts OR-ed.  Bit-identical to the
+    sequential per-edge XOR (same `x0 + (y-y0)*dx/dy` float shapes;
+    horizontal edges contribute no crossing).
+
+    Edges are processed in chunks of 16 so the chunk×points temporaries
+    stay small (≤ ~128 KB for a 1k-point group): one full edges×points
+    broadcast allocates multi-MB temporaries per numpy op, which both
+    spills every core's working set to DRAM and mmap-churns — measured
+    0.62 scaling efficiency 8→32 procs unchunked vs 0.76 at chunk=16,
+    with the best absolute throughput at both levels."""
+    n = len(xs)
+    inside = np.zeros(n, dtype=bool)
+    for rings in parts:
+        crossings = np.zeros(n, dtype=np.int64)
+        for arr in rings:
             rx, ry = arr[:, 0], arr[:, 1]
-            for j in range(len(arr) - 1):
-                cond = (ry[j] > ys) != (ry[j + 1] > ys)
-                if not np.any(cond):
-                    continue
-                xint = rx[j] + (ys - ry[j]) * (rx[j + 1] - rx[j]) / (ry[j + 1] - ry[j])
-                part_inside ^= cond & (xs < xint)
-        inside |= part_inside
+            ne = len(arr) - 1
+            for e0 in range(0, ne, 16):
+                e1 = min(e0 + 16, ne)
+                x0, x1 = rx[e0:e1, None], rx[e0 + 1:e1 + 1, None]
+                y0, y1 = ry[e0:e1, None], ry[e0 + 1:e1 + 1, None]
+                cond = (y0 > ys) != (y1 > ys)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = x0 + (ys - y0) * (x1 - x0) / (y1 - y0)
+                crossings += (cond & (xs < xint)).sum(axis=0)
+        inside |= (crossings % 2).astype(bool)
     return inside
 
 
@@ -65,29 +105,162 @@ def pip_join(
     y: str = "lat",
     geom: str = "geometry",
     broadcast_index: bool = True,
+    fused: bool = False,
     max_cover_tiles: Optional[int] = None,
 ) -> DataFrame:
     """(point_id, poly_id) pairs where the point falls inside the polygon."""
-    # 1. polygon -> covering tiles (filter-refine; exact candidate superset)
-    idx = tiles_from_geom(
-        polygons.select(poly_id, geom), tp, zoom, geom=geom,
-        max_cover_tiles=max_cover_tiles,
-    ).select(poly_id, geom, "row", "col")
+    # 1. polygon -> covering tiles (filter-refine; exact candidate superset).
+    # The broadcast-path polygon side is small by assumption: coalesce it so
+    # the cover doesn't fan into one near-empty Arrow task per core (measured
+    # 2-4x slower index builds at local[32] from tiny-task overhead).
+    poly_side = polygons.select(poly_id, geom)
     if broadcast_index:
-        idx = F.broadcast(idx)
+        poly_side = poly_side.coalesce(8)
+    idx = tiles_from_geom(
+        poly_side, tp, zoom, geom=geom,
+        max_cover_tiles=max_cover_tiles,
+    )
 
     # 2. point -> tile
     pts = assign.with_tile(
         points.select(point_id, x, y), tp, zoom, x, y, out_tile_id=None
     )
 
-    # 3. co-located equi-join on the tile key
-    cand = pts.join(idx, ["row", "col"], "inner").select(point_id, poly_id, x, y, geom)
+    if broadcast_index and fused:
+        # 3c. fused map-side join: the (tile -> polys) index AND the prepared
+        # geometries ride one broadcast; a single Arrow pass over the POINTS
+        # does lookup + refine.  No candidate materialization: the 1.5-3x
+        # candidate amplification never exists as rows (at 10^12 points
+        # that blow-up is the dominant memory/Arrow traffic), at the price
+        # of hiding the join from Catalyst/AQE.  Requires a driver-collectable
+        # polygon side, like every broadcast join.
+        import pyarrow as pa
 
-    # 4. exact PIP refine, geometry parsed once per batch
+        from pyspark.sql import types as T
+
+        mw = tp.matrix_width(zoom)
+        idx_rows = idx.select(poly_id, "row", "col").collect()
+        prepared = {
+            r[0]: _prepare_parts(geomkernels.parse_geometry(r[1]))
+            for r in polygons.select(poly_id, geom).collect()
+        }
+        # per-polygon covered-tile key arrays (sorted for searchsorted lookup)
+        poly_tiles: dict = {}
+        for r in idx_rows:
+            poly_tiles.setdefault(r[0], []).append(r[1] * mw + r[2])
+        poly_tiles = {p: np.sort(np.asarray(t, dtype=np.int64)) for p, t in poly_tiles.items()}
+        bc = points.sparkSession.sparkContext.broadcast((poly_tiles, prepared))
+
+        pts_schema = pts.schema
+        p_i = pts_schema.names.index(point_id)
+        x_i, y_i = pts_schema.names.index(x), pts_schema.names.index(y)
+        r_i, c_i = pts_schema.names.index("row"), pts_schema.names.index("col")
+        id_field = pts_schema[point_id].dataType
+        out_schema = T.StructType(
+            [T.StructField(point_id, id_field), T.StructField(poly_id, T.LongType())]
+        )
+
+        def lookup_refine(batches):
+            tiles_of, prep = bc.value
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                keys = (
+                    batch.column(r_i).to_numpy(zero_copy_only=False) * mw
+                    + batch.column(c_i).to_numpy(zero_copy_only=False)
+                )
+                xs = batch.column(x_i).to_numpy(zero_copy_only=False)
+                ys = batch.column(y_i).to_numpy(zero_copy_only=False)
+                ids = batch.column(p_i)
+                out_ii: list = []
+                out_poly: list = []
+                for p, ptiles in tiles_of.items():
+                    # candidate points = those whose tile is in the polygon's
+                    # cover: one searchsorted over the batch per polygon
+                    pos = np.searchsorted(ptiles, keys)
+                    pos[pos == len(ptiles)] = 0
+                    cand_m = ptiles[pos] == keys
+                    ii = np.flatnonzero(cand_m)
+                    if len(ii) == 0:
+                        continue
+                    m = _points_in_prepared(prep[p], xs[ii], ys[ii])
+                    sel = ii[m]
+                    if len(sel):
+                        out_ii.append(sel)
+                        out_poly.append(np.full(len(sel), p, dtype=np.int64))
+                if not out_ii:
+                    continue
+                take = np.concatenate(out_ii)
+                yield pa.RecordBatch.from_arrays(
+                    [ids.take(pa.array(take)), pa.array(np.concatenate(out_poly))],
+                    schema=pa.schema(
+                        [
+                            pa.field(point_id, ids.type),
+                            pa.field(poly_id, pa.int64()),
+                        ]
+                    ),
+                )
+
+        return pts.mapInArrow(lookup_refine, schema=out_schema)
+
+    if broadcast_index:
+        # 3a. slim broadcast join: only ids + coordinates flow per candidate
+        idx = F.broadcast(idx.select(poly_id, "row", "col"))
+        # sort by polygon within partitions (no shuffle): Arrow batches then
+        # hold long single-polygon runs, so the refine kernel sees large
+        # groups (one prepared-geometry setup per ~batch, L2-friendly loops)
+        cand = (
+            pts.join(idx, ["row", "col"], "inner")
+            .select(point_id, poly_id, x, y)
+            .sortWithinPartitions(poly_id)
+        )
+
+        # 4a. prepared geometries: parse once on the driver, broadcast
+        prepared = {
+            r[0]: _prepare_parts(geomkernels.parse_geometry(r[1]))
+            for r in polygons.select(poly_id, geom).collect()
+        }
+        bc = points.sparkSession.sparkContext.broadcast(prepared)
+        schema = cand.schema
+        pid_i = schema.names.index(poly_id)
+        x_i, y_i = schema.names.index(x), schema.names.index(y)
+
+        def refine(batches):
+            # Arrow-native: zero-copy column views, numpy argsort run-grouping
+            # (no pandas groupby machinery), C++ mask filter — the per-row
+            # conversion overhead, not the ray-cast, was the measured
+            # bottleneck at scale
+            import pyarrow as pa
+
+            prep = bc.value
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                pids = batch.column(pid_i).to_numpy(zero_copy_only=False)
+                xs = batch.column(x_i).to_numpy(zero_copy_only=False)
+                ys = batch.column(y_i).to_numpy(zero_copy_only=False)
+                keep = np.zeros(n, dtype=bool)
+                order = np.argsort(pids, kind="stable")
+                sp = pids[order]
+                starts = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+                ends = np.r_[starts[1:], n]
+                for s0, e0 in zip(starts, ends):
+                    ii = order[s0:e0]
+                    keep[ii] = _points_in_prepared(prep[sp[s0]], xs[ii], ys[ii])
+                yield batch.filter(pa.array(keep))
+
+        return cand.mapInArrow(refine, schema=schema).select(point_id, poly_id)
+
+    # 3b/4b. shuffled index path (huge polygon tables): geometry string rides
+    # along, parsed via a per-batch cache inside the kernel
+    cand = pts.join(idx.select(poly_id, geom, "row", "col"), ["row", "col"], "inner").select(
+        point_id, poly_id, x, y, geom
+    )
     schema = cand.schema
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def refine_carry(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
@@ -98,14 +271,14 @@ def pip_join(
             for g_str, idx_pos in pd.Series(range(len(pdf))).groupby(
                 pdf[geom].values, sort=False
             ):
-                g = cache.get(g_str)
-                if g is None:
-                    g = geomkernels.parse_geometry(g_str)
+                parts = cache.get(g_str)
+                if parts is None:
+                    parts = _prepare_parts(geomkernels.parse_geometry(g_str))
                     if len(cache) > 64:
                         cache.clear()
-                    cache[g_str] = g
+                    cache[g_str] = parts
                 ii = idx_pos.to_numpy()
-                keep[ii] = _points_in_polygon(g, xs[ii], ys[ii])
+                keep[ii] = _points_in_prepared(parts, xs[ii], ys[ii])
             yield pdf[keep]
 
-    return cand.mapInPandas(refine, schema=schema).select(point_id, poly_id)
+    return cand.mapInPandas(refine_carry, schema=schema).select(point_id, poly_id)
