@@ -1032,6 +1032,44 @@ def sql_geom_tiles_boxes() -> str:
     """
 
 
+def q_geom_tiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29 tiles_from_geom with ``exact=True`` (intersection AREA > 0,
+    _tilepyramid.py:240-254): box polygons — where the area filter must
+    keep exactly the bbox cover — mixed with diagonal LineStrings (ids
+    +10^6) that exact=True must drop entirely (lines have zero area), the
+    reference's documented degenerate case."""
+    from tilematrix_spark.operators import geometry as geom_ops
+
+    boxes = _event_boxes(spark, sf_dir).filter(
+        (F.col("bl") >= -180.0) & (F.col("br") <= 180.0)
+    )
+    poly_gj = F.format_string(
+        '{"type": "Polygon", "coordinates": [[[%s, %s], [%s, %s], [%s, %s], [%s, %s], [%s, %s]]]}',
+        "bl", "bb", "bl", "bt", "br", "bt", "br", "bb", "bl", "bb",
+    )
+    line_gj = F.format_string(
+        '{"type": "LineString", "coordinates": [[%s, %s], [%s, %s]]}',
+        "bl", "bb", "br", "bt",
+    )
+    polys = boxes.select("event_id", poly_gj.alias("geometry"))
+    lines = boxes.filter(F.col("event_id") % 40 == 0).select(
+        (F.col("event_id") + 1000000).alias("event_id"), line_gj.alias("geometry")
+    )
+    gdf = polys.unionByName(lines)
+    out = geom_ops.tiles_from_geom(
+        gdf, GEODETIC, 4, exact=True, out_row="tile_row", out_col="tile_col"
+    )
+    return out.select("event_id", "tile_row", "tile_col")
+
+
+def sql_geom_tiles_exact() -> str:
+    # boxes have generic-float edges (never exactly on a z4 grid line except
+    # box corners the cover's corner edge-rules already exclude), so
+    # area>0 == closed-interval cover for the polygons; LineStrings yield
+    # nothing under exact=True -> the oracle is the polygon-only bbox cover
+    return sql_geom_tiles_boxes()
+
+
 _PIP_REGIONS = [
     (1, {"type": "Polygon", "coordinates": [[(0, 0), (60, 0), (30, 60), (0, 0)]]}),
     (2, {"type": "Polygon", "coordinates": [[(-120, -60), (-40, -60), (-40, 20), (-80, -20), (-120, 20), (-120, -60)]]}),
@@ -1339,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
         "geom_tiles_boxes": q_geom_tiles_boxes,
+        "geom_tiles_exact": q_geom_tiles_exact,
         "pip_join_regions": q_pip_join_regions,
         "verify_images": q_verify_images,
         "raster_windows": q_raster_windows,
@@ -1376,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),
         "geom_tiles_boxes": sql_geom_tiles_boxes(),
+        "geom_tiles_exact": sql_geom_tiles_exact(),
         "pip_join_regions": sql_pip_join_regions(),
         "raster_windows": sql_raster_windows(),
         # verify_images / ann_lsh_topk: deliberately no oracle (binary image
