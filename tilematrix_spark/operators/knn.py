@@ -80,6 +80,11 @@ def knn_join(
         )
         .withColumnRenamed("row", "_prow")
         .withColumnRenamed("col", "_pcol")
+        # probed by every ring round: persist the tile-indexed point table
+        # once instead of rescanning + re-assigning the source per round
+        # (the operator-internal version of the "pre-index and persist"
+        # advice above; MEMORY_AND_DISK default spills safely at scale)
+        .persist()
     )
 
     results = None
@@ -131,6 +136,7 @@ def knn_join(
         if pending.limit(1).count() == 0:
             break
         r *= 2
+    p.unpersist()
     return results
 
 
