@@ -74,7 +74,9 @@ def ngram_jaccard_pairs(
 
     inverted-index self-join; per-doc shingle counts broadcast back in.
     """
-    sh = _shingle_table(df, id_col, text_col, n)
+    # materialize once: the shingle table feeds the hot-shingle scan, the
+    # per-doc counts, and BOTH self-join sides — 4 re-executions otherwise
+    sh = _shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     if max_docs_per_shingle:
         hot = (
             sh.groupBy("shingle").agg(F.count("*").alias("_n"))
@@ -153,6 +155,9 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bb")
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # self-join: without a materialization barrier both sides re-execute the
+    # whole shingle -> minhash pipeline (the expensive part) from the scan
+    buckets = buckets.localCheckpoint(eager=False)
     a = buckets.withColumnRenamed("_id", "id_a")
     b2 = buckets.withColumnRenamed("_id", "id_b")
     return (
