@@ -1309,6 +1309,22 @@ def sql_raster_windows() -> str:
     """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN (coarse-quantizer cells + nprobe probe + exact re-rank)
+    reported as recall@1 against brute force (rows-only; the k-means
+    quantizer is not SQL-expressible)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 32).select(F.col("vec_id").alias("qid"), "embedding")
+    exact = simfns.cosine_topk(queries, emb, k=1, query_id="qid")
+    approx = simfns.ivf_topk(queries, emb, k=1, n_centroids=16, nprobe=4)
+    hits = exact.withColumnRenamed("vec_id", "e_id").join(
+        approx.withColumnRenamed("vec_id", "a_id"), ["qid", "rank"], "left"
+    ).select("qid", (F.col("e_id") == F.col("a_id")).cast("int").alias("hit"))
+    return hits.agg(
+        F.count("*").alias("n_queries"), F.sum("hit").alias("recall_at_1_hits")
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via sign-LSH buckets + exact re-rank, reported as
     recall@1 against brute force (rows-only; hyperplane hashing is not
@@ -1382,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_images": q_verify_images,
         "raster_windows": q_raster_windows,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -1418,7 +1435,8 @@ def oracle_sql() -> dict[str, str]:
         "geom_tiles_exact": sql_geom_tiles_exact(),
         "pip_join_regions": sql_pip_join_regions(),
         "raster_windows": sql_raster_windows(),
-        # verify_images / ann_lsh_topk: deliberately no oracle (binary image
-        # decode and seeded-hyperplane LSH are not SQL-expressible) -> the
-        # driver records the weaker rows-only check; pytest pins exactness
+        # verify_images / ann_lsh_topk / ann_ivf_topk: deliberately no oracle
+        # (binary image decode, seeded-hyperplane LSH, and k-means quantizers
+        # are not SQL-expressible) -> the driver records the weaker rows-only
+        # check; pytest pins exactness (incl. IVF nprobe=all == brute force)
     }

@@ -192,3 +192,26 @@ def test_audio_features_pcm16(spark):
     assert r["n_samples"] == 1000
     assert 6000 < r["rms"] < 8000
     assert r["peak"] <= 10000
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """Probing every cell makes IVF candidates = whole corpus, so the result
+    must EQUAL the brute-force top-k (exact, not recall-based)."""
+    corpus = _vec_df(spark, 80, dim=16)
+    queries = corpus.withColumnRenamed("vec_id", "qid").limit(6)
+    exact = similarity.cosine_topk(queries, corpus, k=3, query_id="qid")
+    full = similarity.ivf_topk(queries, corpus, k=3, n_centroids=8, nprobe=8)
+    e = {(r["qid"], r["rank"], r["vec_id"]) for r in exact.collect()}
+    f = {(r["qid"], r["rank"], r["vec_id"]) for r in full.collect()}
+    assert e == f
+
+
+def test_ivf_topk_recall(spark):
+    corpus = _vec_df(spark, 150, dim=16)
+    queries = corpus.withColumnRenamed("vec_id", "qid").limit(8)
+    exact = similarity.cosine_topk(queries, corpus, k=1, query_id="qid")
+    approx = similarity.ivf_topk(queries, corpus, k=1, n_centroids=8, nprobe=3)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    # probing 3/8 cells should catch most true NNs on gaussian vectors
+    assert len(e & a) >= 5

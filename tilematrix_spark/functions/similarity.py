@@ -8,6 +8,10 @@
   Arrow batch) → candidates share ≥1 band bucket → exact re-rank within
   candidates.  The scale path: the self-join is on short band keys instead
   of a full cross join.
+* ``ivf_topk``: inverted-file ANN (FAISS-IVF shape) — spherical-k-means
+  coarse quantizer trained on a deterministic sample, one cell per corpus
+  vector, ``nprobe`` cells per query, exact re-rank inside the probed
+  cells.  The second scale path; recall/cost tuned by (n_centroids, nprobe).
 * ``cosine_dup_pairs``: embedding near-dup pairs above a cosine threshold.
 """
 
@@ -138,6 +142,105 @@ def lsh_topk(
         ).drop("_bk")
         cands = pair if cands is None else cands.unionByName(pair)
     cands = cands.dropDuplicates(["_qid", corpus_id]).filter(F.col("_qid") != F.col(corpus_id))
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    win = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.col(corpus_id).asc())
+    return (
+        cands.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(query_id), F.col(corpus_id), "rank")
+    )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, FAISS-IVF style: train on a
+    deterministic driver-side sample (smallest ids — at 10^12 rows the
+    quantizer is always trained on a sample; the cluster never iterates
+    over the full table), Lloyd iterations in numpy, unit-norm centroids.
+    Returns (n_centroids, dim) float64."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_centroids].copy()  # deterministic init: first ids
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def with_ivf_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    out_col: str = "_cells",
+) -> DataFrame:
+    """Add the ``nprobe`` nearest-centroid cell ids (by cosine) as an array
+    column — one matmul + argpartition per Arrow batch, no per-row Python."""
+    cents = centroids
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cents.T  # (n, n_centroids)
+        if nprobe == 1:
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            top = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+        return pd.Series([[int(c) for c in row] for row in top])
+
+    return df.withColumn(out_col, cells(F.col(vec_col)))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 5,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF index — the second scale path
+    next to ``lsh_topk``: corpus vectors live in exactly one coarse cell,
+    queries probe their ``nprobe`` nearest cells, exact re-rank inside.
+    Candidate volume ≈ |corpus| · nprobe / n_centroids per query (tunable
+    recall/cost), versus the O(|Q|·|P|) brute-force cross join."""
+    cents = ivf_train_centroids(
+        corpus, n_centroids, iters, corpus_id, c_vec
+    )
+    cb = with_ivf_cells(
+        corpus.select(F.col(corpus_id), F.col(c_vec).alias("_cv")),
+        cents, 1, "_cv",
+    ).select(corpus_id, "_cv", F.element_at("_cells", 1).alias("_cell"))
+    qb = with_ivf_cells(
+        queries.select(F.col(query_id).alias("_qid"), F.col(q_vec).alias("_qv")),
+        cents, nprobe, "_qv",
+    ).select("_qid", "_qv", F.explode("_cells").alias("_cell"))
+    cands = (
+        F.broadcast(qb)
+        .join(cb, "_cell")
+        .drop("_cell")
+        .filter(F.col("_qid") != F.col(corpus_id))
+        .dropDuplicates(["_qid", corpus_id])
+    )
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
     win = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.col(corpus_id).asc())
     return (
