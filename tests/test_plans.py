@@ -88,3 +88,43 @@ def test_images_pipeline_is_arrow_not_row_python(spark):
     # mapInPandas shows as MapInPandas (Arrow), never row-wise BatchEvalPython
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_join_keys_are_attributes_not_inlined_trees(spark, geodetic):
+    """with_tile output joined on (row, col) must present plain attribute
+    references as join keys — if projection collapse inlines the tile
+    arithmetic into the keys, the join stage re-evaluates the whole tree
+    per probe (measured 6x slower)."""
+    import re
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 170 - 85), float(i % 80 - 40)) for i in range(100)],
+        "point_id long, lon double, lat double",
+    )
+    idx = spark.createDataFrame(
+        [(1, 2, 3), (2, 4, 5)], "poly_id long, row long, col long"
+    )
+    tiled = assign.with_tile(pts, geodetic, 4, out_tile_id=None)
+    joined = tiled.join(F.broadcast(idx), ["row", "col"], "inner")
+    plan = _plan(joined)
+    m = re.search(r"Left keys \[2\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    keys = m.group(1)
+    # plain attribute refs look like `row#123L`; an inlined tree contains
+    # function calls / CASE WHEN
+    assert "CASE" not in keys and "(" not in keys, keys
+
+
+def test_minhash_self_join_materializes_once(spark):
+    """The LSH band self-join must not re-execute the shingle/signature
+    pipeline per side: after the barrier at most one scan remains."""
+    from tilematrix_spark.functions import dedup as dedupfns
+
+    docs = spark.createDataFrame(
+        [(i, f"some repeated text body number {i % 7} with words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = dedupfns.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    plan = _plan(out)
+    assert plan.count("Scan ExistingRDD") >= 1  # checkpoint barrier present
+    assert plan.count("SortAggregate") + plan.count("HashAggregate (") <= 6
