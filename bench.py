@@ -183,7 +183,7 @@ def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
     s.sparkContext.setLogLevel("ERROR")
     if job == "tile":
         scaling_job(s, sf_dir)  # JIT warm-up
-        rate = max(scaling_job(s, sf_dir)[0] for _ in range(2))
+        rate = max(scaling_job(s, sf_dir)[0] for _ in range(3))
     elif job == "pip":
         pip_scaling_job(s, 500_000)  # JIT + Arrow warm-up
         rate = max(pip_scaling_job(s, 12_000_000) for _ in range(2))
