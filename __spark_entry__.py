@@ -855,6 +855,64 @@ def sql_point_tile_edges() -> str:
 MERCATOR_TP = PyramidConfig.create("mercator")
 MERC_R = 20037508.3427892
 
+# the reference's irregular custom grid (test/conftest.py:86-92): non-global,
+# 161x315 zoom-0 shape, EPSG:31259, exact 10.0 map-unit pixels
+IRREGULAR_TP = PyramidConfig.create(
+    {
+        "shape": [161, 315],
+        "bounds": [141920, 89840, 948320, 502000],
+        "is_global": False,
+        "srs": {"epsg": 31259},
+    }
+)
+
+
+def q_point_tile_custom_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18/O23 on a CUSTOM non-global grid (the reference's irregular
+    EPSG:31259 fixture): no antimeridian wrap, non-square zoom-0 shape,
+    map-unit coordinates."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    l, b = IRREGULAR_TP.left, IRREGULAR_TP.bottom
+    sx = IRREGULAR_TP.right - IRREGULAR_TP.left
+    sy = IRREGULAR_TP.top - IRREGULAR_TP.bottom
+    pts = df.select(
+        "event_id",
+        (F.lit(l) + (F.col("event_id") * F.lit(PHI1)) % F.lit(1.0) * F.lit(sx)).alias("mx"),
+        (F.lit(b) + (F.col("event_id") * F.lit(PHI2)) % F.lit(1.0) * F.lit(sy)).alias("my"),
+    )
+    tiled = assign.with_tile(
+        pts, IRREGULAR_TP, 1, "mx", "my", out_row="tile_row", out_col="tile_col", out_tile_id=None
+    )
+    return tiled.groupBy("tile_row", "tile_col").agg(F.count("*").alias("n"))
+
+
+def sql_point_tile_custom_grid() -> str:
+    tp = IRREGULAR_TP
+    h = _d(tp.tile_y_size(1))
+    w = _d(tp.tile_x_size(1))
+    mw, mh = tp.matrix_width(1), tp.matrix_height(1)
+    l, b, r, t = _d(tp.left), _d(tp.bottom), _d(tp.right), _d(tp.top)
+    sx = _d(tp.right - tp.left)
+    sy = _d(tp.top - tp.bottom)
+    return f"""
+      WITH pts AS (
+        SELECT event_id,
+          {l} + fmod(event_id * {_d(PHI1)}, {_d(1.0)}) * {sx} AS mx,
+          {b} + fmod(event_id * {_d(PHI2)}, {_d(1.0)}) * {sy} AS my
+        FROM events
+      ),
+      tiled AS (
+        SELECT
+          CAST(trunc(({t} - my) / {h}) AS BIGINT) AS tile_row,
+          CAST(trunc((mx - {l}) / {w}) AS BIGINT) AS tile_col
+        FROM pts
+        WHERE mx >= {l} AND mx <= {r} AND my >= {b} AND my <= {t}
+      )
+      SELECT tile_row, tile_col, count(*) AS n FROM tiled
+      WHERE tile_row >= 0 AND tile_row < {mh} AND tile_col >= 0 AND tile_col < {mw}
+      GROUP BY 1, 2
+    """
+
 
 def q_point_tile_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O18 on the mercator grid (different zoom-0 shape and bounds)."""
@@ -1368,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_tile_counts": q_point_tile_counts,
         "point_tile_edges": q_point_tile_edges,
         "point_tile_mercator": q_point_tile_mercator,
+        "point_tile_custom_grid": q_point_tile_custom_grid,
         "tile_ids_packed": q_tile_ids_packed,
         "per_row_zoom_assign": q_per_row_zoom_assign,
         "tile_bounds": q_tile_bounds,
@@ -1407,6 +1466,7 @@ def oracle_sql() -> dict[str, str]:
         "point_tile_counts": sql_point_tile_counts(),
         "point_tile_edges": sql_point_tile_edges(),
         "point_tile_mercator": sql_point_tile_mercator(),
+        "point_tile_custom_grid": sql_point_tile_custom_grid(),
         "tile_ids_packed": sql_tile_ids_packed(),
         "per_row_zoom_assign": sql_per_row_zoom_assign(),
         "tile_bounds": sql_tile_bounds(),
