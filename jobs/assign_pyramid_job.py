@@ -37,6 +37,10 @@ def main() -> None:
     p.add_argument("--grid", default="geodetic")
     p.add_argument("--x", default="lon")
     p.add_argument("--y", default="lat")
+    p.add_argument(
+        "--bands", type=int, default=1,
+        help="per-zoom checkpoint bands (mid-zoom resume granularity)",
+    )
     args = p.parse_args()
     lo, _, hi = args.zooms.partition("-")
     zooms = list(range(int(lo), int(hi or lo) + 1))
@@ -58,7 +62,10 @@ def main() -> None:
     def build(s, zoom):
         return assign.tile_histogram(src, tp, zoom, args.x, args.y)
 
-    job = PyramidJob(spark, tp, args.output, build)
+    job = PyramidJob(
+        spark, tp, args.output, build,
+        bands=args.bands, band_col="row" if args.bands > 1 else None,
+    )
     executed = job.run(zooms)
     print(json.dumps({"executed_zooms": executed, "lineage": job.metrics()}, default=str))
     spark.stop()

@@ -120,3 +120,28 @@ def test_cli_invalid_metatiling_clean_error():
     assert r.returncode == 2
     assert r.stderr.startswith("error:")
     assert "Traceback" not in r.stderr
+
+
+def test_pyramid_job_banded_mid_zoom_resume(spark, geodetic, tmp_path):
+    """bands>1: each zoom is N independently committed units; deleting one
+    band's marker re-runs ONLY that band, and the banded output unions to
+    the exact unbanded result (hash bands partition the rows)."""
+    import os
+
+    def build(s, z):
+        df = s.createDataFrame([(i, float(i % 90), float(i % 45)) for i in range(1, 80)],
+                               "id int, lon double, lat double")
+        return assign.tile_histogram(df, geodetic, z, salt_buckets=2)
+
+    out = str(tmp_path / "pyr_banded")
+    job = PyramidJob(spark, geodetic, out, build, bands=3, band_col="row")
+    executed = job.run([3])
+    assert executed == [f"zoom=3{os.sep}band={i}" for i in range(3)]
+    assert set(job.metrics()) == {f"zoom=3{os.sep}band={i}" for i in range(3)}
+    total = job.read_zoom(3).agg(F.sum("n")).collect()[0][0]
+    assert total == 79
+    # simulate a mid-zoom crash: band=1 uncommitted
+    os.remove(os.path.join(out, "_lineage", "zoom=3__band=1.json"))
+    job2 = PyramidJob(spark, geodetic, out, build, bands=3, band_col="row")
+    assert job2.run([3]) == [f"zoom=3{os.sep}band=1"]
+    assert job2.read_zoom(3).agg(F.sum("n")).collect()[0][0] == 79

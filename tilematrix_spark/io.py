@@ -83,16 +83,27 @@ class Lineage:
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             f.write(rec.to_json())
-        os.rename(tmp, os.path.join(self.dir, f"{rec.unit}.json"))
+        # unit strings may contain path separators (zoom=3/band=0): flatten
+        # for the marker filename; committed() keys on the JSON's unit field
+        safe = rec.unit.replace(os.sep, "__")
+        os.rename(tmp, os.path.join(self.dir, f"{safe}.json"))
 
 
 class PyramidJob:
-    """Resumable per-zoom pipeline runner.
+    """Resumable per-zoom / per-band pipeline runner.
 
     ``build``: (spark, zoom) -> DataFrame for that zoom level.  Each zoom's
     output goes to ``{out}/zoom={z}/`` and is committed to lineage with
-    metrics.  ``run`` returns the list of zooms actually executed (committed
-    zooms are skipped — idempotent resume).
+    metrics.  ``run`` returns the units actually executed (committed units
+    are skipped — idempotent resume).
+
+    With ``bands > 1`` each zoom is split into ``bands`` independently
+    committed units ``zoom={z}/band={i}`` — hash-banded on ``band_col`` —
+    so a crashed run resumes MID-ZOOM, not just at zoom granularity
+    (north_rule: "checkpoint per-partition progress … resume idempotently
+    mid-pyramid").  The trade: each band re-derives the zoom plan (input
+    re-scan per band); pick bands ≈ desired restart granularity, not the
+    cluster partition count.
     """
 
     def __init__(
@@ -102,40 +113,63 @@ class PyramidJob:
         out_path: str,
         build: Callable[[SparkSession, int], DataFrame],
         io: Optional[TableIO] = None,
+        bands: int = 1,
+        band_col: Optional[str] = None,
     ):
+        if bands > 1 and not band_col:
+            raise ValueError("bands > 1 requires band_col")
         self.spark = spark
         self.tp = tp
         self.out = out_path
         self.build = build
         self.io = io or TableIO(spark)
         self.lineage = Lineage(out_path)
+        self.bands = bands
+        self.band_col = band_col
 
-    def run(self, zooms: List[int]) -> List[int]:
+    def _units(self, z: int):
+        if self.bands <= 1:
+            return [(f"zoom={z}", None)]
+        return [(f"zoom={z}" + os.sep + f"band={i}", i) for i in range(self.bands)]
+
+    def run(self, zooms: List[int]) -> List:
+        """Returns executed zoom ints (bands=1) or unit strings (banded)."""
+        from pyspark.sql import functions as F
+
         done = self.lineage.committed()
         executed = []
         for z in zooms:
-            unit = f"zoom={z}"
-            if unit in done:
-                continue
-            t0 = time.time()
-            df = self.build(self.spark, z)
-            path = os.path.join(self.out, unit)
-            self.io.write(df, path)
-            rows = self.io.read(path).count()
-            self.lineage.commit(
-                LineageRecord(
-                    unit=unit,
-                    rows=rows,
-                    wall_s=round(time.time() - t0, 3),
-                    committed_at=time.time(),
-                    config=self.tp.to_dict(),
+            df_z = None
+            for unit, band in self._units(z):
+                if unit in done:
+                    continue
+                t0 = time.time()
+                if df_z is None:
+                    df_z = self.build(self.spark, z)
+                df = df_z
+                if band is not None:
+                    df = df.filter(
+                        F.pmod(F.hash(F.col(self.band_col)), F.lit(self.bands)) == band
+                    )
+                path = os.path.join(self.out, unit)
+                self.io.write(df, path)
+                rows = self.io.read(path).count()
+                self.lineage.commit(
+                    LineageRecord(
+                        unit=unit,
+                        rows=rows,
+                        wall_s=round(time.time() - t0, 3),
+                        committed_at=time.time(),
+                        config=self.tp.to_dict(),
+                    )
                 )
-            )
-            executed.append(z)
+                executed.append(z if band is None else unit)
         return executed
 
     def read_zoom(self, z: int) -> DataFrame:
-        return self.io.read(os.path.join(self.out, f"zoom={z}"))
+        df = self.io.read(os.path.join(self.out, f"zoom={z}"))
+        # banded layout: band=i subdirs surface as a partition column
+        return df.drop("band") if "band" in df.columns else df
 
     def metrics(self) -> Dict[str, dict]:
         return self.lineage.committed()
