@@ -38,6 +38,10 @@ HEADLINE = [
 
 
 def make_spark(cpus: str) -> SparkSession:
+    # one python worker per core already: BLAS/OpenMP thread pools inside
+    # each worker would oversubscribe (inherited by forked workers)
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"tilematrix_spark_bench_{cpus}")

@@ -74,3 +74,18 @@ def test_hot_cluster_skew_present(spark, geodetic):
     # ~10% of rows in one small cluster -> that z3 tile is clearly hottest
     assert top["n"] >= 100
     assert (top["row"], top["col"]) == (1, 8)
+
+
+def test_average_hash_batch_matches_single():
+    """Batched hashing must be bit-identical to the per-row reference for
+    every shape the synthetic table produces (all multiples of 8) plus an
+    uneven-shape fallback."""
+    import numpy as np
+    from tilematrix_spark import images
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    for (w, h) in [(16, 16), (16, 64), (48, 32), (64, 64), (20, 12)]:
+        stack = rng.integers(0, 256, size=(6, h, w, 3), dtype=np.uint8)
+        batch = images.average_hash_batch(stack)
+        single = [images.average_hash(stack[i]) for i in range(6)]
+        assert list(batch) == single, (w, h)

@@ -103,6 +103,22 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     raise NotImplementedError(f"unsupported fmt: {fmt}")
 
 
+def average_hash_batch(stack: np.ndarray) -> np.ndarray:
+    """64-bit average hashes for a SAME-SHAPE image stack (n, h, w, 3) —
+    one vectorized pass (gray → per-image 8×8 block means → bits), packed
+    to int64.  Bit-identical to :func:`average_hash` per row (same element
+    groupings and reduction order; pinned by tests)."""
+    n, h, w, _ = stack.shape
+    if h % 8 or w % 8:
+        return np.asarray([average_hash(stack[i]) for i in range(n)], dtype=np.int64)
+    gray = stack.mean(axis=3)
+    blocks = gray.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+    bits = blocks > blocks.mean(axis=(1, 2))[:, None, None]
+    packed = np.packbits(bits.reshape(n, 64), axis=1)
+    vals = np.ascontiguousarray(packed).view(">u8").ravel().astype(np.uint64)
+    return vals.astype(np.int64)  # two's-complement wrap == signed int64
+
+
 def average_hash(pixels: np.ndarray) -> int:
     """64-bit average hash: gray → 8×8 block means → >global-mean bits."""
     gray = pixels.mean(axis=2)

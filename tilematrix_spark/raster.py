@@ -109,32 +109,54 @@ def verify_images(df: DataFrame, psnr_threshold: float = 40.0) -> DataFrame:
     deterministic regeneration, caption equality, phash equality."""
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized by (w, h, fmt) group: decode/regenerate stacks, one
+        # batched PSNR + average-hash per group (pixel regeneration stays
+        # per-row — each row owns its own PCG64 stream); ~2x vs per-row
         for pdf in batches:
-            out = []
-            for rec in pdf.itertuples(index=False):
-                idx = int(rec.image_id[3:])
-                expected = images.gen_pixels(idx, rec.w, rec.h)
-                decoded = images.decode(rec.bytes, rec.w, rec.h, rec.fmt)
-                if rec.fmt == "raw":
-                    p = float("inf") if np.array_equal(decoded, expected) else images.psnr(decoded, expected)
-                    pixels_ok = bool(np.array_equal(decoded, expected))
-                else:
-                    p = images.psnr(decoded, expected)
-                    pixels_ok = bool(p >= psnr_threshold)
-                lon, lat = images.row_lonlat(idx)
-                caption_ok = rec.caption == images.row_caption(idx, lon, lat)
-                phash_ok = images.average_hash(decoded) == rec.phash
-                out.append(
-                    {
-                        "image_id": rec.image_id,
-                        "pixels_ok": pixels_ok,
-                        "psnr": p,
-                        "caption_ok": bool(caption_ok),
-                        "phash_ok": bool(phash_ok),
-                        "ok": bool(pixels_ok and caption_ok and phash_ok),
-                    }
+            m = len(pdf)
+            if m == 0:
+                continue
+            idxs = images.image_idx(pdf["image_id"])
+            psnr_v = np.empty(m, dtype=np.float64)
+            pixels_ok = np.zeros(m, dtype=bool)
+            phash_ok = np.zeros(m, dtype=bool)
+            caption_ok = np.zeros(m, dtype=bool)
+            pos = np.arange(m)
+            key = pd.MultiIndex.from_arrays(
+                [pdf["w"].values, pdf["h"].values, pdf["fmt"].values]
+            )
+            for (w, h, fmt), grp in pd.Series(pos).groupby(key, sort=False):
+                ii = grp.to_numpy()
+                w, h = int(w), int(h)
+                decoded = np.stack(
+                    [images.decode(pdf["bytes"].iat[i], w, h, fmt) for i in ii]
                 )
-            yield pd.DataFrame(out)
+                expected = np.stack([images.gen_pixels(int(idxs[i]), w, h) for i in ii])
+                diff = decoded.astype(np.float64) - expected.astype(np.float64)
+                mse = np.einsum("nijk,nijk->n", diff, diff) / diff[0].size
+                with np.errstate(divide="ignore"):
+                    p = 10.0 * np.log10(255.0**2 / mse)
+                p[mse == 0] = np.inf
+                psnr_v[ii] = p
+                pixels_ok[ii] = (mse == 0) if fmt == "raw" else (p >= psnr_threshold)
+                phash_ok[ii] = (
+                    images.average_hash_batch(decoded)
+                    == pdf["phash"].to_numpy()[ii]
+                )
+            for i in range(m):
+                idx = int(idxs[i])
+                lon, lat = images.row_lonlat(idx)
+                caption_ok[i] = pdf["caption"].iat[i] == images.row_caption(idx, lon, lat)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].values,
+                    "pixels_ok": pixels_ok,
+                    "psnr": psnr_v,
+                    "caption_ok": caption_ok,
+                    "phash_ok": phash_ok,
+                    "ok": pixels_ok & caption_ok & phash_ok,
+                }
+            )
 
     return df.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash").mapInPandas(
         check, schema=_VERIFY_SCHEMA
