@@ -158,6 +158,69 @@ def sql_tile_shape_pixelbuffer() -> str:
     """
 
 
+def _py_tile_shape(tp: PyramidConfig, z: int, row: int, col: int, pb: int):
+    """Pure-Python mirror of the reference shape rules (_tile.py:24-53,
+    141-157): metatile edge clipping + pixelbuffer + global-grid first/last
+    row and single-row-matrix rules.  Python round() is half-even ==
+    Spark bround."""
+    px, py = tp.pixel_x_size(z), tp.pixel_y_size(z)
+    h, w = tp.tile_y_size(z), tp.tile_x_size(z)
+    top = tp.top - row * h
+    bottom = max(top - h, tp.bottom)
+    left = tp.left + col * w
+    right = min(left + w, tp.right)
+    base_h = int(round((top - bottom) / py))
+    base_w = int(round((right - left) / px))
+    height, width = base_h + 2 * pb, base_w + 2 * pb
+    mh = tp.matrix_height(z)
+    if tp.is_global and pb != 0:
+        if mh == 1:
+            height = base_h
+        elif row in (0, mh - 1):
+            height = base_h + pb
+    return height, width
+
+
+def q_tile_shape_metatile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7/O13 combined: metatile EDGE CLIPPING (a zoom-0..1 metatile-4 tile
+    is smaller than tile_size*mt) with pixelbuffer rules, every tile of
+    zooms 0..4 on the mt4 geodetic pyramid (reference test_tile_shapes
+    combined cases)."""
+    tp4 = PyramidConfig.create("geodetic", metatiling=4)
+    out = None
+    for z in range(5):
+        mh, mw = tp4.matrix_height(z), tp4.matrix_width(z)
+        tiles = (
+            spark.range(mh).select(F.col("id").alias("tile_row"))
+            .crossJoin(spark.range(mw).select(F.col("id").alias("tile_col")))
+        )
+        s = exprs.tile_shape(tp4, z, "tile_row", "tile_col", 8)
+        t = tiles.select(
+            F.lit(z).alias("zoom"), "tile_row", "tile_col",
+            s["height"].cast("long").alias("height"),
+            s["width"].cast("long").alias("width"),
+        )
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+def sql_tile_shape_metatile() -> str:
+    tp4 = PyramidConfig.create("geodetic", metatiling=4)
+    rows = []
+    for z in range(5):
+        for row in range(tp4.matrix_height(z)):
+            for col in range(tp4.matrix_width(z)):
+                hh, ww = _py_tile_shape(tp4, z, row, col, 8)
+                rows.append(f"({z}, {row}, {col}, {hh}, {ww})")
+    values = ", ".join(rows)
+    return f"""
+      SELECT CAST(zoom AS INTEGER) AS zoom,
+             CAST(tile_row AS BIGINT) AS tile_row, CAST(tile_col AS BIGINT) AS tile_col,
+             CAST(height AS BIGINT) AS height, CAST(width AS BIGINT) AS width
+      FROM (VALUES {values}) AS t(zoom, tile_row, tile_col, height, width)
+    """
+
+
 def q_matrix_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2-O5 matrix dimensions and pixel sizes, zooms 0..10."""
     zooms = spark.range(0, 11).select(F.col("id").cast("int").alias("zoom"))
@@ -1431,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_row_zoom_assign": q_per_row_zoom_assign,
         "tile_bounds": q_tile_bounds,
         "tile_shape_pixelbuffer": q_tile_shape_pixelbuffer,
+        "tile_shape_metatile": q_tile_shape_metatile,
         "matrix_dims": q_matrix_dims,
         "parent_rollup": q_parent_rollup,
         "children": q_children,
@@ -1471,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "per_row_zoom_assign": sql_per_row_zoom_assign(),
         "tile_bounds": sql_tile_bounds(),
         "tile_shape_pixelbuffer": sql_tile_shape_pixelbuffer(),
+        "tile_shape_metatile": sql_tile_shape_metatile(),
         "matrix_dims": sql_matrix_dims(),
         "parent_rollup": sql_parent_rollup(),
         "children": sql_children(),
