@@ -274,14 +274,13 @@ def main() -> None:
                 ).stdout.strip().splitlines()[-1]
             )
 
-        # each pair back-to-back so both ends see similar thermal state
+        # interleaved pairs, best of two subprocesses per level: this box's
+        # python-stage throughput at 32 threads swings 2-3x with invisible
+        # host state; a single unlucky subprocess would poison the ratio
         flagship = {}
-        flagship["8"] = measure("pip", "8")
-        flagship["32"] = measure("pip", "32")
-        compute["8"] = measure("verify", "8")
-        compute["32"] = measure("verify", "32")
-        stream["8"] = measure("tile", "8")
-        stream["32"] = measure("tile", "32")
+        for tgt, job in ((flagship, "pip"), (compute, "verify"), (stream, "tile")):
+            for cpus in ("8", "32", "8", "32"):
+                tgt[cpus] = max(tgt.get(cpus, 0.0), measure(job, cpus))
         env8 = spin_control(8)
         env32 = spin_control(32)
         result["scaling"] = {
