@@ -420,6 +420,73 @@ def sql_cover_bbox() -> str:
     """
 
 
+def q_cover_multizoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25-O27 with a PER-ROW zoom column (3 + id % 3): one cover pass
+    enumerates tiles across zoom levels simultaneously — the single-pass
+    multi-zoom pyramid shape (exercises the pow-expression path of
+    cover_ranges instead of driver-side literals)."""
+    boxes = _event_boxes(spark, sf_dir).filter(
+        (F.col("bl") >= -180.0) & (F.col("br") <= 180.0)
+    ).withColumn("zoom", (F.lit(3) + F.col("event_id") % 3).cast("int"))
+    out = cover.tiles_from_bounds(
+        boxes, GEODETIC, F.col("zoom"),
+        left="bl", bottom="bb", right="br", top="bt",
+        out_row="tile_row", out_col="tile_col",
+    )
+    return out.select("event_id", "zoom", "tile_row", "tile_col")
+
+
+def sql_cover_multizoom() -> str:
+    # per-row zoom mirrors of exprs.metatile_{x,y}_size / matrix dims
+    # (identical VALUES on geodetic, but mirrored with their own shapes)
+    hy = (
+        f"(({_d(180.0)} / (({_d(1.0)} * power({_d(2.0)}, zoom)) * {_d(256.0)}))"
+        f" * {_d(256.0)}) * {_d(1.0)}"
+    )
+    wx = (
+        f"(({_d(360.0)} / (({_d(2.0)} * power({_d(2.0)}, zoom)) * {_d(256.0)}))"
+        f" * {_d(256.0)}) * {_d(1.0)}"
+    )
+    mw = f"greatest(1, CAST(ceil({_d(2.0)} * power({_d(2.0)}, zoom) / {_d(1.0)}) AS BIGINT))"
+    mh = f"greatest(1, CAST(ceil({_d(1.0)} * power({_d(2.0)}, zoom) / {_d(1.0)}) AS BIGINT))"
+    return f"""
+      WITH boxes AS (
+        SELECT *, CAST(3 + event_id % 3 AS INTEGER) AS zoom
+        FROM ({_EVENT_BOXES_SQL})
+        WHERE bl >= {_d(LEFT)} AND br <= {_d(RIGHT)}
+      ),
+      rng AS (
+        SELECT event_id, zoom,
+          greatest(CAST(trunc(({_d(TOP)} - least(bt, {_d(TOP)})) / ({hy})) AS BIGINT), 0) AS row_min,
+          least(
+            CAST(trunc(({_d(TOP)} - greatest(bb, {_d(BOTTOM)})) / ({hy})) AS BIGINT)
+              - CASE WHEN fmod({_d(TOP)} - greatest(bb, {_d(BOTTOM)}), ({hy})) = {_d(0.0)} THEN 1 ELSE 0 END,
+            {mh} - 1) AS row_max,
+          greatest(CAST(trunc((bl - {_d(LEFT)}) / ({wx})) AS BIGINT), 0) AS col_min,
+          least(
+            CASE
+              WHEN cr_col = -1 THEN {mw} - 1
+              WHEN cr_col >= {mw} THEN cr_col % ({mw})
+              ELSE cr_col END,
+            {mw} - 1) AS col_max
+        FROM (
+          SELECT *,
+            CAST(trunc((br - {_d(LEFT)}) / ({wx})) AS BIGINT)
+              - CASE WHEN fmod(br - {_d(LEFT)}, ({wx})) = {_d(0.0)} THEN 1 ELSE 0 END AS cr_col
+          FROM boxes
+        )
+      ),
+      rows_exp AS (
+        SELECT event_id, zoom, col_min, col_max,
+               unnest(generate_series(row_min, row_max)) AS tile_row
+        FROM rng WHERE row_min <= row_max
+      )
+      SELECT event_id, zoom, tile_row,
+             unnest(generate_series(col_min, col_max)) AS tile_col
+      FROM rows_exp WHERE col_min <= col_max
+    """
+
+
 def q_snap_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O19 snap_bounds of event bboxes (z6, in-grid boxes only)."""
     boxes = _event_boxes(spark, sf_dir).filter(
@@ -1500,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "children": q_children,
         "neighbors": q_neighbors,
         "cover_bbox": q_cover_bbox,
+        "cover_multizoom": q_cover_multizoom,
         "snap_bounds": q_snap_bounds,
         "intersecting": q_intersecting,
         "knn": q_knn,
@@ -1541,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "children": sql_children(),
         "neighbors": sql_neighbors(),
         "cover_bbox": sql_cover_bbox(),
+        "cover_multizoom": sql_cover_multizoom(),
         "snap_bounds": sql_snap_bounds(),
         "intersecting": sql_intersecting(),
         "knn": sql_knn(),
