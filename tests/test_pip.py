@@ -95,6 +95,11 @@ def test_pip_join_fused_matches_default(spark, geodetic):
     rng = np.random.Generator(np.random.PCG64(7))
     pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
         zip(rng.uniform(-179, 179, 300), rng.uniform(-89, 89, 300)))]
+    # boundary / grid-line coords: tile-index edge semantics must agree
+    # between the JVM path and the fused kernel's numpy mirror
+    pts += [(1000 + j, x, y) for j, (x, y) in enumerate(
+        [(180.0, 10.0), (-180.0, 10.0), (10.0, 90.0), (10.0, -90.0),
+         (0.0, 0.0), (101.25, 33.75), (179.99999, -89.99999)])]
     points = spark.createDataFrame(pts, "point_id long, lon double, lat double")
     polys = spark.createDataFrame(
         [(pid, json.dumps(g)) for pid, g in _polygons()], "poly_id long, geometry string"

@@ -129,16 +129,25 @@ def pip_join(
     if broadcast_index and fused:
         # 3c. fused map-side join: the (tile -> polys) index AND the prepared
         # geometries ride one broadcast; a single Arrow pass over the POINTS
-        # does lookup + refine.  No candidate materialization: the 1.5-3x
-        # candidate amplification never exists as rows (at 10^12 points
-        # that blow-up is the dominant memory/Arrow traffic), at the price
-        # of hiding the join from Catalyst/AQE.  Requires a driver-collectable
-        # polygon side, like every broadcast join.
+        # does tile-index + lookup + refine.  No candidate materialization:
+        # the 1.5-3x candidate amplification never exists as rows (at 10^12
+        # points that blow-up is the dominant memory/Arrow traffic), at the
+        # price of hiding the join from Catalyst/AQE.  Only the raw
+        # (id, x, y) columns cross the Arrow boundary — the tile index is
+        # recomputed in the kernel with the same IEEE double ops (the
+        # JVM->python copy is byte-proportional and per-JVM bound: each
+        # avoided column is measured wall time).  Requires a
+        # driver-collectable polygon side, like every broadcast join.
         import pyarrow as pa
 
         from pyspark.sql import types as T
 
         mw = tp.matrix_width(zoom)
+        mh = tp.matrix_height(zoom)
+        h, w = tp.tile_y_size(zoom), tp.tile_x_size(zoom)
+        gt, gl = tp.top, tp.left
+        gb, gr = tp.bottom, tp.right
+        is_global = tp.is_global
         idx_rows = idx.select(poly_id, "row", "col").collect()
         prepared = {
             r[0]: _prepare_parts(geomkernels.parse_geometry(r[1]))
@@ -151,11 +160,9 @@ def pip_join(
         poly_tiles = {p: np.sort(np.asarray(t, dtype=np.int64)) for p, t in poly_tiles.items()}
         bc = points.sparkSession.sparkContext.broadcast((poly_tiles, prepared))
 
-        pts_schema = pts.schema
-        p_i = pts_schema.names.index(point_id)
-        x_i, y_i = pts_schema.names.index(x), pts_schema.names.index(y)
-        r_i, c_i = pts_schema.names.index("row"), pts_schema.names.index("col")
-        id_field = pts_schema[point_id].dataType
+        slim = points.select(point_id, x, y)
+        p_i, x_i, y_i = 0, 1, 2
+        id_field = slim.schema[point_id].dataType
         out_schema = T.StructType(
             [T.StructField(point_id, id_field), T.StructField(poly_id, T.LongType())]
         )
@@ -166,13 +173,20 @@ def pip_join(
                 n = batch.num_rows
                 if n == 0:
                     continue
-                keys = (
-                    batch.column(r_i).to_numpy(zero_copy_only=False) * mw
-                    + batch.column(c_i).to_numpy(zero_copy_only=False)
-                )
                 xs = batch.column(x_i).to_numpy(zero_copy_only=False)
                 ys = batch.column(y_i).to_numpy(zero_copy_only=False)
                 ids = batch.column(p_i)
+                # numpy mirror of exprs.rowcol_raw (on_edge 'rb') + validity:
+                # same truncating division / wrap on float64 as the codegen'd
+                # with_tile (pinned by the fused==default parity test)
+                in_grid = (xs >= gl) & (xs <= gr) & (ys >= gb) & (ys <= gt)
+                rows = np.trunc((gt - ys) / h)
+                cols = np.trunc((xs - gl) / w)
+                if is_global:
+                    cols = np.where(cols == -1.0, float(mw - 1), cols)
+                    cols = np.where(cols >= mw, cols % mw, cols)
+                valid = in_grid & (rows >= 0) & (rows < mh) & (cols >= 0) & (cols < mw)
+                keys = np.where(valid, rows * mw + cols, -1.0).astype(np.int64)
                 out_ii: list = []
                 out_poly: list = []
                 for p, ptiles in tiles_of.items():
@@ -202,7 +216,7 @@ def pip_join(
                     ),
                 )
 
-        return pts.mapInArrow(lookup_refine, schema=out_schema)
+        return slim.mapInArrow(lookup_refine, schema=out_schema)
 
     if broadcast_index:
         # 3a. slim broadcast join: only ids + coordinates flow per candidate
