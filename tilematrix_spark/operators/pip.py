@@ -153,12 +153,13 @@ def pip_join(
             r[0]: _prepare_parts(geomkernels.parse_geometry(r[1]))
             for r in polygons.select(poly_id, geom).collect()
         }
-        # per-polygon covered-tile key arrays (sorted for searchsorted lookup)
-        poly_tiles: dict = {}
+        # tile -> polygon-ids map (one lookup per DISTINCT tile per batch,
+        # not one scan per polygon: a per-poly searchsorted loop costs
+        # O(polys * batch) vs this O(batch log batch + tiles))
+        tile_polys: dict = {}
         for r in idx_rows:
-            poly_tiles.setdefault(r[0], []).append(r[1] * mw + r[2])
-        poly_tiles = {p: np.sort(np.asarray(t, dtype=np.int64)) for p, t in poly_tiles.items()}
-        bc = points.sparkSession.sparkContext.broadcast((poly_tiles, prepared))
+            tile_polys.setdefault(r[1] * mw + r[2], []).append(r[0])
+        bc = points.sparkSession.sparkContext.broadcast((tile_polys, prepared))
 
         slim = points.select(point_id, x, y)
         p_i, x_i, y_i = 0, 1, 2
@@ -187,17 +188,23 @@ def pip_join(
                     cols = np.where(cols >= mw, cols % mw, cols)
                 valid = in_grid & (rows >= 0) & (rows < mh) & (cols >= 0) & (cols < mw)
                 keys = np.where(valid, rows * mw + cols, -1.0).astype(np.int64)
+                # group points by tile (argsort runs), gather per-poly
+                # candidate indices via the tile->polys map
+                order = np.argsort(keys, kind="stable")
+                sk = keys[order]
+                starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+                ends = np.r_[starts[1:], n]
+                per_poly: dict = {}
+                for s0, e0 in zip(starts, ends):
+                    polys_here = tiles_of.get(int(sk[s0]))
+                    if polys_here:
+                        run = order[s0:e0]
+                        for p in polys_here:
+                            per_poly.setdefault(p, []).append(run)
                 out_ii: list = []
                 out_poly: list = []
-                for p, ptiles in tiles_of.items():
-                    # candidate points = those whose tile is in the polygon's
-                    # cover: one searchsorted over the batch per polygon
-                    pos = np.searchsorted(ptiles, keys)
-                    pos[pos == len(ptiles)] = 0
-                    cand_m = ptiles[pos] == keys
-                    ii = np.flatnonzero(cand_m)
-                    if len(ii) == 0:
-                        continue
+                for p, chunks in per_poly.items():
+                    ii = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
                     m = _points_in_prepared(prep[p], xs[ii], ys[ii])
                     sel = ii[m]
                     if len(sel):
