@@ -110,3 +110,29 @@ def test_pip_join_fused_matches_default(spark, geodetic):
              for r in pip.pip_join(points, polys, geodetic, zoom=4, fused=True).collect()}
     assert fused == default
     assert len(default) > 5
+
+
+def test_local_cover_mirror_matches_spark_cover(spark, geodetic):
+    """The fused path's driver-side cover mirror must equal the Spark
+    tiles_from_geom operator tile-for-tile, incl. antimeridian crossers
+    and the Point fast path."""
+    from tilematrix_spark import geomkernels
+    from tilematrix_spark.operators.geometry import tiles_from_geom
+
+    geoms = [g for _, g in _polygons()]
+    geoms.append({"type": "Polygon", "coordinates": [[
+        (170.0, -10.0), (190.0, -10.0), (190.0, 20.0), (170.0, 20.0), (170.0, -10.0)]]})
+    geoms.append({"type": "Polygon", "coordinates": [[
+        (-195.0, 30.0), (-175.0, 30.0), (-175.0, 44.0), (-195.0, 44.0), (-195.0, 30.0)]]})
+    geoms.append({"type": "Point", "coordinates": (12.3, 45.6)})
+    df = spark.createDataFrame(
+        [(i, json.dumps(g)) for i, g in enumerate(geoms)], "gid long, geometry string"
+    )
+    for zoom in (2, 4, 6):
+        got_spark = {}
+        for r in tiles_from_geom(df, geodetic, zoom).collect():
+            got_spark.setdefault(r["gid"], set()).add((r["row"], r["col"]))
+        for i, g in enumerate(geoms):
+            parsed = geomkernels.parse_geometry(json.dumps(g))
+            local = set(pip._local_cover_tiles(geodetic, zoom, parsed, None))
+            assert local == got_spark.get(i, set()), (i, zoom)

@@ -94,6 +94,102 @@ def _points_in_prepared(
     return inside
 
 
+def _py_rowcol_raw(tp: PyramidConfig, x: float, y: float, zoom: int, on_edge_use: str):
+    """Pure-python mirror of exprs.rowcol_raw (same float ops: truncating
+    int(), `%`-is-zero edge tie-break, antimeridian wrap)."""
+    h, w = tp.tile_y_size(zoom), tp.tile_x_size(zoom)
+    dy = tp.top - y
+    row = int(dy / h)
+    if on_edge_use in ("rt", "lt") and dy % h == 0.0:
+        row -= 1
+    dx = x - tp.left
+    col = int(dx / w)
+    if on_edge_use in ("lb", "lt") and dx % w == 0.0:
+        col -= 1
+    if tp.is_global:
+        mw = tp.matrix_width(zoom)
+        if col == -1:
+            col = mw - 1
+        elif col >= mw:
+            col %= mw
+    return row, col
+
+
+def _local_cover_tiles(
+    tp: PyramidConfig, zoom: int, geom: dict, max_cover_tiles: Optional[int]
+) -> List[tuple]:
+    """Driver-side mirror of operators/geometry.tiles_from_geom for ONE
+    geometry: bbox cover (incl. antimeridian split intervals) + numpy
+    rect-intersects refine — identical semantics, no Spark job.  Used by the
+    fused PIP path where the polygon side is driver-resident anyway."""
+    from .geometry import _tile_rects
+
+    if geom["type"] == "Point":
+        x, y = float(geom["coordinates"][0]), float(geom["coordinates"][1])
+        if not (tp.left <= x <= tp.right and tp.bottom <= y <= tp.top):
+            return []
+        row, col = _py_rowcol_raw(tp, x, y, zoom, "rb")
+        mh, mw = tp.matrix_height(zoom), tp.matrix_width(zoom)
+        return [(row, col)] if 0 <= row < mh and 0 <= col < mw else []
+
+    minx, miny, maxx, maxy = geomkernels.geom_bounds(geom)
+    l, b, r, t = float(minx), float(miny), float(maxx), float(maxy)
+    mh, mw = tp.matrix_height(zoom), tp.matrix_width(zoom)
+    multi, i1, i2 = False, None, None
+    if tp.is_global:
+        t, b = min(t, tp.top), max(b, tp.bottom)
+        west, east = l < tp.left, r > tp.right
+        crossing = west or east
+        r2 = tp.right - tp.left
+        multi = crossing and not (west and east) and (r < l + r2)
+        if west and not east:
+            i1, i2 = (l + r2, tp.right), (tp.left, r)
+        elif east and not west:
+            i1, i2 = (tp.left, r - r2), (l, tp.right)
+        cl = tp.left if crossing else l
+        cr = tp.right if crossing else r
+    else:
+        cl, cr = l, r
+    lb_row, lb_col = _py_rowcol_raw(tp, cl, b, zoom, "rt")
+    rt_row, rt_col = _py_rowcol_raw(tp, cr, t, zoom, "lb")
+    row_min, row_max = max(rt_row, 0), min(lb_row, mh - 1)
+    col_min, col_max = max(lb_col, 0), min(rt_col, mw - 1)
+    if row_min > row_max or col_min > col_max:
+        return []
+    if max_cover_tiles is not None:
+        if (row_max - row_min + 1) * (col_max - col_min + 1) > max_cover_tiles:
+            return []
+    w = tp.tile_x_size(zoom)
+    cand = []
+    for row in range(row_min, row_max + 1):
+        for col in range(col_min, col_max + 1):
+            if multi:
+                txl = tp.left + col * w
+                txr = min(txl + w, tp.right)
+                if not (
+                    (txl <= i1[1] and txr >= i1[0])
+                    or (txl <= i2[1] and txr >= i2[0])
+                ):
+                    continue
+            cand.append((row, col))
+    if not cand:
+        return []
+    rows_a = np.asarray([rc[0] for rc in cand], dtype=np.float64)
+    cols_a = np.asarray([rc[1] for rc in cand], dtype=np.float64)
+    rects = _tile_rects(tp, np.full(len(cand), zoom), rows_a, cols_a)
+    offsets = [0.0]
+    if tp.is_global and minx < tp.left:
+        offsets.append(-2.0 * tp.right)
+    if tp.is_global and maxx > tp.right:
+        offsets.append(2.0 * tp.right)
+    hit = np.zeros(len(cand), dtype=bool)
+    for off in offsets:
+        hit |= geomkernels.rects_intersect(
+            geom, (rects[0] + off, rects[1], rects[2] + off, rects[3])
+        )
+    return [rc for rc, keep in zip(cand, hit) if keep]
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -109,23 +205,6 @@ def pip_join(
     max_cover_tiles: Optional[int] = None,
 ) -> DataFrame:
     """(point_id, poly_id) pairs where the point falls inside the polygon."""
-    # 1. polygon -> covering tiles (filter-refine; exact candidate superset).
-    # The broadcast-path polygon side is small by assumption: coalesce it so
-    # the cover doesn't fan into one near-empty Arrow task per core (measured
-    # 2-4x slower index builds at local[32] from tiny-task overhead).
-    poly_side = polygons.select(poly_id, geom)
-    if broadcast_index:
-        poly_side = poly_side.coalesce(8)
-    idx = tiles_from_geom(
-        poly_side, tp, zoom, geom=geom,
-        max_cover_tiles=max_cover_tiles,
-    )
-
-    # 2. point -> tile
-    pts = assign.with_tile(
-        points.select(point_id, x, y), tp, zoom, x, y, out_tile_id=None
-    )
-
     if broadcast_index and fused:
         # 3c. fused map-side join: the (tile -> polys) index AND the prepared
         # geometries ride one broadcast; a single Arrow pass over the POINTS
@@ -138,6 +217,8 @@ def pip_join(
         # JVM->python copy is byte-proportional and per-JVM bound: each
         # avoided column is measured wall time).  Requires a
         # driver-collectable polygon side, like every broadcast join.
+        # The polygon covers are computed DRIVER-SIDE with the pure-python
+        # mirror of tiles_from_geom — dimension-side prep, no Spark job.
         import pyarrow as pa
 
         from pyspark.sql import types as T
@@ -148,17 +229,22 @@ def pip_join(
         gt, gl = tp.top, tp.left
         gb, gr = tp.bottom, tp.right
         is_global = tp.is_global
-        idx_rows = idx.select(poly_id, "row", "col").collect()
-        prepared = {
-            r[0]: _prepare_parts(geomkernels.parse_geometry(r[1]))
-            for r in polygons.select(poly_id, geom).collect()
-        }
         # tile -> polygon-ids map (one lookup per DISTINCT tile per batch,
         # not one scan per polygon: a per-poly searchsorted loop costs
         # O(polys * batch) vs this O(batch log batch + tiles))
         tile_polys: dict = {}
-        for r in idx_rows:
-            tile_polys.setdefault(r[1] * mw + r[2], []).append(r[0])
+        prepared: dict = {}
+        for prow in polygons.select(poly_id, geom).collect():
+            pid, g_str = prow[0], prow[1]
+            try:
+                g = geomkernels.parse_geometry(g_str)
+            except Exception:
+                continue
+            if geomkernels.geom_is_empty(g) or not geomkernels.geom_is_valid(g):
+                continue  # mirrors tiles_from_geom on_invalid='drop'
+            prepared[pid] = _prepare_parts(g)
+            for rr, cc in _local_cover_tiles(tp, zoom, g, max_cover_tiles):
+                tile_polys.setdefault(rr * mw + cc, []).append(pid)
         bc = points.sparkSession.sparkContext.broadcast((tile_polys, prepared))
 
         slim = points.select(point_id, x, y)
@@ -224,6 +310,23 @@ def pip_join(
                 )
 
         return slim.mapInArrow(lookup_refine, schema=out_schema)
+
+    # 1. polygon -> covering tiles (filter-refine; exact candidate superset).
+    # The broadcast-path polygon side is small by assumption: coalesce it so
+    # the cover doesn't fan into one near-empty Arrow task per core (measured
+    # 2-4x slower index builds at local[32] from tiny-task overhead).
+    poly_side = polygons.select(poly_id, geom)
+    if broadcast_index:
+        poly_side = poly_side.coalesce(8)
+    idx = tiles_from_geom(
+        poly_side, tp, zoom, geom=geom,
+        max_cover_tiles=max_cover_tiles,
+    )
+
+    # 2. point -> tile
+    pts = assign.with_tile(
+        points.select(point_id, x, y), tp, zoom, x, y, out_tile_id=None
+    )
 
     if broadcast_index:
         # 3a. slim broadcast join: only ids + coordinates flow per candidate
