@@ -278,8 +278,9 @@ def main() -> None:
         # python-stage throughput at 32 threads swings 2-3x with invisible
         # host state; a single unlucky subprocess would poison the ratio
         flagship = {}
+        rounds = {"pip": 3, "verify": 2, "tile": 2}  # flagship gets an extra
         for tgt, job in ((flagship, "pip"), (compute, "verify"), (stream, "tile")):
-            for cpus in ("8", "32", "8", "32"):
+            for cpus in ("8", "32") * rounds[job]:
                 tgt[cpus] = max(tgt.get(cpus, 0.0), measure(job, cpus))
         env8 = spin_control(8)
         env32 = spin_control(32)
