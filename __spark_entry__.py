@@ -1369,9 +1369,10 @@ def q_raster_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_raster_windows() -> str:
+def sql_raster_windows(pixelbuffer: int = 0) -> str:
     """Mirror of images.images_df(1000) footprints + cover.tiles_from_bounds
-    (z6) + raster.raster_tile_windows window math, all in DuckDB SQL."""
+    (z6) + raster.raster_tile_windows window math (incl. buffered-tile
+    bounds/shape rules when ``pixelbuffer`` > 0), all in DuckDB SQL."""
     import tilematrix_spark.images as _img
 
     zoom = 6
@@ -1380,6 +1381,12 @@ def sql_raster_windows() -> str:
     px = _d(GEODETIC.pixel_x_size(zoom))
     mw = GEODETIC.matrix_width(zoom)
     mh = GEODETIC.matrix_height(zoom)
+    # buffered-tile left/top and pixel shape (exprs.tile_bounds/tile_shape)
+    off = f"({px} * {_d(float(pixelbuffer))})"
+    h_edge, w_px_v = _py_tile_shape(GEODETIC, zoom, 0, 1, pixelbuffer)
+    h_mid, _ = _py_tile_shape(GEODETIC, zoom, 1, 1, pixelbuffer)
+    h_px = f"CASE WHEN tile_row IN (0, {mh - 1}) THEN {h_edge} ELSE {h_mid} END"
+    w_px = str(w_px_v)
     r2 = _d(RIGHT - LEFT)
     hl, hb, hr, ht = _img.HOT_BOUNDS
     glon = [-180.0, -90.0, 0.0, 45.0, 90.0]
@@ -1390,9 +1397,9 @@ def sql_raster_windows() -> str:
     fpx = f"({_d(360.0)} / (2 * power({_d(2.0)}, 4 + idx % 8) * 256))"
 
     def x_win(shift: str):
-        off = f"greatest(CAST(floor(((bl {shift}) - t_left) / {px}) AS BIGINT), 0)"
-        end = f"least(CAST(ceil(((br {shift}) - t_left) / {px}) AS BIGINT), 256)"
-        return off, f"greatest({end} - {off}, 0)"
+        o = f"greatest(CAST(floor(((bl {shift}) - t_left) / {px}) AS BIGINT), 0)"
+        end = f"least(CAST(ceil(((br {shift}) - t_left) / {px}) AS BIGINT), {w_px})"
+        return o, f"greatest({end} - {o}, 0)"
 
     o0, w0 = x_win("+ 0.0")
     om, wm = x_win(f"- {r2}")
@@ -1402,7 +1409,7 @@ def sql_raster_windows() -> str:
     best_w = f"CASE WHEN {wp} > {best_w1} THEN {wp} ELSE {best_w1} END"
     best_o = f"CASE WHEN {wp} > {best_w1} THEN {op} ELSE {best_o1} END"
     row_off = f"greatest(CAST(floor((t_top - bt) / {px}) AS BIGINT), 0)"
-    row_end = f"least(CAST(ceil((t_top - bb) / {px}) AS BIGINT), 256)"
+    row_end = f"least(CAST(ceil((t_top - bb) / {px}) AS BIGINT), ({h_px}))"
 
     return f"""
       WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS idx),
@@ -1479,8 +1486,8 @@ def sql_raster_windows() -> str:
       ),
       cand AS (
         SELECT image_id, bl, bb, br, bt, tile_row, tile_col,
-          {_d(LEFT)} + tile_col * {h} AS t_left,
-          {_d(TOP)} - tile_row * {h} AS t_top
+          ({_d(LEFT)} + tile_col * {h}) - {off} AS t_left,
+          least(({_d(TOP)} - tile_row * {h}) + {off}, {_d(TOP)}) AS t_top
         FROM cells
         WHERE NOT multi
            OR (({_d(LEFT)} + tile_col * {h}) <= i1r
@@ -1489,12 +1496,29 @@ def sql_raster_windows() -> str:
                AND least(({_d(LEFT)} + tile_col * {h}) + {h}, {_d(RIGHT)}) >= i2l)
       )
       SELECT image_id, tile_row, tile_col,
-        least({best_o}, 256) AS win_col_off,
-        least({row_off}, 256) AS win_row_off,
+        least({best_o}, {w_px}) AS win_col_off,
+        least({row_off}, ({h_px})) AS win_row_off,
         {best_w} AS win_width,
         greatest({row_end} - {row_off}, 0) AS win_height
       FROM cand
     """
+
+
+def q_raster_windows_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster_tile_windows with pixelbuffer=12: buffered tile bounds shift
+    the window origin, the buffered SHAPE clips it, and the global-grid
+    first/last-row one-sided buffer rule applies (north_star: 'pixelbuffer
+    clipping handled exactly')."""
+    from tilematrix_spark import images as imglib
+    from tilematrix_spark import raster
+
+    df = imglib.images_df(spark, 1000, partitions=16)
+    win = raster.raster_tile_windows(df, GEODETIC, 6, pixelbuffer=12)
+    return win.select(
+        "image_id",
+        F.col("row").alias("tile_row"), F.col("col").alias("tile_col"),
+        "win_col_off", "win_row_off", "win_width", "win_height",
+    )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1588,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_regions": q_pip_join_regions,
         "verify_images": q_verify_images,
         "raster_windows": q_raster_windows,
+        "raster_windows_buffered": q_raster_windows_buffered,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
@@ -1629,6 +1654,7 @@ def oracle_sql() -> dict[str, str]:
         "geom_tiles_exact": sql_geom_tiles_exact(),
         "pip_join_regions": sql_pip_join_regions(),
         "raster_windows": sql_raster_windows(),
+        "raster_windows_buffered": sql_raster_windows(pixelbuffer=12),
         # verify_images / ann_lsh_topk / ann_ivf_topk: deliberately no oracle
         # (binary image decode, seeded-hyperplane LSH, and k-means quantizers
         # are not SQL-expressible) -> the driver records the weaker rows-only
