@@ -571,6 +571,33 @@ def sql_intersecting() -> str:
     """
 
 
+def q_intersecting_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17 cross-pyramid translation, DOWNSCALE direction (mt1 -> mt2,
+    ratio < 1: pure ``int(ratio*index)`` projection, _funcs.py:153-157)."""
+    pts = _events(spark, sf_dir)
+    tiled = assign.with_tile(pts, GEODETIC, 5, "lon", "lat", out_tile_id=None)
+    tiles = tiled.select(F.lit(5).alias("zoom"), "row", "col").distinct()
+    tp2 = PyramidConfig.create("geodetic", metatiling=2)
+    out = hierarchy.intersecting(tiles, GEODETIC, tp2, "zoom", "row", "col")
+    return out.select(
+        F.col("row").alias("tile_row"), F.col("col").alias("tile_col"),
+        F.col("target_row").cast("long").alias("target_row"),
+        F.col("target_col").cast("long").alias("target_col"),
+    )
+
+
+def sql_intersecting_down() -> str:
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(5)}),
+      tiles AS (
+        SELECT DISTINCT tile_row, tile_col FROM tiled WHERE {_valid_sql(5)}
+      )
+      SELECT tile_row, tile_col,
+             tile_row // 2 AS target_row, tile_col // 2 AS target_col
+      FROM tiles
+    """
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O30 k-ring kNN: 40 query points vs all event points, k=3."""
     pts = _events(spark, sf_dir).select(
@@ -1594,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_multizoom": q_cover_multizoom,
         "snap_bounds": q_snap_bounds,
         "intersecting": q_intersecting,
+        "intersecting_down": q_intersecting_down,
         "knn": q_knn,
         "events_topk_window": q_events_topk_window,
         "dedup_exact": q_dedup_exact,
@@ -1637,6 +1665,7 @@ def oracle_sql() -> dict[str, str]:
         "cover_multizoom": sql_cover_multizoom(),
         "snap_bounds": sql_snap_bounds(),
         "intersecting": sql_intersecting(),
+        "intersecting_down": sql_intersecting_down(),
         "knn": sql_knn(),
         "events_topk_window": sql_events_topk_window(),
         "dedup_exact": sql_dedup_exact(),
