@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from tilematrix_spark import exprs
 from tilematrix_spark.functions import dedup as dedupfns
+from tilematrix_spark.functions import multimodal as mmfns
 from tilematrix_spark.functions import similarity as simfns
 from tilematrix_spark.functions import text as textfns
 from tilematrix_spark.grid import PyramidConfig
@@ -947,6 +948,92 @@ def sql_embedding_dups() -> str:
     """
 
 
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup image blocking (input_hint ``phash:int64``):
+    63-bit sign-phash derived from embedding content, banded 4x16-bit
+    pigeonhole join (multimodal.phash_dup_pairs), exact Hamming<=2 refine.
+    Clones of every 5th vector get 1-2 deterministic sign flips and must be
+    recovered.  Mirrors tilematrix's filter-refine discipline
+    (_tilepyramid.py:256-269) on the hash domain: cheap band-equality
+    candidates first, exact bit_count(xor) second."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        mmfns.pack_sign_bits(F.col("embedding")).alias("phash"),
+    )
+    # Clone hashes are derived in the hash domain: negating v[k] flips
+    # sign-bit (k-1) iff v[k] != 0, so XORing flip masks onto the base phash
+    # is bit-identical to re-packing the perturbed embedding — and avoids
+    # feeding a transform() expression into pack_sign_bits' nested
+    # higher-order lambdas (Catalyst projection collapse inlines it and the
+    # colliding lambda index variables silently flip the wrong bits).
+    k = (F.col("vec_id") % 63 + 1).cast("int")
+    k2 = ((F.col("vec_id") * 7) % 63 + 1).cast("int")
+
+    def _mask(pos, guard):
+        return F.when(guard, F.pow(F.lit(2.0), pos - 1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    m1 = _mask(k, F.element_at("embedding", k) != F.lit(0.0))
+    m2 = _mask(
+        k2, (k2 != k) & (F.element_at("embedding", k2) != F.lit(0.0))
+    )
+    clones = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("image_id"),
+        F.col("phash").bitwiseXOR(m1).bitwiseXOR(m2).alias("phash"),
+    )
+    hashed = base.select(F.col("vec_id").alias("image_id"), "phash").unionByName(
+        clones
+    )
+    out = mmfns.phash_dup_pairs(hashed, max_distance=2)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def sql_phash_near_dup() -> str:
+    # clone phash via XOR shortcut: negating v[k] flips sign-bit (k-1) iff
+    # v[k] <> 0 — exactly the Spark-side re-pack of the perturbed embedding.
+    return f"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      ),
+      h0 AS (
+        SELECT vec_id AS image_id,
+          CAST(list_aggregate(list_transform(range(1, 64),
+            i -> CASE WHEN v[i] > {_d(0.0)} THEN (1::BIGINT << (i - 1))
+                 ELSE 0::BIGINT END), 'sum') AS BIGINT) AS phash
+        FROM base
+      ),
+      flips AS (
+        SELECT vec_id, (vec_id % 63) + 1 AS k, ((vec_id * 7) % 63) + 1 AS k2, v
+        FROM base WHERE vec_id % 5 = 0
+      ),
+      hc AS (
+        SELECT f.vec_id + 1000000 AS image_id,
+          xor(xor(h.phash,
+            CASE WHEN f.v[f.k] <> {_d(0.0)} THEN (1::BIGINT << (f.k - 1))
+                 ELSE 0::BIGINT END),
+            CASE WHEN f.k2 <> f.k AND f.v[f.k2] <> {_d(0.0)}
+                 THEN (1::BIGINT << (f.k2 - 1)) ELSE 0::BIGINT END) AS phash
+        FROM flips f JOIN h0 h ON h.image_id = f.vec_id
+      ),
+      hs AS (SELECT * FROM h0 UNION ALL SELECT * FROM hc),
+      bands AS (
+        SELECT image_id, phash, b.band, (phash >> (16 * b.band)) & 65535 AS bucket
+        FROM hs, (SELECT unnest([0, 1, 2, 3]) AS band) b
+      ),
+      pairs AS (
+        SELECT DISTINCT a.image_id AS id_a, a.phash AS ph_a,
+                        b.image_id AS id_b, b.phash AS ph_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.image_id < b.image_id
+      )
+      SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+      FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 2
+    """
+
+
 
 
 def q_point_tile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1635,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
+        "phash_near_dup": q_phash_near_dup,
         "geom_tiles_boxes": q_geom_tiles_boxes,
         "geom_tiles_exact": q_geom_tiles_exact,
         "pip_join_regions": q_pip_join_regions,
@@ -1679,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": sql_simhash(),
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),
+        "phash_near_dup": sql_phash_near_dup(),
         "geom_tiles_boxes": sql_geom_tiles_boxes(),
         "geom_tiles_exact": sql_geom_tiles_exact(),
         "pip_join_regions": sql_pip_join_regions(),

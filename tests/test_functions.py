@@ -176,6 +176,36 @@ def test_phash_dup_pairs(spark):
     assert ("img000000000005", "img000000009999") in got
 
 
+def test_pack_sign_bits(spark):
+    """63-bit sign-phash matches a numpy mirror bit-for-bit, and hamming
+    between a vector and its single-dim sign-flip is exactly 1."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 64)).astype(np.float32)
+    vecs[3, 5] = 0.0  # zero element: sign bit stays clear on negation
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["ph"]
+        for r in df.select(
+            "vec_id", multimodal.pack_sign_bits(F.col("embedding")).alias("ph")
+        ).collect()
+    }
+    for i in range(20):
+        expect = sum(1 << b for b in range(63) if vecs[i, b] > 0)
+        assert got[i] == expect, i
+        assert got[i] >= 0  # 63 bits: portable non-negative hash
+    # flipping dim 6's sign flips exactly bit 5
+    flipped = vecs[0].copy()
+    flipped[5] = -flipped[5]
+    df2 = spark.createDataFrame(
+        [(99, [float(x) for x in flipped])], "vec_id long, embedding array<float>"
+    )
+    ph2 = df2.select(multimodal.pack_sign_bits(F.col("embedding")).alias("p")).first()["p"]
+    assert bin(ph2 ^ got[0]).count("1") == 1
+
+
 def test_stub_formats_raise(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"", 1, 1, "jpeg")

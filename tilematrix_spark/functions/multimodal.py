@@ -109,6 +109,25 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, _RESIZE_SCHEMA)
 
 
+def pack_sign_bits(vec_col, bits: int = 63):
+    """Pack the sign bits of the first ``bits`` dims of an ``array<float>``
+    embedding into a non-negative int64 perceptual-hash (bit i set iff
+    ``v[i+1] > 0``) — the ``phash:int64`` column of the input_hint schema,
+    derived from content instead of a stored column.  63 bits keeps the hash
+    non-negative so ``>>``/``&`` band extraction is portable across engines
+    (DuckDB raises on ``1::BIGINT << 63``).  Pure native expressions:
+    transform-with-index + aggregate(bitwiseOR), whole-stage codegen."""
+    # 2^i via double pow: powers of two are exact doubles through 2^62, and
+    # shiftleft() only accepts a literal shift amount (not the lambda index).
+    signs = F.transform(
+        F.slice(vec_col, 1, bits),
+        lambda x, i: F.when(
+            x > F.lit(0.0), F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(signs, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
+
+
 def phash_hamming(a, b):
     """Hamming distance between two packed-64-bit perceptual hashes (native)."""
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b))
