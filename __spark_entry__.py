@@ -25,6 +25,7 @@ from tilematrix_spark.functions import dedup as dedupfns
 from tilematrix_spark.functions import multimodal as mmfns
 from tilematrix_spark.functions import similarity as simfns
 from tilematrix_spark.functions import text as textfns
+from tilematrix_spark.functions import windows as winfns
 from tilematrix_spark.grid import PyramidConfig
 from tilematrix_spark.operators import assign, cover, hierarchy, knn
 
@@ -658,6 +659,73 @@ def sql_events_topk_window() -> str:
                row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
         FROM events
       ) WHERE rank <= 3
+    """
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization: per-user sessions split at gaps > 30 min,
+    microsecond-precision gap comparison, deterministic tie order
+    (functions/windows.sessionize — one shuffle on user_id, codegen'd
+    running-sum window)."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = winfns.sessionize(df, gap_s=1800)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        "start_us",
+        "end_us",
+        "duration_us",
+    )
+
+
+def sql_user_sessions() -> str:
+    return """
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS gap_flag
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      sessioned AS (
+        SELECT user_id, us,
+          sum(gap_flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_idx
+        FROM flagged
+      )
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+             max(us) - min(us) AS duration_us
+      FROM sessioned GROUP BY user_id, session_idx
+    """
+
+
+def q_tile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile exact value percentiles (p50/p90) at z3 — bounded group
+    count (128 tiles), linear-interpolation definition shared with DuckDB's
+    quantile_cont.  exact=False switches to t-digest percentile_approx for
+    unbounded groups (high zooms)."""
+    pts = _events(spark, sf_dir)
+    tiled = assign.with_tile(
+        pts, GEODETIC, 3, "lon", "lat",
+        out_row="tile_row", out_col="tile_col", out_tile_id=None,
+    )
+    return winfns.grouped_quantiles(
+        tiled, ["tile_row", "tile_col"], "value", probs=(0.5, 0.9)
+    )
+
+
+def sql_tile_quantiles() -> str:
+    return f"""
+      WITH pts0 AS ({_EVENTS_SQL}),
+      pts AS (SELECT * FROM pts0 WHERE NOT (lat = {_d(BOTTOM)})),
+      tiled AS ({_tiles_sql(3)})
+      SELECT tile_row, tile_col, count(*) AS n,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90
+      FROM tiled GROUP BY tile_row, tile_col
     """
 
 
@@ -1711,6 +1779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersecting_down": q_intersecting_down,
         "knn": q_knn,
         "events_topk_window": q_events_topk_window,
+        "user_sessions": q_user_sessions,
+        "tile_quantiles": q_tile_quantiles,
         "dedup_exact": q_dedup_exact,
         "fingerprints": q_fingerprints,
         "token_stats": q_token_stats,
@@ -1756,6 +1826,8 @@ def oracle_sql() -> dict[str, str]:
         "intersecting_down": sql_intersecting_down(),
         "knn": sql_knn(),
         "events_topk_window": sql_events_topk_window(),
+        "user_sessions": sql_user_sessions(),
+        "tile_quantiles": sql_tile_quantiles(),
         "dedup_exact": sql_dedup_exact(),
         "fingerprints": sql_fingerprints(),
         "token_stats": sql_token_stats(),
