@@ -136,3 +136,47 @@ def test_local_cover_mirror_matches_spark_cover(spark, geodetic):
             parsed = geomkernels.parse_geometry(json.dumps(g))
             local = set(pip._local_cover_tiles(geodetic, zoom, parsed, None))
             assert local == got_spark.get(i, set()), (i, zoom)
+
+
+def test_grid_prepared_parity_fuzz():
+    """Grid-accelerated ray-cast must be BIT-identical to the full scan:
+    random wobbly polygons (holes, multiparts), points including exact
+    vertices and band-boundary y-values."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        nv = int(rng.integers(5, 250))
+        cx, cy = rng.uniform(-150, 150), rng.uniform(-60, 60)
+        ang = np.linspace(0, 2 * math.pi, nv, endpoint=False)
+        r = rng.uniform(1, 20) * (0.5 + rng.random(nv))
+        ring = [
+            [float(cx + r[i] * math.cos(ang[i])), float(cy + r[i] * math.sin(ang[i]))]
+            for i in range(nv)
+        ]
+        ring.append(ring[0])
+        coords = [ring]
+        if trial % 3 == 0:  # hole
+            hole = [[cx + (p[0] - cx) * 0.3, cy + (p[1] - cy) * 0.3] for p in ring]
+            coords.append(hole)
+        geom = {"type": "Polygon", "coordinates": coords}
+        if trial % 5 == 0:
+            geom = {"type": "MultiPolygon", "coordinates": [coords, [[
+                [cx + 30, cy], [cx + 33, cy + 1], [cx + 31, cy + 4], [cx + 30, cy]]]]}
+        n = 3000
+        xs = rng.uniform(cx - 25, cx + 25, n)
+        ys = rng.uniform(cy - 25, cy + 25, n)
+        xs[:nv] = [p[0] for p in ring[:-1]]
+        ys[:nv] = [p[1] for p in ring[:-1]]
+        # exact band-boundary y values (the 1-ulp nudge path)
+        prep_g = pip._prepare_parts_grid(geom)
+        if prep_g:
+            gx0, gx1, gy0, gy1 = prep_g[0]["bbox"]
+            g, dy, _ = prep_g[0]["levels"][0]
+            m = min(g, 50)
+            ys[nv:nv + m] = [gy1 - j * dy for j in range(m)]
+        a = pip._points_in_prepared(pip._prepare_parts(geom), xs, ys)
+        b = pip._points_in_prepared_grid(prep_g, xs, ys)
+        assert np.array_equal(a, b), trial
