@@ -14,7 +14,9 @@ Formats:
   midpoints → PSNR ≈ 40.9 dB ≥ the 40 dB gate.
 
 Generation runs distributed: ``spark.range`` → ``mapInPandas`` (Arrow
-batches, numpy PCG64 per row) — scales linearly with executors.
+batches, counter-based splitmix64 pixels vectorized per shape group) —
+scales linearly with executors, and any single (row, pixel) is computable
+independently for verification.
 """
 
 from __future__ import annotations
@@ -81,9 +83,47 @@ def row_caption(idx: int, lon: float, lat: float) -> str:
     return f"synthetic scene {idx} at ({lon:.6f},{lat:.6f})"
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mix constants),
+    computed in place on the input buffer; uint64 wrap-around is numpy's
+    native unsigned overflow semantics."""
+    tmp = np.empty_like(x)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    np.right_shift(x, np.uint64(30), out=tmp)
+    x ^= tmp
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    np.right_shift(x, np.uint64(27), out=tmp)
+    x ^= tmp
+    x *= np.uint64(0x94D049BB133111EB)
+    np.right_shift(x, np.uint64(31), out=tmp)
+    x ^= tmp
+    return x
+
+
+def gen_pixels_batch(idxs: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Deterministic pixels for a SAME-SHAPE image stack:
+    pixel = low byte of splitmix64(row_key ^ pixel_counter) — a
+    counter-based generator, so any (row, pixel) value is computable
+    independently (no sequential RNG state, the property that makes both
+    distributed generation and per-row re-verification embarrassingly
+    parallel).  Row-chunked so uint64 temporaries stay ~2 MB (full-stack
+    temporaries measured 6x slower: alloc + DRAM traffic dominate the mix
+    arithmetic).  Returns (n, h, w, 3) uint8."""
+    n = len(idxs)
+    npx = h * w * 3
+    keys = _splitmix64(np.asarray(idxs, dtype=np.uint64) ^ np.uint64(SEED))
+    lin = np.arange(npx, dtype=np.uint64)
+    out = np.empty((n, npx), dtype=np.uint8)
+    step = max(1, 262144 // npx)
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        buf = keys[s:e, None] ^ lin[None, :]
+        out[s:e] = _splitmix64(buf).astype(np.uint8)  # low byte == & 0xFF
+    return out.reshape(n, h, w, 3)
+
+
 def gen_pixels(idx: int, w: int, h: int) -> np.ndarray:
-    rng = np.random.Generator(np.random.PCG64(SEED ^ idx))
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return gen_pixels_batch(np.asarray([idx]), w, h)[0]
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
@@ -188,13 +228,89 @@ def make_row(idx: int) -> dict:
     }
 
 
+def _lonlat_batch(ids: np.ndarray):
+    """Vectorized row_lonlat (same float expressions per branch)."""
+    lon = -180.0 + (ids * PHI1) % 1.0 * 360.0
+    lat = -90.0 + (ids * PHI2) % 1.0 * 180.0
+    hot = ids % 10 == 3
+    l, b, r, t = HOT_BOUNDS
+    lon = np.where(hot, l + (ids * PHI1) % 1.0 * (r - l), lon)
+    lat = np.where(hot, b + (ids * PHI2) % 1.0 * (t - b), lat)
+    edge = (~hot) & (ids % 97 == 0)
+    sel = (ids // 97) % 5
+    lon = np.where(edge, np.asarray([-180.0, -90.0, 0.0, 45.0, 90.0])[sel], lon)
+    lat = np.where(edge, np.asarray([0.0, 45.0, -45.0, 22.5, 67.5])[sel], lat)
+    return lon, lat
+
+
+def make_rows_batch(ids: np.ndarray) -> pd.DataFrame:
+    """Vectorized ``make_row`` for an id batch: lon/lat/footprints are one
+    numpy pass; pixels + phash are computed per (w, h, fmt) shape group (the
+    per-row python is only caption formatting and tobytes).  Row-for-row
+    identical to make_row — pinned by tests."""
+    n = len(ids)
+    ids = np.asarray(ids, dtype=np.int64)
+    w_arr = (16 + (ids % 4) * 16).astype(np.int32)
+    h_arr = (16 + ((ids // 4) % 4) * 16).astype(np.int32)
+    lon, lat = _lonlat_batch(ids)
+    zoom = 4 + ids % 8
+    px_sz = 360.0 / (2 * np.power(2.0, zoom) * 256)
+    half_w = w_arr * px_sz / 2
+    half_h = h_arr * px_sz / 2
+    fp_l, fp_r = lon - half_w, lon + half_w
+    fp_b = np.maximum(lat - half_h, -90.0)
+    fp_t = np.minimum(lat + half_h, 90.0)
+    am = ids % 101 == 7
+    fp_l = np.where(am, 180.0 - half_w, fp_l)
+    fp_r = np.where(am, 180.0 + half_w, fp_r)
+    captions = [
+        f"synthetic scene {i} at ({lo:.6f},{la:.6f})"
+        for i, lo, la in zip(ids.tolist(), lon.tolist(), lat.tolist())
+    ]
+    image_ids = [f"img{i:012d}" for i in ids.tolist()]
+    data: list = [None] * n
+    phash = np.empty(n, dtype=np.int64)
+    fmts = np.where(ids % 5 == 0, "q8", "raw")
+    pos = np.arange(n)
+    key = pd.MultiIndex.from_arrays([w_arr, h_arr, ids % 5 == 0])
+    for (w, h, is_q8), grp in pd.Series(pos).groupby(key, sort=False):
+        ii = grp.to_numpy()
+        w, h = int(w), int(h)
+        px = gen_pixels_batch(ids[ii], w, h)
+        if is_q8:
+            stored = px // 8
+            decoded = (stored.astype(np.uint16) * 8 + 4).clip(0, 255).astype(np.uint8)
+        else:
+            stored = px
+            decoded = px
+        phash[ii] = average_hash_batch(decoded)
+        for j, i in enumerate(ii):
+            data[i] = stored[j].tobytes()
+    return pd.DataFrame(
+        {
+            "image_id": image_ids,
+            "bytes": data,
+            "w": w_arr,
+            "h": h_arr,
+            "fmt": fmts,
+            "caption": captions,
+            "phash": phash,
+            "lon": lon,
+            "lat": lat,
+            "fp_left": fp_l,
+            "fp_bottom": fp_b,
+            "fp_right": fp_r,
+            "fp_top": fp_t,
+        }
+    )
+
+
 def images_df(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
     """Distributed deterministic generation of the images table."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [make_row(int(i)) for i in pdf["id"]]
-            yield pd.DataFrame(rows)
+            yield make_rows_batch(pdf["id"].to_numpy())
 
     return (
         spark.range(0, n, numPartitions=partitions)

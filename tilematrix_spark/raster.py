@@ -131,7 +131,7 @@ def verify_images(df: DataFrame, psnr_threshold: float = 40.0) -> DataFrame:
                 decoded = np.stack(
                     [images.decode(pdf["bytes"].iat[i], w, h, fmt) for i in ii]
                 )
-                expected = np.stack([images.gen_pixels(int(idxs[i]), w, h) for i in ii])
+                expected = images.gen_pixels_batch(idxs[ii], w, h)
                 diff = decoded.astype(np.float64) - expected.astype(np.float64)
                 mse = np.einsum("nijk,nijk->n", diff, diff) / diff[0].size
                 with np.errstate(divide="ignore"):
