@@ -87,7 +87,8 @@ def knn_join(
         .persist()
     )
 
-    results = None
+    round_results = []
+    round_caches = []
     pending = q
     r = 1
     while True:
@@ -123,11 +124,10 @@ def knn_join(
                 (F.col("_hits") >= k) & (F.col("_dk") <= F.lit(float(r) * guarantee))
             ).select(query_id)
         done_rows = topk.join(F.broadcast(done_q), query_id, "left_semi")
-        # materialize this round's winners so later rounds don't re-trigger
-        # the (now unpersisted) ring join lineage
-        results = done_rows if results is None else results.unionByName(done_rows)
-        results = results.localCheckpoint(eager=True)
-        topk.unpersist()
+        # winners stay as lineage over the PERSISTED topk; one checkpoint of
+        # the final union replaces a per-round eager checkpoint job
+        round_results.append(done_rows)
+        round_caches.append(topk)
         if final_round:
             break
         pending = pending.join(F.broadcast(done_q), query_id, "left_anti").localCheckpoint(
@@ -136,6 +136,12 @@ def knn_join(
         if pending.limit(1).count() == 0:
             break
         r *= 2
+    results = round_results[0]
+    for extra in round_results[1:]:
+        results = results.unionByName(extra)
+    results = results.localCheckpoint(eager=True)
+    for t in round_caches:
+        t.unpersist()
     p.unpersist()
     return results
 
