@@ -132,3 +132,81 @@ def test_stream_exact_dedup_stateful(spark, tmp_path):
     run_once()
     got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {1, 3, 11}  # cumulative sink: batch-2 adds only doc 11
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """Sessions continue, close, and split ACROSS micro-batches; closed
+    sessions equal the batch operator's output minus each user's open tail."""
+    import datetime as dt
+
+    from tilematrix_spark.functions import windows
+
+    src = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out_dir = str(tmp_path / "sess_out")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        )
+
+    # batch 1: u1 two events 10min apart (open); u2 one event
+    first = mk([(1, 1, t0), (2, 1, t0 + dt.timedelta(minutes=10)), (3, 2, t0)])
+    first.write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        out = streaming.stream_sessionize(stream, gap_s=1800)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 0  # everything still open
+
+    # batch 2: u1 event 20min after its tail (continues, 30min total is NOT
+    # a split: strict >), then one 31min later (closes session 0);
+    # u2 event 40min after its tail (closes session 0, opens session 1)
+    second = mk(
+        [
+            (4, 1, t0 + dt.timedelta(minutes=30)),
+            (5, 1, t0 + dt.timedelta(minutes=61, seconds=1)),
+            (6, 2, t0 + dt.timedelta(minutes=40)),
+        ]
+    ).filter("event_id > 3")
+    second.write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # u1 session 0: events 1,2,4 spanning 30min; u2 session 0: single event
+    us0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert got[(1, 0)] == (3, us0, us0 + 30 * 60 * 1_000_000)
+    assert got[(2, 0)] == (1, us0, us0)
+    assert len(got) == 2
+
+    # parity: closed streaming sessions == batch sessionize minus open tails
+    all_events = spark.read.parquet(src).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    batch = windows.sessionize(all_events, gap_s=1800).collect()
+    open_tail = {}
+    for r in batch:
+        k = r["user_id"]
+        if k not in open_tail or r["session_idx"] > open_tail[k]:
+            open_tail[k] = r["session_idx"]
+    closed_batch = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in batch
+        if r["session_idx"] != open_tail[r["user_id"]]
+    }
+    assert got == closed_batch
