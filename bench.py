@@ -34,6 +34,9 @@ HEADLINE = [
     "simhash",
     "token_stats",
     "cosine_topk",
+    "phash_near_dup",
+    "user_sessions",
+    "raster_windows",
 ]
 
 
@@ -248,7 +251,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     result = {
-        "metric": "headline-suite wall time, warm best-of-2 per query (tile assignment, covers, kNN, dedup, similarity)",
+        "metric": "headline-suite wall time, warm best-of-2 per query (tile assignment, covers, kNN, dedup, similarity, phash, sessions, raster windows)",
         "value": total,
         "unit": "sec",
         "queries": timings,
