@@ -197,14 +197,11 @@ def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
         scaling_job(s, sf_dir)  # JIT warm-up
         rate = max(scaling_job(s, sf_dir)[0] for _ in range(3))
     elif job == "pip":
-        pip_scaling_job(s, 500_000)  # JIT + Arrow warm-up
-        rate = max(pip_scaling_job(s, 12_000_000) for _ in range(2))
-    elif job == "pip48":
-        # amortized peak: 4x the pair size, one shot at full width — the
-        # headline tiles-assigned/sec number (bigger sets amortize the
-        # per-job flat share; measured 2.5M vs 1.7M pts/s at 12M)
-        pip_scaling_job(s, 1_000_000)
-        rate = pip_scaling_job(s, 48_000_000)
+        # 48M points: long enough (~16-30s/run) that host-state swing can't
+        # dominate a measurement, and the per-job flat share amortizes (12M
+        # runs read 30-70% low and once even inverted the 8/32 pair)
+        pip_scaling_job(s, 1_000_000)  # JIT + Arrow warm-up
+        rate = max(pip_scaling_job(s, 48_000_000) for _ in range(2))
     else:
         verify_scaling_job(s, 20000)
         rate = max(verify_scaling_job(s, 200000) for _ in range(2))
@@ -291,22 +288,19 @@ def main() -> None:
         # python-stage throughput at 32 threads swings 2-3x with invisible
         # host state; a single unlucky subprocess would poison the ratio
         flagship = {}
-        rounds = {"pip": 3, "verify": 2, "tile": 2}  # flagship gets an extra
+        rounds = {"pip": 2, "verify": 2, "tile": 2}
         for tgt, job in ((flagship, "pip"), (compute, "verify"), (stream, "tile")):
             for cpus in ("8", "32") * rounds[job]:
                 tgt[cpus] = max(tgt.get(cpus, 0.0), measure(job, cpus))
-        pip48 = measure("pip48", "32")
         env8 = spin_control(8)
         env32 = spin_control(32)
         result["scaling"] = {
             # FLAGSHIP (BASELINE.json metric): tile-index + PIP join, fused
-            # broadcast lookup + Arrow ray-cast refine, 12M points x 100
+            # broadcast lookup + Arrow ray-cast refine, 48M points x 100
             # 400-vertex polygons
             "pip_join_points_per_sec_local8": round(flagship["8"]),
             "pip_join_points_per_sec_local32": round(flagship["32"]),
             "pip_join_efficiency_8_to_32": round(flagship["32"] / (4 * flagship["8"]), 3),
-            # amortized peak at 4x the pair size (flat share amortized)
-            "pip_join_points_per_sec_local32_48M": round(pip48),
             # streaming kernel: native tile-assign + salted agg (memory-
             # bandwidth-bound on one node; saturates ~4-8 local cores —
             # bandwidth scales with NODES on a real cluster)
