@@ -928,6 +928,47 @@ def sql_minhash_lsh_pairs() -> str:
     """
 
 
+def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup pipeline: LSH band blocking -> exact
+    Jaccard verification on candidates only (filter-refine).  A 0.5-τ pair
+    survives only if BOTH the band join proposed it and the exact overlap
+    confirms it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedupfns.minhash_verified_pairs(docs, num_hashes=16, bands=8, threshold=0.5)
+
+
+def sql_minhash_lsh_verified() -> str:
+    sigs = ", ".join(f"min(md5(shingle || '#{i}')) AS sig{i}" for i in range(16))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(sig{2*b} || '|' || sig{2*b+1}) AS bucket FROM sigs"
+        for b in range(8)
+    )
+    return f"""
+      WITH sh AS ({_SHINGLES_SQL}),
+      sigs AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+      buckets AS ({bands}),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b,
+        round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+      FROM common
+      JOIN counts ca ON ca.doc_id = id_a
+      JOIN counts cb ON cb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= round(0.5, 6)
+    """
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash sketch per document."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1789,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_verified": q_minhash_lsh_verified,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
@@ -1836,6 +1878,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": sql_minhash_signatures(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+        "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),

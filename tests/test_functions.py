@@ -86,6 +86,25 @@ def test_minhash_lsh_recall(spark, docs):
     assert (3, 4) not in got
 
 
+def test_minhash_verified_pairs(spark, docs):
+    """LSH blocking + exact refine: every surviving pair carries the SAME
+    exact jaccard as the full inverted-index operator, and is a subset of
+    it (blocking can only lose pairs, never invent or inflate them)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_verified_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(verified) <= set(exact)
+    for k, v in verified.items():
+        assert v == exact[k], k
+    assert (1, 2) in verified and verified[(1, 2)] == 1.0
+    assert (1, 6) in verified  # 80%-similar pair survives blocking + refine
+
+
 def test_simhash_near_pairs(spark, docs):
     sk = {r["doc_id"]: r["simhash"] for r in dedup.simhash_buckets(docs).collect()}
     assert sk[1] == sk[2]

@@ -168,6 +168,73 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production dedup pipeline in one operator: MinHash-LSH candidate
+    blocking, then EXACT Jaccard verification computed only on the candidate
+    pairs (filter-refine — the same two-phase discipline as the spatial
+    join).  At scale the shingle self-join of ``ngram_jaccard_pairs`` is
+    quadratic in hot shingles; here the exact join touches only
+    |candidates| × doc-shingles rows.  Returns (id_a, id_b, jaccard ≥ τ)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sh = _shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("_id").agg(*aggs)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    buckets = sigs.select(
+        "_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = buckets.localCheckpoint(eager=False)
+    a = buckets.withColumnRenamed("_id", "id_a")
+    b2 = buckets.withColumnRenamed("_id", "id_b")
+    cands = (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact refine on candidates only: common-shingle counts via two joins
+    # (the candidate side is the small side — broadcast)
+    sa = sh.select(F.col("_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("_id").alias("id_b"), "shingle")
+    common = (
+        F.broadcast(cands)
+        .join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_common"))
+    )
+    counts = sh.groupBy("_id").agg(F.count("*").alias("_n_sh"))
+    ca = counts.select(F.col("_id").alias("id_a"), F.col("_n_sh").alias("_na"))
+    cb = counts.select(F.col("_id").alias("id_b"), F.col("_n_sh").alias("_nb"))
+    jac = F.col("_common").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_common")
+    )
+    return (
+        common.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def simhash_buckets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
