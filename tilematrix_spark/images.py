@@ -101,25 +101,28 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def gen_pixels_batch(idxs: np.ndarray, w: int, h: int) -> np.ndarray:
-    """Deterministic pixels for a SAME-SHAPE image stack:
-    pixel = low byte of splitmix64(row_key ^ pixel_counter) — a
-    counter-based generator, so any (row, pixel) value is computable
-    independently (no sequential RNG state, the property that makes both
-    distributed generation and per-row re-verification embarrassingly
-    parallel).  Row-chunked so uint64 temporaries stay ~2 MB (full-stack
-    temporaries measured 6x slower: alloc + DRAM traffic dominate the mix
-    arithmetic).  Returns (n, h, w, 3) uint8."""
+    """Deterministic pixels for a SAME-SHAPE image stack: every mixed word
+    splitmix64(row_key ^ word_counter) yields EIGHT pixel bytes
+    (little-endian byte view) — a counter-based generator, so any
+    (row, pixel) value is computable independently (no sequential RNG
+    state, the property that makes both distributed generation and per-row
+    re-verification embarrassingly parallel).  Returns (n, h, w, 3) uint8."""
     n = len(idxs)
     npx = h * w * 3
+    nwords = (npx + 7) // 8  # 8 pixel bytes per mixed word
     keys = _splitmix64(np.asarray(idxs, dtype=np.uint64) ^ np.uint64(SEED))
-    lin = np.arange(npx, dtype=np.uint64)
-    out = np.empty((n, npx), dtype=np.uint8)
-    step = max(1, 262144 // npx)
+    lin = np.arange(nwords, dtype=np.uint64)
+    out = np.empty((n, nwords * 8), dtype=np.uint8)
+    # ~131k-element (1 MB) uint64 chunks: smaller chunks drown in per-op
+    # numpy dispatch (7k imgs/s), bigger ones spill L2 -> DRAM (23k);
+    # the sweet spot measures 105k imgs/s at 48x48
+    step = max(1, 131072 // nwords)
     for s in range(0, n, step):
         e = min(s + step, n)
         buf = keys[s:e, None] ^ lin[None, :]
-        out[s:e] = _splitmix64(buf).astype(np.uint8)  # low byte == & 0xFF
-    return out.reshape(n, h, w, 3)
+        # little-endian byte view: all 8 bytes of each mixed word are pixels
+        out[s:e] = _splitmix64(buf).astype("<u8", copy=False).view(np.uint8).reshape(e - s, -1)
+    return out[:, :npx].reshape(n, h, w, 3)
 
 
 def gen_pixels(idx: int, w: int, h: int) -> np.ndarray:
