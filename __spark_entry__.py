@@ -997,6 +997,29 @@ def sql_simhash() -> str:
     """
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance-<=1 near-dup pairs via bit-flip explode: each
+    doc probes 17 variants (identity + 16 single-bit flips) and joins on
+    sketch equality — exact-recall blocking for radius 1 without a
+    quadratic self-join (dedup.simhash_near_pairs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedupfns.simhash_near_pairs(docs, radius=1)
+
+
+def sql_simhash_near_pairs() -> str:
+    flips = ", ".join(str(1 << i) for i in range(16))
+    return f"""
+      WITH sk AS ({sql_simhash()}),
+      probes AS (
+        SELECT doc_id AS id_a, xor(simhash::BIGINT, f.flip::BIGINT) AS probe
+        FROM sk, (SELECT unnest([0, {flips}]) AS flip) f
+      ),
+      base AS (SELECT doc_id AS id_b, simhash::BIGINT AS probe FROM sk)
+      SELECT DISTINCT p.id_a, b.id_b
+      FROM probes p JOIN base b ON p.probe = b.probe AND p.id_a < b.id_b
+    """
+
+
 # -- embeddings: similarity ---------------------------------------------------
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1832,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_verified": q_minhash_lsh_verified,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
         "phash_near_dup": q_phash_near_dup,
@@ -1880,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
+        "simhash_near_pairs": sql_simhash_near_pairs(),
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),
         "phash_near_dup": sql_phash_near_dup(),
