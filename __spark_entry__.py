@@ -1375,6 +1375,29 @@ def q_per_row_zoom_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiled.groupBy("zoom", "tile_row", "tile_col").agg(F.count("*").alias("n"))
 
 
+def q_pyramid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass FULL-PYRAMID histogram: every event counted at every
+    zoom 0..5 via one zoom explode + the per-row-zoom assignment path —
+    the declarative form of jobs/assign_pyramid_job (one scan, one
+    aggregation for all 6 levels instead of 6 jobs)."""
+    pts = _events(spark, sf_dir).withColumn(
+        "zoom", F.explode(F.sequence(F.lit(0), F.lit(5)))
+    ).withColumn("zoom", F.col("zoom").cast("int"))
+    tiled = assign.with_tile(
+        pts, GEODETIC, F.col("zoom"), "lon", "lat",
+        out_row="tile_row", out_col="tile_col", out_tile_id=None,
+    )
+    return tiled.groupBy("zoom", "tile_row", "tile_col").agg(F.count("*").alias("n"))
+
+
+def sql_pyramid_counts() -> str:
+    base = sql_per_row_zoom_assign()
+    return base.replace(
+        "SELECT *, CAST(3 + event_id % 5 AS INTEGER) AS zoom FROM",
+        "SELECT *, z.zoom FROM (SELECT unnest([0,1,2,3,4,5])::INTEGER AS zoom) z CROSS JOIN",
+    )
+
+
 def sql_per_row_zoom_assign() -> str:
     # H(z) mirrors exprs.metatile_y_size exactly:
     # ((top-bottom) / (h0 * 2^z * ts)) * ts * mt  with h0=1, ts=256, mt=1
@@ -1829,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_tile_custom_grid": q_point_tile_custom_grid,
         "tile_ids_packed": q_tile_ids_packed,
         "per_row_zoom_assign": q_per_row_zoom_assign,
+        "pyramid_counts": q_pyramid_counts,
         "tile_bounds": q_tile_bounds,
         "tile_shape_pixelbuffer": q_tile_shape_pixelbuffer,
         "tile_shape_metatile": q_tile_shape_metatile,
@@ -1878,6 +1902,7 @@ def oracle_sql() -> dict[str, str]:
         "point_tile_custom_grid": sql_point_tile_custom_grid(),
         "tile_ids_packed": sql_tile_ids_packed(),
         "per_row_zoom_assign": sql_per_row_zoom_assign(),
+        "pyramid_counts": sql_pyramid_counts(),
         "tile_bounds": sql_tile_bounds(),
         "tile_shape_pixelbuffer": sql_tile_shape_pixelbuffer(),
         "tile_shape_metatile": sql_tile_shape_metatile(),
