@@ -61,19 +61,21 @@ _EVENTS_SQL = f"""
 """
 
 
-def _tiles_sql(zoom: int, source: str = "pts") -> str:
-    """SQL mirror of exprs.tile_from_xy (on_edge_use='rb') at ``zoom``."""
-    h = _d(_tile_size(zoom))
-    mw = GEODETIC.matrix_width(zoom)
-    mh = GEODETIC.matrix_height(zoom)
+def _tiles_sql(zoom: int, source: str = "pts", tp: PyramidConfig = GEODETIC) -> str:
+    """SQL mirror of exprs.tile_from_xy (on_edge_use='rb') at ``zoom`` on
+    ``tp`` (metatiling-aware: hx/hy are the metatile map-unit sizes)."""
+    hx = _d(tp.tile_x_size(zoom))
+    hy = _d(tp.tile_y_size(zoom))
+    mw = tp.matrix_width(zoom)
+    mh = tp.matrix_height(zoom)
     return f"""
       SELECT *,
-        CAST(trunc(({_d(TOP)} - lat) / {h}) AS BIGINT) AS tile_row,
+        CAST(trunc(({_d(TOP)} - lat) / {hy}) AS BIGINT) AS tile_row,
         CASE
-          WHEN CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT) = -1 THEN {mw - 1}
-          WHEN CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT) >= {mw}
-            THEN CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT) % {mw}
-          ELSE CAST(trunc((lon - {_d(LEFT)}) / {h}) AS BIGINT)
+          WHEN CAST(trunc((lon - {_d(LEFT)}) / {hx}) AS BIGINT) = -1 THEN {mw - 1}
+          WHEN CAST(trunc((lon - {_d(LEFT)}) / {hx}) AS BIGINT) >= {mw}
+            THEN CAST(trunc((lon - {_d(LEFT)}) / {hx}) AS BIGINT) % {mw}
+          ELSE CAST(trunc((lon - {_d(LEFT)}) / {hx}) AS BIGINT)
         END AS tile_col
       FROM {source}
       WHERE lon >= {_d(LEFT)} AND lon <= {_d(RIGHT)}
@@ -81,9 +83,9 @@ def _tiles_sql(zoom: int, source: str = "pts") -> str:
     """
 
 
-def _valid_sql(zoom: int) -> str:
-    mw = GEODETIC.matrix_width(zoom)
-    mh = GEODETIC.matrix_height(zoom)
+def _valid_sql(zoom: int, tp: PyramidConfig = GEODETIC) -> str:
+    mw = tp.matrix_width(zoom)
+    mh = tp.matrix_height(zoom)
     return f"tile_row >= 0 AND tile_row < {mh} AND tile_col >= 0 AND tile_col < {mw}"
 
 
@@ -354,24 +356,27 @@ def q_cover_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "tile_row", "tile_col")
 
 
-def sql_cover_bbox() -> str:
-    zoom = 4
-    h = _d(_tile_size(zoom))
-    mw = GEODETIC.matrix_width(zoom)
-    mh = GEODETIC.matrix_height(zoom)
+def _cover_sql(boxes_sql: str, zoom: int, tp: PyramidConfig, id_col: str = "event_id") -> str:
+    """Generic SQL mirror of cover.cover_ranges + tiles_from_bounds for any
+    (global geodetic-bounds) pyramid incl. metatiling: clamp y, crossing ->
+    full x range, corner tiles rt/lb edge rules, multipart interval filter.
+    ``hx``/``hy`` are the metatile map-unit sizes (differ when metatiling
+    makes the matrix non-square)."""
+    hx = _d(tp.tile_x_size(zoom))
+    hy = _d(tp.tile_y_size(zoom))
+    mw = tp.matrix_width(zoom)
+    mh = tp.matrix_height(zoom)
     r2 = _d(RIGHT - LEFT)
-    # mirror of cover.cover_ranges: clamp y, crossing -> full x range,
-    # corner tiles rt/lb edge rules, multipart interval filter
     return f"""
-      WITH boxes AS ({_EVENT_BOXES_SQL}),
+      WITH boxes AS ({boxes_sql}),
       rng AS (
-        SELECT event_id, multi, i1l, i1r, i2l, i2r,
-          greatest(CAST(trunc(({_d(TOP)} - ct) / {h}) AS BIGINT), 0) AS row_min,
+        SELECT {id_col}, multi, i1l, i1r, i2l, i2r,
+          greatest(CAST(trunc(({_d(TOP)} - ct) / {hy}) AS BIGINT), 0) AS row_min,
           least(
-            CAST(trunc(({_d(TOP)} - cb) / {h}) AS BIGINT)
-              - CASE WHEN fmod({_d(TOP)} - cb, {h}) = {_d(0.0)} THEN 1 ELSE 0 END,
+            CAST(trunc(({_d(TOP)} - cb) / {hy}) AS BIGINT)
+              - CASE WHEN fmod({_d(TOP)} - cb, {hy}) = {_d(0.0)} THEN 1 ELSE 0 END,
             {mh - 1}) AS row_max,
-          greatest(CAST(trunc((cl - {_d(LEFT)}) / {h}) AS BIGINT), 0) AS col_min,
+          greatest(CAST(trunc((cl - {_d(LEFT)}) / {hx}) AS BIGINT), 0) AS col_min,
           least(
             CASE
               WHEN cr_col = -1 THEN {mw - 1}
@@ -379,11 +384,11 @@ def sql_cover_bbox() -> str:
               ELSE cr_col END,
             {mw - 1}) AS col_max
         FROM (
-          SELECT event_id, multi, i1l, i1r, i2l, i2r, cl, cr, ct, cb,
-            CAST(trunc((cr - {_d(LEFT)}) / {h}) AS BIGINT)
-              - CASE WHEN fmod(cr - {_d(LEFT)}, {h}) = {_d(0.0)} THEN 1 ELSE 0 END AS cr_col
+          SELECT {id_col}, multi, i1l, i1r, i2l, i2r, cl, cr, ct, cb,
+            CAST(trunc((cr - {_d(LEFT)}) / {hx}) AS BIGINT)
+              - CASE WHEN fmod(cr - {_d(LEFT)}, {hx}) = {_d(0.0)} THEN 1 ELSE 0 END AS cr_col
           FROM (
-            SELECT event_id,
+            SELECT {id_col},
               least(bt, {_d(TOP)}) AS ct,
               greatest(bb, {_d(BOTTOM)}) AS cb,
               (bl < {_d(LEFT)} OR br > {_d(RIGHT)}) AS crossing,
@@ -404,22 +409,26 @@ def sql_cover_bbox() -> str:
         )
       ),
       rows_exp AS (
-        SELECT event_id, multi, i1l, i1r, i2l, i2r, col_min, col_max,
+        SELECT {id_col}, multi, i1l, i1r, i2l, i2r, col_min, col_max,
                unnest(generate_series(row_min, row_max)) AS tile_row
         FROM rng WHERE row_min <= row_max
       ),
       cells AS (
-        SELECT event_id, multi, i1l, i1r, i2l, i2r, tile_row,
+        SELECT {id_col}, multi, i1l, i1r, i2l, i2r, tile_row,
                unnest(generate_series(col_min, col_max)) AS tile_col
         FROM rows_exp WHERE col_min <= col_max
       )
-      SELECT event_id, tile_row, tile_col FROM cells
+      SELECT {id_col}, tile_row, tile_col FROM cells
       WHERE NOT multi
-         OR (({_d(LEFT)} + tile_col * {h}) <= i1r
-             AND least(({_d(LEFT)} + tile_col * {h}) + {h}, {_d(RIGHT)}) >= i1l)
-         OR (({_d(LEFT)} + tile_col * {h}) <= i2r
-             AND least(({_d(LEFT)} + tile_col * {h}) + {h}, {_d(RIGHT)}) >= i2l)
+         OR (({_d(LEFT)} + tile_col * {hx}) <= i1r
+             AND least(({_d(LEFT)} + tile_col * {hx}) + {hx}, {_d(RIGHT)}) >= i1l)
+         OR (({_d(LEFT)} + tile_col * {hx}) <= i2r
+             AND least(({_d(LEFT)} + tile_col * {hx}) + {hx}, {_d(RIGHT)}) >= i2l)
     """
+
+
+def sql_cover_bbox() -> str:
+    return _cover_sql(_EVENT_BOXES_SQL, 4, GEODETIC)
 
 
 def q_cover_multizoom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1604,21 +1613,37 @@ def sql_pip_join_regions() -> str:
 
 def q_verify_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row invariant gate over the synthetic images table: decoded-pixel
-    allclose / PSNR >= 40 dB + caption + phash equality (rows-only; images
-    are generated, not in the testdata views)."""
+    allclose / PSNR >= 40 dB + caption + phash equality, aggregated per
+    format × check-status so the driver gate sees any verification
+    regression as oracle-visible row/count diffs (a failing image creates a
+    new (fmt, false, ...) group).  The oracle pins the golden outcome — all
+    2000 rows verify, split 1600 raw / 400 q8 by the idx%5 format rule —
+    while the Spark side does the actual decode + PSNR + phash work
+    (pixel-level exactness is additionally pinned by pytest)."""
     from tilematrix_spark import images as imglib
     from tilematrix_spark import raster
 
     df = imglib.images_df(spark, 2000, partitions=16)
     v = raster.verify_images(df)
-    return v.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("ok").cast("long")).alias("n_ok"),
-        F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
-        F.sum(F.col("caption_ok").cast("long")).alias("n_caption_ok"),
-        F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok"),
-        F.round(F.min("psnr"), 3).alias("min_psnr"),
+    return (
+        v.groupBy("fmt", "pixels_ok", "caption_ok", "phash_ok")
+        .agg(F.count("*").alias("n"))
     )
+
+
+def sql_verify_images() -> str:
+    """Golden outcome of the per-row invariant over images 0..1999: every
+    check passes; group counts follow the idx%5 format rule (images.row_fmt).
+    Not a pixel re-computation (binary decode is not SQL-expressible) — but
+    any Spark-side verification failure produces new groups / shifted counts
+    and fails the value hash."""
+    return """
+      SELECT CASE WHEN idx % 5 = 0 THEN 'q8' ELSE 'raw' END AS fmt,
+             TRUE AS pixels_ok, TRUE AS caption_ok, TRUE AS phash_ok,
+             count(*) AS n
+      FROM (SELECT unnest(generate_series(0, 1999)) AS idx)
+      GROUP BY 1
+    """
 
 
 def q_raster_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1791,9 +1816,41 @@ def q_raster_windows_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-ANN (coarse-quantizer cells + nprobe probe + exact re-rank)
-    reported as recall@1 against brute force (rows-only; the k-means
-    quantizer is not SQL-expressible)."""
+    """IVF-ANN top-3 at FULL probe (nprobe = n_centroids): the quantizer,
+    cell assignment, probe join and exact re-rank all execute, and full
+    probe makes the candidate union provably the whole corpus — so the
+    DuckDB brute-force top-k is an exact value oracle for the entire IVF
+    pipeline (the sampled-k-means internals cancel out by construction)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 32).select(F.col("vec_id").alias("qid"), "embedding")
+    out = simfns.ivf_topk(queries, emb, k=3, n_centroids=16, nprobe=16)
+    return out.select("qid", "vec_id", F.col("rank").cast("int").alias("rank"))
+
+
+def sql_ann_ivf_topk() -> str:
+    """Full-probe IVF == brute force (every corpus vector is probed exactly
+    once), so the oracle is the brute-force cosine top-3."""
+    return """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 32),
+      c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      scored AS (
+        SELECT q.qid, c.vec_id,
+          round(list_dot_product(q.qv, c.cv)
+            / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM q CROSS JOIN c WHERE q.qid <> c.vec_id
+      )
+      SELECT qid, vec_id, rank::INTEGER AS rank FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 3
+    """
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN with nprobe < n_centroids reported as recall@1 against brute
+    force (rows-only: the sampled-k-means quantizer's candidate PRUNING is
+    not SQL-expressible; the full-probe path above is the value-oracled
+    query, and pytest pins full-probe == brute force)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 32).select(F.col("vec_id").alias("qid"), "embedding")
     exact = simfns.cosine_topk(queries, emb, k=1, query_id="qid")
@@ -1806,22 +1863,278 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: portable-LSH parameters shared by the Spark query and its SQL oracle
+_ANN_LSH_DIM = 64
+_ANN_LSH_BITS = 32
+_ANN_LSH_BANDS = 4
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via sign-LSH buckets + exact re-rank, reported as
-    recall@1 against brute force (rows-only; hyperplane hashing is not
-    SQL-expressible)."""
+    """Approximate NN via PORTABLE sign-LSH (md5-derived ±1 planes over
+    integer-quantized vectors — bucket assignment is integer-exact, so the
+    DuckDB oracle mirrors the full pipeline: bucketing, band-join candidate
+    generation, exact cosine re-rank) emitting the top-3 rows per query."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 32).select(F.col("vec_id").alias("qid"), "embedding")
-    exact = simfns.cosine_topk(queries, emb, k=1, query_id="qid")
-    approx = simfns.lsh_topk(queries, emb, k=1, dim=64, num_bits=16, bands=8)
-    hits = exact.withColumnRenamed("vec_id", "e_id").join(
-        approx.withColumnRenamed("vec_id", "a_id"), ["qid", "rank"], "left"
-    ).select(
-        "qid", (F.col("e_id") == F.col("a_id")).cast("int").alias("hit")
+    out = simfns.lsh_topk(
+        queries, emb, k=3, dim=_ANN_LSH_DIM,
+        num_bits=_ANN_LSH_BITS, bands=_ANN_LSH_BANDS, portable=True,
     )
-    return hits.agg(
-        F.count("*").alias("n_queries"), F.sum("hit").alias("recall_at_1_hits")
+    return out.select("qid", "vec_id", F.col("rank").cast("int").alias("rank"))
+
+
+def sql_ann_lsh_topk() -> str:
+    """Full SQL mirror of the portable LSH pipeline: quantize
+    floor(v*1000+0.5) (exact double op both engines), project onto the same
+    md5-derived ±1 planes (inlined literals; integer sums are exact in
+    double), pack band keys, candidates = share ≥1 band bucket, exact
+    cosine top-3 re-rank with the same rounding and tie order."""
+    planes = simfns.portable_sign_planes(_ANN_LSH_DIM, _ANN_LSH_BITS)
+    bpb = _ANN_LSH_BITS // _ANN_LSH_BANDS
+    band_exprs = []
+    for b in range(_ANN_LSH_BANDS):
+        terms = []
+        for j in range(bpb):
+            plane = planes[:, b * bpb + j]
+            lit = "[" + ", ".join(f"{int(s)}.0" for s in plane) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(iv, {lit}) > 0.0 THEN {1 << j} ELSE 0 END"
+            )
+        band_exprs.append("(" + " + ".join(terms) + f") AS bk{b}")
+    bands_sel = ",\n          ".join(band_exprs)
+    on = " OR ".join(f"q.bk{b} = c.bk{b}" for b in range(_ANN_LSH_BANDS))
+    return f"""
+      WITH keyed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          {bands_sel}
+        FROM (
+          SELECT vec_id, embedding,
+            list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0 + 0.5)) AS iv
+          FROM embeddings
+        )
+      ),
+      q AS (SELECT * FROM keyed WHERE vec_id < 32),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+        FROM q JOIN keyed c ON ({on})
+        WHERE q.vec_id <> c.vec_id
+      ),
+      scored AS (
+        SELECT cand.qid, cand.cid AS vec_id,
+          round(list_dot_product(q.v, c.v)
+            / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        FROM cand
+        JOIN q ON cand.qid = q.vec_id
+        JOIN keyed c ON cand.cid = c.vec_id
+      )
+      SELECT qid, vec_id, rank::INTEGER AS rank FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 3
+    """
+
+
+GEO_MT4 = PyramidConfig.create("geodetic", metatiling=4)
+
+
+def q_cover_bbox_mt4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25-O27 bbox cover on the METATILED (mt=4) geodetic pyramid at z4 —
+    metatile-sized corner math + matrix dims (reference `_funcs.py:220-237`
+    with metatiling; mirrors test_tile_shapes' mt>1 cases relationally)."""
+    boxes = _event_boxes(spark, sf_dir)
+    out = cover.tiles_from_bounds(
+        boxes, GEO_MT4, 4, left="bl", bottom="bb", right="br", top="bt",
+        out_row="tile_row", out_col="tile_col",
     )
+    return out.select("event_id", "tile_row", "tile_col")
+
+
+def sql_cover_bbox_mt4() -> str:
+    return _cover_sql(_EVENT_BOXES_SQL, 4, GEO_MT4)
+
+
+def _event_boxes_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continent-scale boxes (20-50° x 10-26°, some antimeridian) whose z6
+    covers exceed the explode cap — the auto-split exercise."""
+    pts = _events(spark, sf_dir).filter(F.col("event_id") % 100 == 0)
+    w = F.lit(20.0) + (F.col("event_id") % 7).cast("double") * F.lit(5.0)
+    h = F.lit(10.0) + (F.col("event_id") % 5).cast("double") * F.lit(4.0)
+    left = F.when(F.col("event_id") % 300 == 0, F.lit(170.0)).otherwise(F.col("lon"))
+    return pts.select(
+        "event_id",
+        left.alias("bl"),
+        F.greatest(F.col("lat") - h, F.lit(-90.0)).alias("bb"),
+        (left + w).alias("br"),
+        F.least(F.col("lat") + h, F.lit(90.0)).alias("bt"),
+    )
+
+
+_LARGE_BOXES_SQL = f"""
+  SELECT event_id,
+    CASE WHEN event_id % 300 = 0 THEN {_d(170.0)} ELSE lon END AS bl,
+    greatest(lat - ({_d(10.0)} + CAST(event_id % 5 AS DOUBLE) * {_d(4.0)}), {_d(-90.0)}) AS bb,
+    (CASE WHEN event_id % 300 = 0 THEN {_d(170.0)} ELSE lon END)
+      + ({_d(20.0)} + CAST(event_id % 7 AS DOUBLE) * {_d(5.0)}) AS br,
+    least(lat + ({_d(10.0)} + CAST(event_id % 5 AS DOUBLE) * {_d(4.0)}), {_d(90.0)}) AS bt
+  FROM ({_EVENTS_SQL}) WHERE event_id % 100 = 0
+"""
+
+
+def q_cover_bbox_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode-cap AUTO-SPLIT (SURVEY §4): continent-sized z6 covers above
+    max_cover_tiles=48 are row-band pre-split before the tile explode —
+    results must equal the uncapped cover exactly, which is what the oracle
+    computes (it knows nothing of the cap)."""
+    boxes = _event_boxes_large(spark, sf_dir)
+    out = cover.tiles_from_bounds(
+        boxes, GEODETIC, 6, left="bl", bottom="bb", right="br", top="bt",
+        out_row="tile_row", out_col="tile_col",
+        max_cover_tiles=48, oversize="split",
+    )
+    return out.select("event_id", "tile_row", "tile_col")
+
+
+def sql_cover_bbox_split() -> str:
+    return _cover_sql(_LARGE_BOXES_SQL, 6, GEODETIC)
+
+
+def q_neighbors_mt4_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 neighbors × metatiling × pixelbuffer combined (reference
+    test_tile_shapes.py:112-177 relationally): 8-connected neighbors of the
+    mt=4 z3 tiles hit by events, each neighbor with its pixelbuffer=8
+    BOUNDS (global top/bottom clamp) and SHAPE (first/last-row one-sided
+    buffer rule — on the 2-row mt4 matrix every tile is an edge row)."""
+    pts = _events(spark, sf_dir)
+    tiled = assign.with_tile(pts, GEO_MT4, 3, "lon", "lat", out_tile_id=None)
+    tiles = tiled.select(F.lit(3).alias("zoom"), "row", "col").distinct()
+    nb = hierarchy.neighbors(tiles, GEO_MT4, "zoom", "row", "col")
+    b = exprs.tile_bounds(GEO_MT4, 3, "neighbor_row", "neighbor_col", 8)
+    s = exprs.tile_shape(GEO_MT4, 3, "neighbor_row", "neighbor_col", 8)
+    return nb.select(
+        F.col("row").alias("tile_row"), F.col("col").alias("tile_col"),
+        "neighbor_row", "neighbor_col",
+        b["left"].alias("n_left"), b["bottom"].alias("n_bottom"),
+        b["right"].alias("n_right"), b["top"].alias("n_top"),
+        s["height"].cast("long").alias("n_height"),
+        s["width"].cast("long").alias("n_width"),
+    )
+
+
+def sql_neighbors_mt4_buffered() -> str:
+    zoom = 3
+    tp = GEO_MT4
+    mh, mw = tp.matrix_height(zoom), tp.matrix_width(zoom)
+    hx = _d(tp.tile_x_size(zoom))
+    hy = _d(tp.tile_y_size(zoom))
+    px = _d(tp.pixel_x_size(zoom))
+    py = _d(tp.pixel_y_size(zoom))
+    pb = 8
+    off = f"({px} * {_d(float(pb))})"
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}),
+      tiled AS ({_tiles_sql(zoom, tp=tp)}),
+      tiles AS (SELECT DISTINCT tile_row, tile_col FROM tiled WHERE {_valid_sql(zoom, tp)}),
+      offs AS (SELECT * FROM (VALUES (-1,0),(0,1),(1,0),(0,-1),(-1,1),(1,1),(1,-1),(-1,-1)) AS t(dr, dc)),
+      nb AS (
+        SELECT DISTINCT tile_row, tile_col,
+               tile_row + dr AS neighbor_row,
+               ((tile_col + dc) % {mw} + {mw}) % {mw} AS neighbor_col
+        FROM tiles CROSS JOIN offs
+        WHERE tile_row + dr >= 0 AND tile_row + dr < {mh}
+          AND NOT (tile_row + dr = tile_row AND ((tile_col + dc) % {mw} + {mw}) % {mw} = tile_col)
+      ),
+      base AS (
+        SELECT *,
+          {_d(TOP)} - neighbor_row * {hy} AS top_b,
+          greatest(({_d(TOP)} - neighbor_row * {hy}) - {hy}, {_d(BOTTOM)}) AS bottom_b,
+          {_d(LEFT)} + neighbor_col * {hx} AS left_b,
+          least(({_d(LEFT)} + neighbor_col * {hx}) + {hx}, {_d(RIGHT)}) AS right_b
+        FROM nb
+      )
+      SELECT tile_row, tile_col, neighbor_row, neighbor_col,
+        left_b - {off} AS n_left,
+        greatest(bottom_b - {off}, {_d(BOTTOM)}) AS n_bottom,
+        right_b + {off} AS n_right,
+        least(top_b + {off}, {_d(TOP)}) AS n_top,
+        CAST(round((top_b - bottom_b) / {py}, 0) AS BIGINT)
+          + CASE WHEN {mh} = 1 THEN 0
+                 WHEN neighbor_row IN (0, {mh - 1}) THEN {pb}
+                 ELSE {2 * pb} END AS n_height,
+        CAST(round((right_b - left_b) / {px}, 0) AS BIGINT) + {2 * pb} AS n_width
+      FROM base
+    """
+
+
+def q_stream_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming batch-parity gate: the events parquet replayed
+    as a stream (availableNow) through the SAME tile-assignment expressions
+    (streaming.stream_tile_counts: watermark + 1-day tumbling window +
+    per-tile counts at z4), collected via a memory sink — the oracle is the
+    equivalent batch aggregation, so the streaming path is value-gated."""
+    import tempfile
+    import uuid
+
+    from tilematrix_spark import streaming as streamlib
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # events.parquet is a single file; FileStreamSource needs a directory
+    # base path, so stream the parent dir with a glob filter
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    lon = F.lit(-180.0) + (F.col("event_id") * F.lit(PHI1)) % F.lit(1.0) * F.lit(360.0)
+    lat = F.lit(-90.0) + (F.col("event_id") * F.lit(PHI2)) % F.lit(1.0) * F.lit(180.0)
+    # NTZ parquet timestamps -> raw epoch micros -> TIMESTAMP, tz-free: the
+    # watermark/window then align on the same integer micros the oracle uses
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    src = (
+        src.withColumn("lon", lon)
+        .withColumn("lat", lat)
+        .withColumn("ts_utc", F.timestamp_micros(us))
+    )
+    agg = streamlib.stream_tile_counts(
+        src, GEODETIC, 4, ts_col="ts_utc", window_duration="1 day", watermark="1 hour"
+    )
+    name = "stream_tile_counts_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="tmx_stream_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros(F.col("window.start")).alias("win_start_us"),
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        "n",
+    )
+
+
+def sql_stream_tile_counts() -> str:
+    """Batch mirror: 1-day tumbling windows are epoch-aligned floor division
+    of the raw event-time microseconds (Spark TimeWindow semantics)."""
+    day_us = 86_400_000_000
+    return f"""
+      WITH pts AS (
+        SELECT event_id, ts,
+               {_d(-180.0)} + fmod(event_id * {_d(PHI1)}, {_d(1.0)}) * {_d(360.0)} AS lon,
+               {_d(-90.0)} + fmod(event_id * {_d(PHI2)}, {_d(1.0)}) * {_d(180.0)} AS lat
+        FROM events
+      ),
+      tiled AS ({_tiles_sql(4)})
+      SELECT (epoch_us(ts) // {day_us}) * {day_us} AS win_start_us,
+             tile_row, tile_col, count(*) AS n
+      FROM tiled WHERE {_valid_sql(4)}
+      GROUP BY 1, 2, 3
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1860,13 +2173,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_rollup": q_parent_rollup,
         "children": q_children,
         "neighbors": q_neighbors,
+        "neighbors_mt4_buffered": q_neighbors_mt4_buffered,
         "cover_bbox": q_cover_bbox,
+        "cover_bbox_mt4": q_cover_bbox_mt4,
+        "cover_bbox_split": q_cover_bbox_split,
         "cover_multizoom": q_cover_multizoom,
         "snap_bounds": q_snap_bounds,
         "intersecting": q_intersecting,
         "intersecting_down": q_intersecting_down,
         "knn": q_knn,
         "events_topk_window": q_events_topk_window,
+        "stream_tile_counts": q_stream_tile_counts,
         "user_sessions": q_user_sessions,
         "tile_quantiles": q_tile_quantiles,
         "dedup_exact": q_dedup_exact,
@@ -1891,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_windows_buffered": q_raster_windows_buffered,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_recall": q_ann_ivf_recall,
     }
 
 
@@ -1910,13 +2228,17 @@ def oracle_sql() -> dict[str, str]:
         "parent_rollup": sql_parent_rollup(),
         "children": sql_children(),
         "neighbors": sql_neighbors(),
+        "neighbors_mt4_buffered": sql_neighbors_mt4_buffered(),
         "cover_bbox": sql_cover_bbox(),
+        "cover_bbox_mt4": sql_cover_bbox_mt4(),
+        "cover_bbox_split": sql_cover_bbox_split(),
         "cover_multizoom": sql_cover_multizoom(),
         "snap_bounds": sql_snap_bounds(),
         "intersecting": sql_intersecting(),
         "intersecting_down": sql_intersecting_down(),
         "knn": sql_knn(),
         "events_topk_window": sql_events_topk_window(),
+        "stream_tile_counts": sql_stream_tile_counts(),
         "user_sessions": sql_user_sessions(),
         "tile_quantiles": sql_tile_quantiles(),
         "dedup_exact": sql_dedup_exact(),
@@ -1936,10 +2258,13 @@ def oracle_sql() -> dict[str, str]:
         "geom_tiles_boxes": sql_geom_tiles_boxes(),
         "geom_tiles_exact": sql_geom_tiles_exact(),
         "pip_join_regions": sql_pip_join_regions(),
+        "verify_images": sql_verify_images(),
         "raster_windows": sql_raster_windows(),
         "raster_windows_buffered": sql_raster_windows(pixelbuffer=12),
-        # verify_images / ann_lsh_topk / ann_ivf_topk: deliberately no oracle
-        # (binary image decode, seeded-hyperplane LSH, and k-means quantizers
-        # are not SQL-expressible) -> the driver records the weaker rows-only
-        # check; pytest pins exactness (incl. IVF nprobe=all == brute force)
+        "ann_lsh_topk": sql_ann_lsh_topk(),
+        "ann_ivf_topk": sql_ann_ivf_topk(),
+        # ann_ivf_recall: deliberately no oracle — the sampled-k-means
+        # quantizer's candidate PRUNING at nprobe < n_centroids is not
+        # SQL-expressible; the full-probe path (ann_ivf_topk) is the
+        # value-oracled query and pytest pins full-probe == brute force.
     }

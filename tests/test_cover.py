@@ -90,9 +90,36 @@ def test_cover_oversize_guard(spark, geodetic):
         [(0.0, 0.0, 90.0, 90.0), (0.0, 0.0, 0.5, 0.5)],
         "left double, bottom double, right double, top double",
     )
-    out = cover.tiles_from_bounds(df, geodetic, 8, max_cover_tiles=100)
+    out = cover.tiles_from_bounds(df, geodetic, 8, max_cover_tiles=100, oversize="drop")
     # the 128x128 cover is dropped; the small one stays
     assert out.count() == 1
+
+
+def test_cover_oversize_split_complete(spark, geodetic):
+    """oversize='split' (the default) row-bands covers above the cap BEFORE
+    the explode: results must equal the uncapped cover exactly, and every
+    band's candidate block must stay within the cap."""
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 90.0, 90.0), (2, 0.0, 0.0, 0.5, 0.5), (3, 170.0, -10.0, 190.0, 10.0)],
+        "id int, left double, bottom double, right double, top double",
+    )
+    plain = {
+        (r["id"], r["row"], r["col"])
+        for r in cover.tiles_from_bounds(df, geodetic, 8).collect()
+    }
+    split = {
+        (r["id"], r["row"], r["col"])
+        for r in cover.tiles_from_bounds(df, geodetic, 8, max_cover_tiles=100).collect()
+    }
+    assert split == plain
+    # the 128x128 cover (16384 tiles) was emitted complete despite cap=100
+    assert sum(1 for t in split if t[0] == 1) == 128 * 128
+    # band width: floor(100/128 cols) -> 1 row per band => per-band explode
+    # of 128 <= ~cap tiles; verify via the plan that a band explode exists
+    plan = cover.tiles_from_bounds(
+        df, geodetic, 8, max_cover_tiles=100
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Generate") >= 3  # band + row + col explodes
 
 
 def test_cover_multiple_rows_independent(spark, geodetic):

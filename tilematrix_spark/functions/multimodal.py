@@ -48,26 +48,47 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _shape_groups(pdf: pd.DataFrame):
+    """Yield (w, h, fmt, positions) same-shape groups of an Arrow batch —
+    the shared vectorization pattern (raster.verify_images uses it too):
+    per-image decode is unavoidable, but all statistics run once per group
+    over an (n, h, w, 3) stack instead of per row."""
+    pos = np.arange(len(pdf))
+    key = pd.MultiIndex.from_arrays([pdf["w"].values, pdf["h"].values, pdf["fmt"].values])
+    for (w, h, fmt), grp in pd.Series(pos).groupby(key, sort=False):
+        yield int(w), int(h), str(fmt), grp.to_numpy()
+
+
 def extract_image_features(df: DataFrame) -> DataFrame:
-    """Per-image channel means, gray stddev, and average-hash — Arrow-batched."""
+    """Per-image channel means, gray stddev, and average-hash — Arrow-batched
+    and vectorized per (w, h, fmt) shape group: one stacked mean/std/hash
+    pass per group, no per-row Python statistics."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for rec in pdf.itertuples(index=False):
-                px = decode_image(rec.bytes, rec.w, rec.h, rec.fmt).astype(np.float64)
-                gray = px.mean(axis=2)
-                out.append(
-                    {
-                        "image_id": rec.image_id,
-                        "mean_r": float(px[:, :, 0].mean()),
-                        "mean_g": float(px[:, :, 1].mean()),
-                        "mean_b": float(px[:, :, 2].mean()),
-                        "std_gray": float(gray.std()),
-                        "phash": imglib.average_hash(px.astype(np.uint8)),
-                    }
-                )
-            yield pd.DataFrame(out)
+            m = len(pdf)
+            if m == 0:
+                continue
+            mean_rgb = np.empty((m, 3), dtype=np.float64)
+            std_gray = np.empty(m, dtype=np.float64)
+            phash = np.empty(m, dtype=np.int64)
+            for w, h, fmt, ii in _shape_groups(pdf):
+                stack = np.stack(
+                    [decode_image(pdf["bytes"].iat[i], w, h, fmt) for i in ii]
+                ).astype(np.float64)
+                mean_rgb[ii] = stack.mean(axis=(1, 2))
+                std_gray[ii] = stack.mean(axis=3).std(axis=(1, 2))
+                phash[ii] = imglib.average_hash_batch(stack.astype(np.uint8))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].values,
+                    "mean_r": mean_rgb[:, 0],
+                    "mean_g": mean_rgb[:, 1],
+                    "mean_b": mean_rgb[:, 2],
+                    "std_gray": std_gray,
+                    "phash": phash,
+                }
+            )
 
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, _FEATURES_SCHEMA)
 
@@ -87,24 +108,32 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize to (out_w, out_h); output fmt is ``raw``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys = None
         for pdf in batches:
-            out = []
-            for rec in pdf.itertuples(index=False):
-                px = decode_image(rec.bytes, rec.w, rec.h, rec.fmt)
-                ys = (np.arange(out_h) * rec.h) // out_h
-                xs = (np.arange(out_w) * rec.w) // out_w
-                resized = px[ys][:, xs]
-                out.append(
-                    {
-                        "image_id": rec.image_id,
-                        "bytes": resized.tobytes(),
-                        "w": out_w,
-                        "h": out_h,
-                        "fmt": "raw",
-                    }
+            m = len(pdf)
+            if m == 0:
+                continue
+            data: list = [None] * m
+            for w, h, fmt, ii in _shape_groups(pdf):
+                # index maps are shared by the whole shape group: one fancy
+                # index over the (n, h, w, 3) stack resizes every image
+                stack = np.stack(
+                    [decode_image(pdf["bytes"].iat[i], w, h, fmt) for i in ii]
                 )
-            yield pd.DataFrame(out)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = np.ascontiguousarray(stack[:, ys][:, :, xs])
+                flat = resized.reshape(len(ii), -1)
+                for j, i in enumerate(ii):
+                    data[i] = flat[j].tobytes()
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].values,
+                    "bytes": data,
+                    "w": np.full(m, out_w, dtype=np.int32),
+                    "h": np.full(m, out_h, dtype=np.int32),
+                    "fmt": ["raw"] * m,
+                }
+            )
 
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, _RESIZE_SCHEMA)
 

@@ -77,6 +77,26 @@ def _hyperplanes(dim: int, num_bits: int, seed: int = 1234) -> np.ndarray:
     return rng.standard_normal((dim, num_bits))
 
 
+#: quantization scale for the portable (oracle-mirrorable) LSH variant
+PORTABLE_SCALE = 1000.0
+
+
+def portable_sign_planes(dim: int, num_bits: int) -> np.ndarray:
+    """±1 hyperplane matrix derived from md5 — a Rademacher projection that
+    any engine can reproduce exactly (a SQL oracle inlines it as literals;
+    sign(i, j) = +1 iff the first md5 hex digit of ``"lsh_i_j"`` is even).
+    Combined with integer quantization of the input vectors, bucket
+    assignment is bit-exact across engines: no float-summation-order risk."""
+    import hashlib
+
+    signs = np.empty((dim, num_bits), dtype=np.int64)
+    for j in range(num_bits):
+        for i in range(dim):
+            digit = int(hashlib.md5(f"lsh_{i}_{j}".encode()).hexdigest()[0], 16)
+            signs[i, j] = 1 if digit % 2 == 0 else -1
+    return signs
+
+
 def with_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -84,25 +104,36 @@ def with_lsh_buckets(
     bands: int = 4,
     vec_col: str = "embedding",
     seed: int = 1234,
+    portable: bool = False,
 ) -> DataFrame:
     """Add ``bucket_0..bucket_{bands-1}`` sign-LSH band keys — one Arrow
-    matmul per batch (vectorized; no per-row Python)."""
+    matmul + one reshape-matmul per batch (fully vectorized; no per-row
+    Python).
+
+    ``portable=True`` swaps the Gaussian hyperplanes for md5-derived ±1
+    planes over integer-quantized vectors (``floor(v*1000 + 0.5)``) so a SQL
+    oracle can mirror bucket assignment exactly: every projection is a sum
+    of ≤2^26-magnitude integers, exact in IEEE double regardless of
+    summation order.
+    """
     if num_bits % bands:
         raise ValueError("num_bits must be divisible by bands")
     bits_per_band = num_bits // bands
-    planes = _hyperplanes(dim, num_bits, seed)
+    planes = (
+        portable_sign_planes(dim, num_bits).astype(np.float64)
+        if portable
+        else _hyperplanes(dim, num_bits, seed)
+    )
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def band_keys(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        if portable:
+            mat = np.floor(mat * PORTABLE_SCALE + 0.5)
         signs = (mat @ planes) > 0  # (n, num_bits)
-        weights = 1 << np.arange(bits_per_band)
-        out = []
-        for row in signs:
-            out.append(
-                [int(row[b * bits_per_band:(b + 1) * bits_per_band] @ weights) for b in range(bands)]
-            )
-        return pd.Series(out)
+        keys = signs.reshape(-1, bands, bits_per_band).astype(np.int64) @ weights
+        return pd.Series(keys.astype(np.int32).tolist())
 
     out = df.withColumn("_bands", band_keys(F.col(vec_col)))
     for b in range(bands):
@@ -122,16 +153,19 @@ def lsh_topk(
     num_bits: int = 16,
     bands: int = 4,
     seed: int = 1234,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share ≥1 LSH band bucket, then
-    exact re-rank.  Recall grows with bands; verify against cosine_topk."""
+    exact re-rank.  Recall grows with bands; verify against cosine_topk.
+    ``portable=True`` uses the md5-derived integer-exact planes (see
+    with_lsh_buckets) so a SQL oracle can mirror the whole pipeline."""
     qb = with_lsh_buckets(
         queries.select(F.col(query_id).alias("_qid"), F.col(q_vec).alias("_qv")),
-        dim, num_bits, bands, "_qv", seed,
+        dim, num_bits, bands, "_qv", seed, portable,
     )
     cb = with_lsh_buckets(
         corpus.select(F.col(corpus_id), F.col(c_vec).alias("_cv")),
-        dim, num_bits, bands, "_cv", seed,
+        dim, num_bits, bands, "_cv", seed, portable,
     )
     cands = None
     for b in range(bands):

@@ -24,8 +24,9 @@ Scale notes
 * A continent-sized box at high zoom explodes to a huge tile set.  The
   row-axis explode happens first; pass ``repartition_after_rows`` to spread
   row-bands across the cluster before the column explode (explode-cap
-  pattern, SURVEY §4).  ``max_cover_tiles`` drops covers larger than a bound
-  into quarantine (``_tmx_oversize`` rows) instead of OOMing an executor.
+  pattern, SURVEY §4).  With ``max_cover_tiles`` set, oversized covers are
+  by default row-band SPLIT before the explode (complete results, bounded
+  per-step generate size); ``oversize="drop"`` quarantines them instead.
 * Row-major ordering (the reference generator's contract) is a physical
   concern: ``.orderBy("row","col")`` at the sink, or
   ``repartitionByRange`` + ``sortWithinPartitions`` for batch-by-row parity.
@@ -150,27 +151,69 @@ def tiles_from_bounds(
     out_col: str = "col",
     repartition_after_rows: Optional[int] = None,
     max_cover_tiles: Optional[int] = None,
+    oversize: str = "split",
 ) -> DataFrame:
     """Explode each input row into the tiles its bbox intersects.
 
     Output: input columns + ``out_row``/``out_col`` (long).  Rows whose bbox
     yields no tiles produce no output rows.  If ``max_cover_tiles`` is set,
-    oversized covers are dropped and flagged via ``_tmx_oversize`` (caller
-    can route them to a quarantine sink before this operator).
+    covers above the cap are handled per ``oversize``:
+
+    * ``"split"`` (default): the row range is pre-split into row bands of at
+      most ``ceil(max_cover_tiles / cols)`` rows each (a cheap extra explode
+      BEFORE the big one), so no single generate step blows past the cap and
+      ``repartition_after_rows`` can spread a continent×z20 cover across the
+      cluster band-by-band — results are complete and identical to the
+      uncapped cover.
+    * ``"drop"``: oversized covers are dropped (quarantine; the caller can
+      route them to an error sink by testing ``cover_size`` beforehand).
     """
+    if oversize not in ("split", "drop"):
+        raise ValueError(f"oversize must be 'split' or 'drop', got {oversize!r}")
     ranges = cover_ranges(tp, zoom, left, bottom, right, top)
     df = df.withColumn("_tmx", ranges)
-    if max_cover_tiles is not None:
+    if max_cover_tiles is not None and oversize == "drop":
         df = df.withColumn("_tmx_oversize", cover_size(F.col("_tmx")) > max_cover_tiles)
         df = df.filter(~F.col("_tmx_oversize")).drop("_tmx_oversize")
 
-    row_seq = F.when(
-        F.col("_tmx.row_min") <= F.col("_tmx.row_max"),
-        F.sequence(F.col("_tmx.row_min"), F.col("_tmx.row_max")),
-    ).otherwise(F.array().cast("array<long>"))
-    df = df.withColumn(out_row, F.explode(row_seq))
-    if repartition_after_rows:
-        df = df.repartition(repartition_after_rows)
+    if max_cover_tiles is not None and oversize == "split":
+        # row-band pre-split (SURVEY §4 explode-cap): band_rows rows per
+        # band keeps band_rows*cols <= max_cover_tiles (bands of a single
+        # row when one row alone exceeds the cap — the col explode is then
+        # the irreducible unit).  The band explode emits ~size/cap rows per
+        # input row — negligible next to the tile explode it bounds.
+        rows_n = F.col("_tmx.row_max") - F.col("_tmx.row_min") + 1
+        cols_n = F.col("_tmx.col_max") - F.col("_tmx.col_min") + 1
+        band_rows = F.greatest(
+            F.floor(F.lit(int(max_cover_tiles)) / cols_n).cast("long"), F.lit(1).cast("long")
+        )
+        n_bands = F.ceil(rows_n.cast("double") / band_rows.cast("double")).cast("long")
+        band = F.explode(
+            F.when(
+                (rows_n > 0) & (cols_n > 0), F.sequence(F.lit(0).cast("long"), n_bands - 1)
+            ).otherwise(F.array().cast("array<long>"))
+        )
+        df = (
+            df.withColumn("_tmx_band", band)
+            .withColumn("_tmx_row_lo", F.col("_tmx.row_min") + F.col("_tmx_band") * band_rows)
+            .withColumn(
+                "_tmx_row_hi",
+                F.least(F.col("_tmx.row_min") + (F.col("_tmx_band") + 1) * band_rows - 1, F.col("_tmx.row_max")),
+            )
+            .drop("_tmx_band")
+        )
+        if repartition_after_rows:
+            df = df.repartition(repartition_after_rows)
+        row_seq = F.sequence(F.col("_tmx_row_lo"), F.col("_tmx_row_hi"))
+        df = df.withColumn(out_row, F.explode(row_seq)).drop("_tmx_row_lo", "_tmx_row_hi")
+    else:
+        row_seq = F.when(
+            F.col("_tmx.row_min") <= F.col("_tmx.row_max"),
+            F.sequence(F.col("_tmx.row_min"), F.col("_tmx.row_max")),
+        ).otherwise(F.array().cast("array<long>"))
+        df = df.withColumn(out_row, F.explode(row_seq))
+        if repartition_after_rows:
+            df = df.repartition(repartition_after_rows)
 
     col_seq = F.when(
         F.col("_tmx.col_min") <= F.col("_tmx.col_max"),

@@ -95,6 +95,7 @@ def raster_tile_windows(
 _VERIFY_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
         T.StructField("pixels_ok", T.BooleanType()),
         T.StructField("psnr", T.DoubleType()),
         T.StructField("caption_ok", T.BooleanType()),
@@ -150,6 +151,7 @@ def verify_images(df: DataFrame, psnr_threshold: float = 40.0) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"].values,
+                    "fmt": pdf["fmt"].values,
                     "pixels_ok": pixels_ok,
                     "psnr": psnr_v,
                     "caption_ok": caption_ok,
