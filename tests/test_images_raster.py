@@ -89,3 +89,23 @@ def test_average_hash_batch_matches_single():
         batch = images.average_hash_batch(stack)
         single = [images.average_hash(stack[i]) for i in range(6)]
         assert list(batch) == single, (w, h)
+
+
+def test_make_rows_batch_matches_make_row():
+    """Field-for-field parity of the vectorized generator with the scalar
+    reference path over ids covering every branch: hot cluster (i%10==3),
+    exact grid-edge (i%97==0), antimeridian footprint (i%101==7), q8 format
+    (i%5==0), and generic rows — verify_images regenerates via the batch
+    path, so a silent divergence would otherwise be self-consistent."""
+    ids = [0, 1, 2, 3, 5, 7, 10, 13, 42, 97, 108, 194, 303, 505, 707, 999]
+    batch = images.make_rows_batch(np.asarray(ids, dtype=np.int64))
+    for j, i in enumerate(ids):
+        row = images.make_row(i)
+        for field in row:
+            got = batch.iloc[j][field]
+            if isinstance(row[field], float):
+                assert got == row[field], (i, field)
+            elif isinstance(row[field], bytes):
+                assert bytes(got) == row[field], (i, field)
+            else:
+                assert got == row[field], (i, field)

@@ -207,21 +207,37 @@ def audio_features(df: DataFrame, clip_id: str = "clip_id", payload: str = "byte
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for rec in pdf.itertuples(index=False):
-                f = getattr(rec, fmt)
-                if f != "pcm16":
-                    raise NotImplementedError(f"audio codec '{f}' requires an audio library")
-                samples = np.frombuffer(getattr(rec, payload), dtype=np.int16).astype(np.float64)
-                out.append(
-                    {
-                        "clip_id": getattr(rec, clip_id),
-                        "n_samples": len(samples),
-                        "rms": float(np.sqrt((samples**2).mean())) if len(samples) else 0.0,
-                        "peak": float(np.abs(samples).max()) if len(samples) else 0.0,
-                    }
-                )
-            yield pd.DataFrame(out)
+            m = len(pdf)
+            if m == 0:
+                continue
+            fmts = pdf[fmt].to_numpy()
+            if (fmts != "pcm16").any():
+                bad = fmts[fmts != "pcm16"][0]
+                raise NotImplementedError(f"audio codec '{bad}' requires an audio library")
+            # vectorized over the whole batch: one concatenated sample
+            # buffer, segment sums/maxima via ufunc.reduceat (no per-clip
+            # numpy dispatch)
+            bufs = pdf[payload].tolist()
+            lens = np.fromiter((len(b) // 2 for b in bufs), dtype=np.int64, count=m)
+            starts = np.zeros(m, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            cat = np.frombuffer(b"".join(bufs), dtype=np.int16).astype(np.float64)
+            rms = np.zeros(m, dtype=np.float64)
+            peak = np.zeros(m, dtype=np.float64)
+            nz = np.flatnonzero(lens > 0)
+            if len(nz):
+                # reduceat over the nonzero segments only: their starts are
+                # strictly increasing and each runs to the next nonzero start
+                rms[nz] = np.sqrt(np.add.reduceat(cat * cat, starts[nz]) / lens[nz])
+                peak[nz] = np.maximum.reduceat(np.abs(cat), starts[nz])
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf[clip_id].values,
+                    "n_samples": lens.astype(np.int32),
+                    "rms": rms,
+                    "peak": peak,
+                }
+            )
 
     return df.select(clip_id, payload, fmt).mapInPandas(run, _AUDIO_SCHEMA)
 

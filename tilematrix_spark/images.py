@@ -246,6 +246,18 @@ def _lonlat_batch(ids: np.ndarray):
     return lon, lat
 
 
+def captions_batch(ids: np.ndarray, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`row_caption` (C ``%.6f`` formatting is the same
+    correctly-rounded conversion as Python's ``f'{x:.6f}'``; pinned by the
+    make_rows_batch == make_row parity test)."""
+    return np.char.add(
+        np.char.add(
+            np.char.mod("synthetic scene %d at (", ids), np.char.mod("%.6f", lon)
+        ),
+        np.char.add(np.char.mod(",%.6f", lat), ")"),
+    )
+
+
 def make_rows_batch(ids: np.ndarray) -> pd.DataFrame:
     """Vectorized ``make_row`` for an id batch: lon/lat/footprints are one
     numpy pass; pixels + phash are computed per (w, h, fmt) shape group (the
@@ -266,11 +278,8 @@ def make_rows_batch(ids: np.ndarray) -> pd.DataFrame:
     am = ids % 101 == 7
     fp_l = np.where(am, 180.0 - half_w, fp_l)
     fp_r = np.where(am, 180.0 + half_w, fp_r)
-    captions = [
-        f"synthetic scene {i} at ({lo:.6f},{la:.6f})"
-        for i, lo, la in zip(ids.tolist(), lon.tolist(), lat.tolist())
-    ]
-    image_ids = [f"img{i:012d}" for i in ids.tolist()]
+    captions = captions_batch(ids, lon, lat)
+    image_ids = np.char.mod("img%012d", ids)
     data: list = [None] * n
     phash = np.empty(n, dtype=np.int64)
     fmts = np.where(ids % 5 == 0, "q8", "raw")

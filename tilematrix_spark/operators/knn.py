@@ -88,7 +88,6 @@ def knn_join(
     )
 
     round_results = []
-    round_caches = []
     pending = q
     r = 1
     while True:
@@ -123,25 +122,27 @@ def knn_join(
             done_q = per_q.filter(
                 (F.col("_hits") >= k) & (F.col("_dk") <= F.lit(float(r) * guarantee))
             ).select(query_id)
-        done_rows = topk.join(F.broadcast(done_q), query_id, "left_semi")
-        # winners stay as lineage over the PERSISTED topk; one checkpoint of
-        # the final union replaces a per-round eager checkpoint job
+        # winners are checkpointed eagerly per round (k rows per done query —
+        # small), so this round's cached topk can be released as soon as the
+        # pending set for the next round is materialized: peak storage stays
+        # one round's topk + the point table, independent of round count
+        done_rows = topk.join(F.broadcast(done_q), query_id, "left_semi").localCheckpoint(
+            eager=True
+        )
         round_results.append(done_rows)
-        round_caches.append(topk)
         if final_round:
+            topk.unpersist()
             break
         pending = pending.join(F.broadcast(done_q), query_id, "left_anti").localCheckpoint(
             eager=True
         )
-        if pending.limit(1).count() == 0:
+        topk.unpersist()
+        if pending.isEmpty():
             break
         r *= 2
     results = round_results[0]
     for extra in round_results[1:]:
         results = results.unionByName(extra)
-    results = results.localCheckpoint(eager=True)
-    for t in round_caches:
-        t.unpersist()
     p.unpersist()
     return results
 

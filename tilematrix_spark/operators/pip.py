@@ -146,8 +146,11 @@ def _prepare_parts_grid(geom: dict, cells_per_edge: float = 4.0):
             dy = (gy1 - gy0) / g or 1.0
             bands = []
             for j in range(g):
-                b_hi = gy1 - j * dy
-                b_lo = gy1 - (j + 1) * dy
+                # edge bands absorb clip rounding: a point clipped into band
+                # 0 / g-1 may sit a ulp beyond gy1 - j*dy, so the boundary
+                # bands select with open-ended limits (only ever ADDS edges)
+                b_hi = np.inf if j == 0 else gy1 - j * dy
+                b_lo = -np.inf if j == g - 1 else gy1 - (j + 1) * dy
                 sel = np.flatnonzero((eymin <= b_hi) & (eymax >= b_lo))
                 # exmax descending: prefixes cut at a group's min point x
                 order = sel[np.argsort(-exmax[sel], kind="stable")]
@@ -168,17 +171,23 @@ def _prepare_parts_grid(geom: dict, cells_per_edge: float = 4.0):
 
 def _points_in_prepared_grid(parts, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Grid-accelerated even-odd ray-cast over ``_prepare_parts_grid`` parts.
-    Identical result to ``_points_in_prepared`` (same crossing float ops over
-    a provably sufficient edge subset); points group by refine-grid cell so
-    each cell's prefix subset is resolved once."""
+    Identical result to ``_points_in_prepared``: same crossing float ops over
+    an edge subset whose pruning comparisons are padded by one ulp (the
+    interpolated crossing x can overshoot an edge's max x by ~1 ulp near an
+    endpoint, and band clipping can round a point one band out), so every
+    edge the full ray-cast would count is provably retained; points group by
+    refine-grid band so each band's prefix subset is resolved once."""
     n = len(xs)
     inside = np.zeros(n, dtype=bool)
     for part in parts:
         x0, y0, x1, y1 = part["edges"]
         gx0, gx1, gy0, gy1 = part["bbox"]
         # outside the part bbox -> zero crossings (ray goes +x: x > gx1 can
-        # never reach an edge; y outside [gy0, gy1] straddles nothing)
-        cand = np.flatnonzero((ys >= gy0) & (ys <= gy1) & (xs <= gx1))
+        # never reach an edge; y outside [gy0, gy1] straddles nothing).
+        # gx1 padded one ulp: the interpolated crossing x can overshoot the
+        # edge's max x by ~1 ulp near an endpoint, so a point in that sliver
+        # must stay a candidate for the crossing test to see it
+        cand = np.flatnonzero((ys >= gy0) & (ys <= gy1) & (xs <= np.nextafter(gx1, np.inf)))
         if len(cand) == 0:
             continue
         # pick the finest level that keeps >= ~150 points per band: finer
@@ -211,8 +220,9 @@ def _points_in_prepared_grid(parts, xs: np.ndarray, ys: np.ndarray) -> np.ndarra
             idx_desc, exmax_desc = bands[int(sc[s0])]
             run = order[s0:e0]
             pxs, pys = cxs[run], cys[run]
-            # prefix with exmax >= min point x (exmax_desc is descending)
-            k = int(np.searchsorted(-exmax_desc, -pxs.min(), side="right"))
+            # prefix with exmax >= min point x (exmax_desc is descending),
+            # padded one ulp for the same interpolation-overshoot reason
+            k = int(np.searchsorted(-exmax_desc, -np.nextafter(pxs.min(), -np.inf), side="right"))
             if k == 0:
                 continue
             sub = idx_desc[:k]

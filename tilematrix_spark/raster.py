@@ -121,7 +121,6 @@ def verify_images(df: DataFrame, psnr_threshold: float = 40.0) -> DataFrame:
             psnr_v = np.empty(m, dtype=np.float64)
             pixels_ok = np.zeros(m, dtype=bool)
             phash_ok = np.zeros(m, dtype=bool)
-            caption_ok = np.zeros(m, dtype=bool)
             pos = np.arange(m)
             key = pd.MultiIndex.from_arrays(
                 [pdf["w"].values, pdf["h"].values, pdf["fmt"].values]
@@ -144,10 +143,8 @@ def verify_images(df: DataFrame, psnr_threshold: float = 40.0) -> DataFrame:
                     images.average_hash_batch(decoded)
                     == pdf["phash"].to_numpy()[ii]
                 )
-            for i in range(m):
-                idx = int(idxs[i])
-                lon, lat = images.row_lonlat(idx)
-                caption_ok[i] = pdf["caption"].iat[i] == images.row_caption(idx, lon, lat)
+            lon, lat = images._lonlat_batch(idxs)
+            caption_ok = pdf["caption"].to_numpy() == images.captions_batch(idxs, lon, lat)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"].values,
