@@ -128,3 +128,19 @@ def test_minhash_self_join_materializes_once(spark):
     plan = _plan(out)
     assert plan.count("Scan ExistingRDD") >= 1  # checkpoint barrier present
     assert plan.count("SortAggregate") + plan.count("HashAggregate (") <= 6
+
+
+def test_cover_split_plan_no_shuffle_three_generates(spark, geodetic):
+    """The row-band auto-split adds ONE cheap Generate before the row/col
+    explodes — still zero Exchange (split is per-row arithmetic, the
+    repartition knob stays opt-in) and fully native codegen."""
+    df = spark.createDataFrame(
+        [(1, -30.0, -20.0, 30.0, 20.0)],
+        "id int, left double, bottom double, right double, top double",
+    )
+    out = cover.tiles_from_bounds(df, geodetic, 9, max_cover_tiles=256)
+    plan = _plan(out)
+    assert ") Exchange" not in plan
+    gens = sum(1 for line in plan.splitlines() if line.startswith("(") and ") Generate" in line)
+    assert gens == 3  # band + row + col
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
