@@ -884,11 +884,16 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupfns.minhash_signatures(docs, num_hashes=4)
 
 
-def sql_minhash_signatures() -> str:
-    sigs = ", ".join(
-        f"min(md5(shingle || '#{i}')) AS sig{i}" for i in range(4)
+def _sig_sql(num_hashes: int) -> str:
+    """Mirror of dedup._minhash_aggs: four 8-hex sub-hashes per md5."""
+    return ", ".join(
+        f"min(substr(md5(shingle || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)) AS sig{i}"
+        for i in range(num_hashes)
     )
-    return f"WITH sh AS ({_SHINGLES_SQL}) SELECT doc_id, {sigs} FROM sh GROUP BY doc_id"
+
+
+def sql_minhash_signatures() -> str:
+    return f"WITH sh AS ({_SHINGLES_SQL}) SELECT doc_id, {_sig_sql(4)} FROM sh GROUP BY doc_id"
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,7 +927,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_minhash_lsh_pairs() -> str:
-    sigs = ", ".join(f"min(md5(shingle || '#{i}')) AS sig{i}" for i in range(16))
+    sigs = _sig_sql(16)
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(sig{2*b} || '|' || sig{2*b+1}) AS bucket FROM sigs"
         for b in range(8)
@@ -947,7 +952,7 @@ def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_minhash_lsh_verified() -> str:
-    sigs = ", ".join(f"min(md5(shingle || '#{i}')) AS sig{i}" for i in range(16))
+    sigs = _sig_sql(16)
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(sig{2*b} || '|' || sig{2*b+1}) AS bucket FROM sigs"
         for b in range(8)

@@ -112,6 +112,39 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _minhash_projected(sh: DataFrame, num_hashes: int):
+    """H min-hash aggregations from only ceil(H/4) md5 evaluations per
+    shingle: each md5's 32 hex chars are split into four independent 8-hex
+    (32-bit) sub-hashes — sig_i = MIN(substring(md5(shingle||'#g'), 1+8j, 8))
+    with (g, j) = divmod(i, 4).  md5 is the dominant cost of the signature
+    pass (measured 3.3s of a 5.0s stage at 16 full-width hashes vs 0.2s at
+    4), so this is ~4x less hash compute for the same H; 32-bit min-hash
+    granularity is the standard at corpus scale.  Hex-string MIN keeps every
+    value portable to the SQL oracle byte-for-byte.
+
+    The md5s are materialized as bound PROJECTION columns before the groupBy:
+    each of the H min-aggs evaluates its input expression independently
+    (aggregate expressions get no cross-agg subexpression elimination), so
+    substring-of-md5 inside the agg would still run H md5s — over a bound
+    column it is H cheap substrings over G=⌈H/4⌉ md5s.
+
+    Returns (projected_df, agg_exprs); group the former by ``_id``.
+    """
+    groups = (num_hashes + 3) // 4
+    proj = sh.select(
+        "_id",
+        *[
+            F.md5(F.concat(F.col("shingle"), F.lit(f"#{g}"))).alias(f"_h{g}")
+            for g in range(groups)
+        ],
+    )
+    aggs = [
+        F.min(F.substring(F.col(f"_h{i // 4}"), 1 + 8 * (i % 4), 8)).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    return proj, aggs
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -119,15 +152,12 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signature per doc: sig_i = MIN(md5(shingle || '#i')) — the min
-    of a uniform hash as hex STRING, portable across engines.  One shuffle
-    for all H signatures."""
+    """MinHash signature per doc: the min of a uniform hex hash STRING per
+    hash function (see ``_minhash_projected`` — 4 sub-hashes per md5),
+    portable across engines.  One shuffle for all H signatures."""
     sh = _shingle_table(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
+    proj, aggs = _minhash_projected(sh, num_hashes)
+    return proj.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
 
 
 def minhash_lsh_pairs(
@@ -187,11 +217,8 @@ def minhash_verified_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sh = _shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = sh.groupBy("_id").agg(*aggs)
+    proj, aggs = _minhash_projected(sh, num_hashes)
+    sigs = proj.groupBy("_id").agg(*aggs)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig{b * rows_per_band + j}") for j in range(rows_per_band)]
