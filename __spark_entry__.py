@@ -1034,6 +1034,35 @@ def sql_simhash_near_pairs() -> str:
     """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the SimHash
+    Hamming-≤1 pair graph (iterative min-label propagation; component =
+    smallest reachable doc_id) — the step that turns pairwise near-dup
+    output into one-survivor-per-cluster dedup.  Oracled by a DuckDB
+    recursive CTE computing min reachable id over the same edges."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedupfns.simhash_near_pairs(docs, radius=1)
+    return dedupfns.connected_components(pairs)
+
+
+def sql_dedup_clusters() -> str:
+    return f"""
+      WITH RECURSIVE pr AS ({sql_simhash_near_pairs()}),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pr
+      ),
+      verts AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM verts
+        UNION
+        SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+      )
+      SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """
+
+
 # -- embeddings: similarity ---------------------------------------------------
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2202,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_verified": q_minhash_lsh_verified,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
         "phash_near_dup": q_phash_near_dup,
@@ -2257,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
+        "dedup_clusters": sql_dedup_clusters(),
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),
         "phash_near_dup": sql_phash_near_dup(),

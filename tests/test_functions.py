@@ -264,3 +264,32 @@ def test_ivf_topk_recall(spark):
     a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
     # probing 3/8 cells should catch most true NNs on gaussian vectors
     assert len(e & a) >= 5
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Transitive chain a-b-c closes into one component; disjoint clusters
+    stay separate; survivors = component representatives + unpaired docs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    docs = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_cluster_survivors(docs, dedup.connected_components(pairs)).collect()
+    )
+    assert kept == [1, 10, 20, 99]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-vertex path graph (diameter 39) converges fast: pointer
+    doubling makes label reach grow geometrically, so the worst-case chain
+    needs O(log d) rounds — this exercises multi-round convergence."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "id_a long, id_b long"
+    )
+    comp = dedup.connected_components(pairs, max_iters=50).collect()
+    assert {r["component"] for r in comp} == {100}
+    assert len(comp) == 41
