@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from tilematrix_spark import exprs
 from tilematrix_spark.functions import dedup as dedupfns
 from tilematrix_spark.functions import multimodal as mmfns
+from tilematrix_spark.functions import sampling as samplefns
 from tilematrix_spark.functions import similarity as simfns
 from tilematrix_spark.functions import text as textfns
 from tilematrix_spark.functions import windows as winfns
@@ -1031,6 +1032,44 @@ def sql_simhash_near_pairs() -> str:
       base AS (SELECT doc_id AS id_b, simhash::BIGINT AS probe FROM sk)
       SELECT DISTINCT p.id_a, b.id_b
       FROM probes p JOIN base b ON p.probe = b.probe AND p.id_a < b.id_b
+    """
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (rate 0.25) by md5-prefix threshold —
+    reproducible at any parallelism, no RNG; the oracle compares the same
+    lowercase-hex prefix lexicographically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return samplefns.hash_sample(docs, 0.25).select("doc_id", "lang", "source")
+
+
+def sql_sample_hash() -> str:
+    thr = samplefns.hash_threshold(0.25)
+    return f"""
+      SELECT doc_id, lang, source FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#s0'), 1, 8) < '{thr}'
+    """
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (≤10 docs per source, deterministic
+    hash-ordered selection) computed hot-key-safe as a two-stage top-k —
+    the per-domain cap of web-scale training mixes.  The oracle is the
+    single-window definition the two-stage computation provably equals."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return samplefns.quota_per_key(docs, "source", 10).select("doc_id", "source")
+
+
+def sql_source_quota() -> str:
+    return """
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          row_number() OVER (
+            PARTITION BY source
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '#q0'), 1, 8), doc_id
+          ) AS rn
+        FROM documents
+      ) WHERE rn <= 10
     """
 
 
@@ -2232,6 +2271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "sample_hash": q_sample_hash,
+        "source_quota": q_source_quota,
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
         "phash_near_dup": q_phash_near_dup,
@@ -2288,6 +2329,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
+        "sample_hash": sql_sample_hash(),
+        "source_quota": sql_source_quota(),
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),
         "phash_near_dup": sql_phash_near_dup(),

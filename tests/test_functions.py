@@ -293,3 +293,46 @@ def test_connected_components_long_chain_converges(spark):
     comp = dedup.connected_components(pairs, max_iters=50).collect()
     assert {r["component"] for r in comp} == {100}
     assert len(comp) == 41
+
+
+def test_hash_sample_deterministic_rate_and_composability(spark):
+    from tilematrix_spark.functions import sampling
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    a = sampling.hash_sample(df, 0.3)
+    n = a.count()
+    assert abs(n / 20000 - 0.3) < 0.02  # 32-bit hash, binomial bound
+    # deterministic: same ids at different partitioning
+    ids1 = {r["doc_id"] for r in a.collect()}
+    ids2 = {r["doc_id"] for r in sampling.hash_sample(df.repartition(7), 0.3).collect()}
+    assert ids1 == ids2
+    # different salts give (near-)independent samples
+    b = {r["doc_id"] for r in sampling.hash_sample(df, 0.3, salt="other").collect()}
+    inter = len(ids1 & b) / 20000
+    assert abs(inter - 0.09) < 0.02  # ~rate^2
+
+
+def test_quota_per_key_two_stage_equals_single_window(spark):
+    from pyspark.sql import Window
+
+    from tilematrix_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 5}") for i in range(3000)], "doc_id long, source string"
+    )
+    got = {
+        (r["doc_id"], r["source"])
+        for r in sampling.quota_per_key(df, "source", 17).select("doc_id", "source").collect()
+    }
+    w = Window.partitionBy("source").orderBy(
+        sampling.sample_hash("doc_id", "q0"), F.col("doc_id")
+    )
+    want = {
+        (r["doc_id"], r["source"])
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 17)
+        .select("doc_id", "source")
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 5 * 17
