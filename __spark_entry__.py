@@ -1035,6 +1035,33 @@ def sql_simhash_near_pairs() -> str:
     """
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc (df-normalized term frequency,
+    tf/df — a tf-idf-family score that is one IEEE division, bit-identical
+    across engines; ln-idf is not)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textfns.top_terms(docs, k=3)
+
+
+def sql_top_terms() -> str:
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter({_TOKENS_SQL}, t -> t <> '')) AS term
+        FROM documents
+      ),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      SELECT doc_id, term, rank FROM (
+        SELECT tf.doc_id, tf.term,
+          row_number() OVER (
+            PARTITION BY tf.doc_id
+            ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC, tf.term ASC
+          )::INTEGER AS rank
+        FROM tf JOIN dfreq ON tf.term = dfreq.term
+      ) WHERE rank <= 3
+    """
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli sample (rate 0.25) by md5-prefix threshold —
     reproducible at any parallelism, no RNG; the oracle compares the same
@@ -1048,6 +1075,26 @@ def sql_sample_hash() -> str:
     return f"""
       SELECT doc_id, lang, source FROM documents
       WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#s0'), 1, 8) < '{thr}'
+    """
+
+
+def q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing stratified sample: downsample the dominant
+    language (en 0.3) while keeping the rest at 0.8/1.0 — per-stratum
+    hash thresholds, same determinism as sample_hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 0.3, "de": 1.0, "fr": 0.8, "es": 0.8, "zh": 0.8}
+    return samplefns.stratified_sample(docs, "lang", rates).select("doc_id", "lang")
+
+
+def sql_lang_stratified() -> str:
+    t = {k: samplefns.hash_threshold(r) for k, r in
+         {"en": 0.3, "de": 1.0, "fr": 0.8, "es": 0.8, "zh": 0.8}.items()}
+    cases = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(t.items()))
+    return f"""
+      SELECT doc_id, lang FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#s0'), 1, 8)
+            < CASE lang {cases} ELSE '00000000' END
     """
 
 
@@ -2262,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprints": q_fingerprints,
         "token_stats": q_token_stats,
+        "top_terms": q_top_terms,
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
         "minhash_signatures": q_minhash_signatures,
@@ -2272,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "dedup_clusters": q_dedup_clusters,
         "sample_hash": q_sample_hash,
+        "lang_stratified": q_lang_stratified,
         "source_quota": q_source_quota,
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
@@ -2320,6 +2369,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "fingerprints": sql_fingerprints(),
         "token_stats": sql_token_stats(),
+        "top_terms": sql_top_terms(),
         "lang_id_counts": sql_lang_id_counts(),
         "quality_scores": sql_quality_scores(),
         "minhash_signatures": sql_minhash_signatures(),
@@ -2330,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": sql_simhash_near_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
         "sample_hash": sql_sample_hash(),
+        "lang_stratified": sql_lang_stratified(),
         "source_quota": sql_source_quota(),
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),

@@ -336,3 +336,42 @@ def test_quota_per_key_two_stage_equals_single_window(spark):
     }
     assert got == want
     assert len(got) == 5 * 17
+
+
+def test_stratified_sample_rates(spark):
+    from tilematrix_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 4 else "de") for i in range(12000)], "doc_id long, lang string"
+    )
+    out = sampling.stratified_sample(df, "lang", {"en": 0.25, "de": 1.0})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 3000  # rate 1.0 keeps all (up to 2^-32)
+    assert abs(counts["en"] / 9000 - 0.25) < 0.03
+    # stratum absent from rates -> default_rate=0 drops it
+    df2 = df.withColumn("lang", F.when(F.col("doc_id") % 100 == 0, "fr").otherwise(F.col("lang")))
+    out2 = sampling.stratified_sample(df2, "lang", {"en": 0.25, "de": 1.0})
+    assert out2.filter(F.col("lang") == "fr").count() == 0
+
+
+def test_top_terms_scoring(spark):
+    from tilematrix_spark.functions import text as textfns
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common common"),
+            (2, "banana cherry common common"),
+            (3, "common cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in textfns.top_terms(docs, k=2).collect()
+    }
+    # doc 1: apple tf=2/df=1 -> 2.0 beats common 3/3 -> 1.0 and banana 1/2
+    assert got[(1, 1)] == "apple"
+    assert got[(1, 2)] == "common"
+    # doc 3: cherry 2/2=1.0, date 1/1=1.0 -> tie broken by term text asc
+    assert got[(3, 1)] == "cherry"
+    assert got[(3, 2)] == "date"

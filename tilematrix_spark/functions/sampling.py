@@ -46,6 +46,25 @@ def hash_sample(
     return df.filter(sample_hash(id_col, salt) < F.lit(hash_threshold(rate)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    rates: dict,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (rebalancing a mix, e.g. downsample the
+    dominant language): keep a row iff its sampling hash is below its
+    stratum's threshold.  Same determinism/composability as ``hash_sample``;
+    the per-key threshold is a literal when-chain (broadcast-free, codegen),
+    strata absent from ``rates`` get ``default_rate``."""
+    thr = F.lit(hash_threshold(default_rate))
+    for k, r in sorted(rates.items()):
+        thr = F.when(F.col(key) == F.lit(k), F.lit(hash_threshold(r))).otherwise(thr)
+    return df.filter(sample_hash(id_col, salt) < thr)
+
+
 def quota_per_key(
     df: DataFrame,
     keys: Union[str, List[str]],

@@ -163,3 +163,42 @@ def simhash16(text: ColumnOrName) -> Column:
     for bcol in bits[1:]:
         out = out + bcol
     return out.cast("int")
+
+
+def top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    broadcast_vocab: bool = True,
+):
+    """(id, term, rank): the k most CHARACTERISTIC terms per document,
+    scored by df-normalized term frequency ``score = tf / df_term`` (docs
+    containing the term).  A tf-idf-family score chosen for cross-engine
+    exactness: one IEEE double division is correctly rounded and therefore
+    bit-identical in any engine, while ``ln``-based idf can differ at 1 ulp
+    between libm implementations and flip ranks.  Ties break on term text.
+
+    Two aggregations (term stats are map-side partial) + one window; the
+    vocabulary side broadcasts when it fits (``broadcast_vocab=False``
+    falls back to a shuffle join for web-scale vocabularies).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(normalize(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "term", "rank")
+    )
