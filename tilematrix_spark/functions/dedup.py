@@ -275,15 +275,20 @@ def connected_components(
     that pairwise output leaves open must be closed.
 
     Iterative min-label propagation + pointer doubling (the driver-loop
-    iterate primitive, as in the kNN rounds): each round joins labels onto
-    the symmetrized edge list, takes the min label per vertex, then
-    shortcuts ``component <- component(component)`` — the pointer-jumping
-    step that turns O(diameter) convergence into O(log diameter) (a
-    40-vertex path converges in 7 rounds instead of 39).  Stops when no
-    label decreased.  Per round: two shuffles (edge propagate, shortcut
-    self-join); the edge list is checkpointed once and re-used.  Only
-    vertices appearing in ≥1 pair are emitted (every other doc is its own
-    singleton component).
+    iterate primitive, as in the kNN rounds): each round pushes labels from
+    the FRONTIER (only vertices whose label changed last round — delta
+    iteration, so the geometric tail of late rounds costs frontier-sized
+    joins, not full-table passes) along the symmetrized edge list, takes
+    the min label per vertex, then shortcuts ``component <-
+    component(component)`` — the pointer-jumping step that turns
+    O(diameter) convergence into O(log diameter) (a 40-vertex path
+    converges in 7 rounds instead of 39).  Stops when no label decreased;
+    correctness of the delta form: the first round pushes every label, and
+    afterwards a vertex can only improve via a neighbor that itself just
+    improved (frontier member) or via its component's own label (the
+    shortcut joins the CURRENT full label table).  The edge list is
+    checkpointed once and re-used.  Only vertices appearing in ≥1 pair are
+    emitted (every other doc is its own singleton component).
     """
     edges = (
         pairs.select(F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst"))
@@ -302,15 +307,20 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    frontier = labels
     for _ in range(max_iters):
         prop = (
             edges.join(
-                labels.select(F.col("doc_id").alias("src"), "component"), "src"
+                frontier.select(F.col("doc_id").alias("src"), "component"), "src"
             )
             .groupBy("dst")
             .agg(F.min("component").alias("_cand"))
             .select(F.col("dst").alias("doc_id"), "_cand")
         )
+        # the shortcut self-join reads stepped on both sides, re-running the
+        # edge join twice per round; an eager checkpoint here trades that
+        # recompute for a full materialization — A/B-measured a wash on this
+        # box, so keep the lighter plan (fewer jobs, no extra storage)
         stepped = labels.join(prop, "doc_id", "left").select(
             "doc_id",
             F.least(F.col("component"), F.coalesce(F.col("_cand"), F.col("component"))).alias("component"),
@@ -333,7 +343,8 @@ def connected_components(
         )
         prev = labels
         labels = jumped.select("doc_id", "component")
-        converged = jumped.filter(F.col("_chg")).isEmpty()
+        frontier = jumped.filter(F.col("_chg")).select("doc_id", "component")
+        converged = frontier.isEmpty()
         prev.unpersist()
         if converged:
             break
