@@ -145,3 +145,39 @@ def test_pyramid_job_banded_mid_zoom_resume(spark, geodetic, tmp_path):
     job2 = PyramidJob(spark, geodetic, out, build, bands=3, band_col="row")
     assert job2.run([3]) == [f"zoom=3{os.sep}band=1"]
     assert job2.read_zoom(3).agg(F.sum("n")).collect()[0][0] == 79
+
+
+def test_stage_job_resume_mid_pipeline(spark, tmp_path):
+    """StageJob resumes at the first uncommitted stage: a crash in stage 2
+    leaves stage 1 committed; the rerun executes only stages 2 and 3,
+    reading stage 1's output back from storage."""
+    import pyspark.sql.functions as F
+
+    from tilematrix_spark.io import StageJob
+
+    src = spark.createDataFrame([(i, i % 3) for i in range(30)], "id long, grp long")
+    out = str(tmp_path / "stages")
+
+    def s1(s, read_stage):
+        return src.filter(F.col("id") % 2 == 0)
+
+    def boom(s, read_stage):
+        raise RuntimeError("simulated crash")
+
+    def s2(s, read_stage):
+        return read_stage("evens").groupBy("grp").agg(F.count("*").alias("n"))
+
+    def s3(s, read_stage):
+        return read_stage("counts").agg(F.sum("n").alias("total"))
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        StageJob(spark, out, [("evens", s1), ("counts", boom)]).run()
+    job = StageJob(spark, out, [("evens", s1), ("counts", s2), ("totals", s3)])
+    executed = job.run()
+    assert executed == ["counts", "totals"]  # stage 1 NOT re-run
+    assert job.read_stage("totals").collect()[0]["total"] == 15
+    m = job.metrics()
+    assert set(m) == {"stage=evens", "stage=counts", "stage=totals"}
+    assert all(rec["rows"] > 0 for rec in m.values())

@@ -89,6 +89,65 @@ class Lineage:
         os.rename(tmp, os.path.join(self.dir, f"{safe}.json"))
 
 
+class StageJob:
+    """Resumable multi-STAGE pipeline — the general (non-pyramid) form of
+    ``PyramidJob`` for chains like dedup: pairs → clusters → survivors.
+
+    ``stages`` is an ordered list of ``(name, build)`` where ``build(spark,
+    read_stage) -> DataFrame`` may read any earlier stage's committed output
+    via ``read_stage(name)``.  Each stage writes to ``{out}/stage={name}``
+    and commits a lineage marker with row count + wall time; a crashed run
+    resumes at the first uncommitted stage and never recomputes committed
+    ones (their outputs are read back from storage, so the resume is
+    idempotent even when the upstream input changed in the meantime).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_path: str,
+        stages: List,
+        io: Optional[TableIO] = None,
+        config: Optional[Dict] = None,
+    ):
+        self.spark = spark
+        self.out = out_path
+        self.stages = stages
+        self.io = io or TableIO(spark)
+        self.lineage = Lineage(out_path)
+        self.config = config or {}
+
+    def read_stage(self, name: str) -> DataFrame:
+        return self.io.read(os.path.join(self.out, f"stage={name}"))
+
+    def run(self) -> List[str]:
+        done = self.lineage.committed()
+        executed = []
+        for name, build in self.stages:
+            unit = f"stage={name}"
+            if unit in done:
+                continue
+            t0 = time.time()
+            df = build(self.spark, self.read_stage)
+            path = os.path.join(self.out, unit)
+            self.io.write(df, path)
+            rows = self.io.read(path).count()
+            self.lineage.commit(
+                LineageRecord(
+                    unit=unit,
+                    rows=rows,
+                    wall_s=round(time.time() - t0, 3),
+                    committed_at=time.time(),
+                    config=self.config,
+                )
+            )
+            executed.append(name)
+        return executed
+
+    def metrics(self) -> Dict[str, dict]:
+        return self.lineage.committed()
+
+
 class PyramidJob:
     """Resumable per-zoom / per-band pipeline runner.
 
