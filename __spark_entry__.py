@@ -47,11 +47,16 @@ def _tile_size(zoom: int) -> float:
     return GEODETIC.tile_y_size(zoom)  # == tile_x_size on geodetic
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    lon = F.lit(-180.0) + (F.col("event_id") * F.lit(PHI1)) % F.lit(1.0) * F.lit(360.0)
-    lat = F.lit(-90.0) + (F.col("event_id") * F.lit(PHI2)) % F.lit(1.0) * F.lit(180.0)
+def _with_lonlat(df: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """The golden-ratio (R2) lon/lat scatter — the ONE definition shared by
+    every batch and streaming query (and mirrored by _EVENTS_SQL)."""
+    lon = F.lit(-180.0) + (F.col(id_col) * F.lit(PHI1)) % F.lit(1.0) * F.lit(360.0)
+    lat = F.lit(-90.0) + (F.col(id_col) * F.lit(PHI2)) % F.lit(1.0) * F.lit(180.0)
     return df.withColumn("lon", lon).withColumn("lat", lat)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_lonlat(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 _EVENTS_SQL = f"""
@@ -2016,9 +2021,12 @@ def sql_ann_lsh_topk() -> str:
         terms = []
         for j in range(bpb):
             plane = planes[:, b * bpb + j]
-            lit = "[" + ", ".join(f"{int(s)}.0" for s in plane) + "]"
+            # ::DOUBLE[] cast per the repo literal rule (bare decimals parse
+            # as DECIMAL); ±1 happen to be exact either way, but the rule
+            # keeps the pattern copy-safe
+            lit = "[" + ", ".join(f"{int(s)}.0" for s in plane) + "]::DOUBLE[]"
             terms.append(
-                f"CASE WHEN list_dot_product(iv, {lit}) > 0.0 THEN {1 << j} ELSE 0 END"
+                f"CASE WHEN list_dot_product(iv, {lit}) > {_d(0.0)} THEN {1 << j} ELSE 0 END"
             )
         band_exprs.append("(" + " + ".join(terms) + f") AS bk{b}")
     bands_sel = ",\n          ".join(band_exprs)
@@ -2029,7 +2037,8 @@ def sql_ann_lsh_topk() -> str:
           {bands_sel}
         FROM (
           SELECT vec_id, embedding,
-            list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0 + 0.5)) AS iv
+            list_transform(embedding::DOUBLE[],
+                           x -> floor(x * {_d(simfns.PORTABLE_SCALE)} + {_d(0.5)})) AS iv
           FROM embeddings
         )
       ),
@@ -2191,8 +2200,8 @@ def q_stream_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming.stream_tile_counts: watermark + 1-day tumbling window +
     per-tile counts at z4), collected via a memory sink — the oracle is the
     equivalent batch aggregation, so the streaming path is value-gated."""
+    import shutil
     import tempfile
-    import uuid
 
     from tilematrix_spark import streaming as streamlib
 
@@ -2204,22 +2213,18 @@ def q_stream_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    lon = F.lit(-180.0) + (F.col("event_id") * F.lit(PHI1)) % F.lit(1.0) * F.lit(360.0)
-    lat = F.lit(-90.0) + (F.col("event_id") * F.lit(PHI2)) % F.lit(1.0) * F.lit(180.0)
     # NTZ parquet timestamps -> raw epoch micros -> TIMESTAMP, tz-free: the
     # watermark/window then align on the same integer micros the oracle uses
     us = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
     )
-    src = (
-        src.withColumn("lon", lon)
-        .withColumn("lat", lat)
-        .withColumn("ts_utc", F.timestamp_micros(us))
-    )
+    src = _with_lonlat(src).withColumn("ts_utc", F.timestamp_micros(us))
     agg = streamlib.stream_tile_counts(
         src, GEODETIC, 4, ts_col="ts_utc", window_duration="1 day", watermark="1 hour"
     )
-    name = "stream_tile_counts_" + uuid.uuid4().hex[:8]
+    # fixed sink name: repeated invocations REPLACE the memory table instead
+    # of accumulating one pinned result set per run
+    name = "stream_tile_counts_gate"
     ckpt = tempfile.mkdtemp(prefix="tmx_stream_ckpt_")
     q = (
         agg.writeStream.outputMode("complete")
@@ -2230,6 +2235,8 @@ def q_stream_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the availableNow run is finished: its checkpoint state is one-shot
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).select(
         F.unix_micros(F.col("window.start")).alias("win_start_us"),
         F.col("row").alias("tile_row"),

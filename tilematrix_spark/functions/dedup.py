@@ -290,11 +290,12 @@ def connected_components(
     checkpointed once and re-used.  Only vertices appearing in ≥1 pair are
     emitted (every other doc is its own singleton component).
     """
+    # ids keep their natural type: the algorithm only needs min/least over
+    # an orderable id (long doc ids, uuid strings, ...) — a forced long
+    # cast would fail ANSI-mode on string corpora
     edges = (
-        pairs.select(F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).cast("long").alias("src"), F.col(id_a).cast("long").alias("dst"))
-        )
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )

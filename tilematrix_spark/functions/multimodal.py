@@ -216,8 +216,16 @@ def audio_features(df: DataFrame, clip_id: str = "clip_id", payload: str = "byte
                 raise NotImplementedError(f"audio codec '{bad}' requires an audio library")
             # vectorized over the whole batch: one concatenated sample
             # buffer, segment sums/maxima via ufunc.reduceat (no per-clip
-            # numpy dispatch)
+            # numpy dispatch).  rms accumulates sequentially (reduceat) —
+            # same value as a per-row mean up to summation-order rounding.
             bufs = pdf[payload].tolist()
+            odd = [len(b) for b in bufs if len(b) % 2]
+            if odd:
+                # a mis-framed payload would silently shift every LATER
+                # clip's samples by one byte in the concatenated buffer
+                raise ValueError(
+                    f"pcm16 payload has odd byte length {odd[0]} (not a whole number of int16 samples)"
+                )
             lens = np.fromiter((len(b) // 2 for b in bufs), dtype=np.int64, count=m)
             starts = np.zeros(m, dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])

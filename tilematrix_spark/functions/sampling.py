@@ -29,10 +29,15 @@ def sample_hash(id_col: Union[str, Column], salt: str = "s0") -> Column:
 
 
 def hash_threshold(rate: float) -> str:
-    """Hex threshold h such that P[hash < h] == rate (to 2^-32)."""
+    """Hex threshold h such that P[hash < h] == rate (to 2^-32).  rate=1.0
+    returns a sentinel above every hex string ('g' > 'f' lexicographically)
+    so keep-all strata really keep ALL rows — clamping to 'ffffffff' would
+    drop the 2^-32 of rows whose prefix is exactly that."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**8), "08x")
 
 
 def hash_sample(

@@ -118,6 +118,7 @@ def tiles_from_geom(
     out_col: str = "col",
     max_cover_tiles: Optional[int] = None,
     repartition_after_rows: Optional[int] = None,
+    oversize: str = "split",
 ) -> DataFrame:
     """All tiles intersecting each row's geometry (GeoJSON string column).
 
@@ -168,6 +169,7 @@ def tiles_from_geom(
         out_col=out_col,
         max_cover_tiles=max_cover_tiles,
         repartition_after_rows=repartition_after_rows,
+        oversize=oversize,
     )
     cand = cand.withColumn("_minx", F.col("_gi.minx")).withColumn("_maxx", F.col("_gi.maxx"))
     if zoom_is_col:

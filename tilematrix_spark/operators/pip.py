@@ -465,9 +465,13 @@ def pip_join(
     poly_side = polygons.select(poly_id, geom)
     if broadcast_index:
         poly_side = poly_side.coalesce(8)
+    # oversize='drop' matches the FUSED path's driver-side cover, which
+    # drops oversized polygon covers (the cap there guards driver memory —
+    # row-band splitting doesn't apply to a python-enumerated index): the
+    # fused==default equivalence contract holds under a cap on both paths
     idx = tiles_from_geom(
         poly_side, tp, zoom, geom=geom,
-        max_cover_tiles=max_cover_tiles,
+        max_cover_tiles=max_cover_tiles, oversize="drop",
     )
 
     # 2. point -> tile

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import exprs, images
+from .functions.multimodal import _shape_groups
 from .grid import PyramidConfig
 from .operators import cover as cover_ops
 
@@ -121,13 +122,7 @@ def verify_images(df: DataFrame, psnr_threshold: float = 40.0) -> DataFrame:
             psnr_v = np.empty(m, dtype=np.float64)
             pixels_ok = np.zeros(m, dtype=bool)
             phash_ok = np.zeros(m, dtype=bool)
-            pos = np.arange(m)
-            key = pd.MultiIndex.from_arrays(
-                [pdf["w"].values, pdf["h"].values, pdf["fmt"].values]
-            )
-            for (w, h, fmt), grp in pd.Series(pos).groupby(key, sort=False):
-                ii = grp.to_numpy()
-                w, h = int(w), int(h)
+            for w, h, fmt, ii in _shape_groups(pdf):
                 decoded = np.stack(
                     [images.decode(pdf["bytes"].iat[i], w, h, fmt) for i in ii]
                 )
