@@ -2063,6 +2063,41 @@ def sql_ann_lsh_topk() -> str:
     """
 
 
+def q_tile_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) write-clustering key for the distinct z8 tiles hit
+    by events: row/col bits interleaved via the mask-shift spread — the
+    sort key that co-locates spatially adjacent tiles in files at scale."""
+    pts = _events(spark, sf_dir)
+    tiled = assign.with_tile(pts, GEODETIC, 8, "lon", "lat", out_tile_id=None)
+    tiles = tiled.select("row", "col").distinct()
+    return tiles.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        exprs.morton_id("row", "col").alias("morton"),
+    )
+
+
+def sql_tile_morton() -> str:
+    def spread(v: str) -> str:
+        x = f"({v} & 4294967295)"
+        for sh, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            x = f"((({x} | ({x} << {sh})) & {mask}))"
+        return x
+
+    morton = f"(({spread('tile_row')} << 1) | {spread('tile_col')})"
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(8)}),
+      tiles AS (SELECT DISTINCT tile_row, tile_col FROM tiled WHERE {_valid_sql(8)})
+      SELECT tile_row, tile_col, {morton} AS morton FROM tiles
+    """
+
+
 GEO_MT4 = PyramidConfig.create("geodetic", metatiling=4)
 
 
@@ -2291,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_tile_mercator": q_point_tile_mercator,
         "point_tile_custom_grid": q_point_tile_custom_grid,
         "tile_ids_packed": q_tile_ids_packed,
+        "tile_morton": q_tile_morton,
         "per_row_zoom_assign": q_per_row_zoom_assign,
         "pyramid_counts": q_pyramid_counts,
         "tile_bounds": q_tile_bounds,
@@ -2351,6 +2387,7 @@ def oracle_sql() -> dict[str, str]:
         "point_tile_mercator": sql_point_tile_mercator(),
         "point_tile_custom_grid": sql_point_tile_custom_grid(),
         "tile_ids_packed": sql_tile_ids_packed(),
+        "tile_morton": sql_tile_morton(),
         "per_row_zoom_assign": sql_per_row_zoom_assign(),
         "pyramid_counts": sql_pyramid_counts(),
         "tile_bounds": sql_tile_bounds(),

@@ -294,3 +294,31 @@ def test_ansi_safe_garbage_cover(spark, geodetic):
     )
     # must not raise; garbage bounds yield no tiles (clamped out of matrix)
     assert cover.tiles_from_bounds(df, geodetic, 5).count() == 0
+
+
+def test_morton_id_matches_bit_interleave(spark):
+    """exprs.morton_id == pure-python bit interleave (row on odd bits), and
+    Z-order locality holds: morton-sorted tiles change by one unit step in
+    exactly one axis across each quadrant boundary of a 4x4 block."""
+    import itertools
+
+    from tilematrix_spark import exprs
+
+    def py_morton(r, c):
+        out = 0
+        for i in range(30):
+            out |= ((c >> i) & 1) << (2 * i)
+            out |= ((r >> i) & 1) << (2 * i + 1)
+        return out
+
+    cases = list(itertools.product([0, 1, 2, 3, 7, 255, 511, (1 << 29) - 1], repeat=2))
+    df = spark.createDataFrame(cases, "row long, col long")
+    got = {
+        (x["row"], x["col"]): x["m"]
+        for x in df.select("row", "col", exprs.morton_id("row", "col").alias("m")).collect()
+    }
+    for r, c in cases:
+        assert got[(r, c)] == py_morton(r, c), (r, c)
+    # locality: the 4x4 block in morton order is the classic Z pattern
+    block = sorted(itertools.product(range(4), repeat=2), key=lambda rc: py_morton(*rc))
+    assert block[:4] == [(0, 0), (0, 1), (1, 0), (1, 1)]

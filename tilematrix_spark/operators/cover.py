@@ -68,6 +68,26 @@ def batch_row_major(
     )
 
 
+def batch_z_order(
+    df: DataFrame,
+    zoom: Optional[ColumnOrName] = None,
+    row: ColumnOrName = "row",
+    col: ColumnOrName = "col",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Physical write clustering on the Z-order curve: range-partition and
+    sort tile rows by ``(zoom?, morton_id)`` so spatially adjacent tiles
+    land in the same files/row-groups — a bbox query's row/col predicates
+    then prune file min-max stats instead of scanning the zoom level (the
+    sink-side counterpart of ``batch_row_major``, which preserves the
+    reference generator's row-major ORDER; Z-order trades that contract
+    for 2D locality)."""
+    m = exprs.morton_id(_col(row), _col(col))
+    keys = ([_col(zoom)] if zoom is not None else []) + [m]
+    parts = [num_partitions] if num_partitions else []
+    return df.repartitionByRange(*parts, *keys).sortWithinPartitions(*keys)
+
+
 def cover_ranges(
     tp: PyramidConfig,
     zoom: exprs.ZoomLike,
