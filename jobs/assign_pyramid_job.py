@@ -41,6 +41,11 @@ def main() -> None:
         "--bands", type=int, default=1,
         help="per-zoom checkpoint bands (mid-zoom resume granularity)",
     )
+    p.add_argument(
+        "--z-order", action="store_true",
+        help="cluster each zoom's output on the Morton curve before writing "
+             "(spatially adjacent tiles share files -> bbox min-max pruning)",
+    )
     args = p.parse_args()
     lo, _, hi = args.zooms.partition("-")
     zooms = list(range(int(lo), int(hi or lo) + 1))
@@ -60,7 +65,12 @@ def main() -> None:
     src = src.persist()
 
     def build(s, zoom):
-        return assign.tile_histogram(src, tp, zoom, args.x, args.y)
+        df = assign.tile_histogram(src, tp, zoom, args.x, args.y)
+        if args.z_order:
+            from tilematrix_spark.operators import cover
+
+            df = cover.batch_z_order(df)
+        return df
 
     job = PyramidJob(
         spark, tp, args.output, build,
