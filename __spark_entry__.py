@@ -1788,14 +1788,13 @@ def q_raster_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_raster_windows(pixelbuffer: int = 0) -> str:
-    """Mirror of images.images_df(1000) footprints + cover.tiles_from_bounds
+def sql_raster_windows(pixelbuffer: int = 0, n: int = 1000) -> str:
+    """Mirror of images.images_df(n) footprints + cover.tiles_from_bounds
     (z6) + raster.raster_tile_windows window math (incl. buffered-tile
     bounds/shape rules when ``pixelbuffer`` > 0), all in DuckDB SQL."""
     import tilematrix_spark.images as _img
 
     zoom = 6
-    n = 1000
     h = _d(_tile_size(zoom))
     px = _d(GEODETIC.pixel_x_size(zoom))
     mw = GEODETIC.matrix_width(zoom)
@@ -1938,6 +1937,34 @@ def q_raster_windows_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row").alias("tile_row"), F.col("col").alias("tile_col"),
         "win_col_off", "win_row_off", "win_width", "win_height",
     )
+
+
+def q_compose_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→tile mosaic composition (raster.compose_tiles: decode +
+    nearest-neighbor resample + integer-mean overlap per tile canvas) over
+    400 synthetic images at z6.  The full kernel runs; the oracle gates the
+    SQL-expressible surface — which tiles get a canvas and from how many
+    contributors (the cover/window math) — while canvas pixel bytes are
+    pinned by pytest (binary decode is not SQL-expressible)."""
+    from tilematrix_spark import images as imglib
+    from tilematrix_spark import raster
+
+    df = imglib.images_df(spark, 400, partitions=8)
+    out = raster.compose_tiles(df, GEODETIC, 6)
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        F.col("n_images").cast("long").alias("n_images"),
+    )
+
+
+def sql_compose_tiles() -> str:
+    return f"""
+      SELECT tile_row, tile_col, count(*) AS n_images
+      FROM ({sql_raster_windows(n=400)})
+      WHERE win_width > 0 AND win_height > 0
+      GROUP BY 1, 2
+    """
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2374,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_images": q_verify_images,
         "raster_windows": q_raster_windows,
         "raster_windows_buffered": q_raster_windows_buffered,
+        "compose_tiles": q_compose_tiles,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -2435,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         "verify_images": sql_verify_images(),
         "raster_windows": sql_raster_windows(),
         "raster_windows_buffered": sql_raster_windows(pixelbuffer=12),
+        "compose_tiles": sql_compose_tiles(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
         # ann_ivf_recall: deliberately no oracle — the sampled-k-means

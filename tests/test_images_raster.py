@@ -109,3 +109,81 @@ def test_make_rows_batch_matches_make_row():
                 assert bytes(got) == row[field], (i, field)
             else:
                 assert got == row[field], (i, field)
+
+
+def _tp():
+    from tilematrix_spark.grid import PyramidConfig
+
+    return PyramidConfig.create("geodetic")
+
+
+def test_compose_tiles_two_overlapping_solid_images(spark):
+    """Two solid-color images with the same footprint: the composed canvas
+    must be the integer mean in the covered window and 0 elsewhere."""
+    tp = _tp()
+    z = 2  # 45-degree tiles: the footprint sits strictly inside (row=1, col=2)
+    fp = (-80.0, 10.0, -60.0, 30.0)
+    rows = []
+    for i, color in ((0, 100), (1, 40)):
+        px = np.full((16, 16, 3), color, dtype=np.uint8)
+        rows.append(
+            {
+                "image_id": f"s{i}", "bytes": bytearray(px.tobytes()),
+                "w": 16, "h": 16, "fmt": "raw",
+                "fp_left": fp[0], "fp_bottom": fp[1], "fp_right": fp[2], "fp_top": fp[3],
+            }
+        )
+    df = spark.createDataFrame(rows)
+    from tilematrix_spark import raster
+
+    out = raster.compose_tiles(df, tp, z).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["row"], r["col"], r["n_images"]) == (1, 2, 2)
+    canvas = np.frombuffer(bytes(r["bytes"]), dtype=np.uint8).reshape(
+        r["tile_h"], r["tile_w"], 3
+    )
+    covered = canvas[canvas.sum(axis=2) > 0]
+    assert len(covered) > 0
+    assert (covered == 70).all()  # (100 + 40) // 2
+    # window position: tile (1,2) spans x [-90,-45], y [0,45]; the footprint
+    # occupies the middle — canvas corners stay empty
+    assert canvas[0, 0].sum() == 0 and canvas[-1, -1].sum() == 0
+
+
+def test_compose_tiles_single_image_window_matches_resample(spark):
+    """One deterministic library image: the canvas window must equal an
+    independently computed nearest-neighbor resample of the decoded image
+    (same pixel-center mapping, scalar loops)."""
+    import pandas as pd
+
+    from tilematrix_spark import raster
+
+    tp = _tp()
+    z = 5
+    row = images.make_row(1)  # generic branch, no antimeridian
+    df = spark.createDataFrame(pd.DataFrame([row]))
+    outs = raster.compose_tiles(df, tp, z).collect()
+    assert outs
+    img = images.decode(row["bytes"], row["w"], row["h"], row["fmt"])
+    px = tp.pixel_x_size(z)
+    h_t = tp.tile_y_size(z)
+    checked = 0
+    for r in outs:
+        canvas = np.frombuffer(bytes(r["bytes"]), dtype=np.uint8).reshape(
+            r["tile_h"], r["tile_w"], 3
+        )
+        t_left = tp.left + r["col"] * h_t
+        t_top = tp.top - r["row"] * h_t
+        for i in range(r["tile_h"]):
+            for j in range(r["tile_w"]):
+                x = t_left + (j + 0.5) * px
+                y = t_top - (i + 0.5) * px
+                inside = row["fp_left"] <= x < row["fp_right"] and row["fp_bottom"] < y <= row["fp_top"]
+                if not inside:
+                    continue
+                u = int(np.clip((x - row["fp_left"]) / (row["fp_right"] - row["fp_left"]) * row["w"], 0, row["w"] - 1))
+                v = int(np.clip((y - row["fp_top"]) / (row["fp_bottom"] - row["fp_top"]) * row["h"], 0, row["h"] - 1))
+                assert (canvas[i, j] == img[v, u]).all(), (r["row"], r["col"], i, j)
+                checked += 1
+    assert checked > 50

@@ -93,6 +93,111 @@ def raster_tile_windows(
     )
 
 
+_COMPOSE_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.LongType()),
+        T.StructField("col", T.LongType()),
+        T.StructField("n_images", T.IntegerType()),
+        T.StructField("tile_w", T.IntegerType()),
+        T.StructField("tile_h", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+    ]
+)
+
+
+def compose_tiles(
+    df: DataFrame,
+    tp: PyramidConfig,
+    zoom: int,
+    max_cover_tiles: Optional[int] = None,
+) -> DataFrame:
+    """Mosaic the images table onto pyramid tiles: every tile gets a raw
+    RGB canvas composed from ALL images whose footprint covers it —
+    nearest-neighbor resampled onto the tile's pixel grid, overlaps
+    averaged (integer mean, deterministic).  The raster→vector tiling
+    endgame: (row, col, n_images, tile_w, tile_h, bytes).
+
+    Execution shape: the native cover + window math (raster_tile_windows)
+    explodes images onto tiles — one shuffle on (row, col) — then an
+    applyInPandas kernel per tile decodes each contributor and accumulates
+    sum/count planes.  Tile canvases are bounded (tile_size²·3 bytes);
+    per-tile contributor counts are bounded by the footprint density, the
+    quantity the z-level choice controls at scale.
+    """
+    win = raster_tile_windows(df, tp, zoom, max_cover_tiles=max_cover_tiles)
+    win = win.filter((F.col("win_width") > 0) & (F.col("win_height") > 0))
+    s = exprs.tile_shape(tp, zoom, "row", "col")
+    b = exprs.tile_bounds(tp, zoom, "row", "col")
+    px = exprs.pixel_x_size(tp, zoom)
+    py = exprs.pixel_y_size(tp, zoom)
+    cols = [
+        "row", "col", "bytes", "w", "h", "fmt",
+        "fp_left", "fp_bottom", "fp_right", "fp_top",
+        "win_col_off", "win_row_off", "win_width", "win_height",
+    ]
+    win = win.select(
+        *cols,
+        s["width"].cast("int").alias("_tw"),
+        s["height"].cast("int").alias("_th"),
+        b["left"].alias("_tl"),
+        b["top"].alias("_tt"),
+        px.alias("_px"),
+        py.alias("_py"),
+    )
+
+    span = (tp.right - tp.left) if tp.is_global else None
+
+    def compose(pdf: pd.DataFrame) -> pd.DataFrame:
+        tw = int(pdf["_tw"].iat[0])
+        th = int(pdf["_th"].iat[0])
+        t_left = float(pdf["_tl"].iat[0])
+        t_top = float(pdf["_tt"].iat[0])
+        pxs = float(pdf["_px"].iat[0])
+        pys = float(pdf["_py"].iat[0])
+        acc = np.zeros((th, tw, 3), dtype=np.int64)
+        cnt = np.zeros((th, tw, 1), dtype=np.int64)
+        for rec in pdf.itertuples(index=False):
+            img = images.decode(rec.bytes, int(rec.w), int(rec.h), rec.fmt)
+            j0, i0 = int(rec.win_col_off), int(rec.win_row_off)
+            ww, wh = int(rec.win_width), int(rec.win_height)
+            j1, i1 = min(j0 + ww, tw), min(i0 + wh, th)
+            if j1 <= j0 or i1 <= i0:
+                continue
+            # antimeridian straddlers met this tile at a ±span shift of the
+            # footprint: re-derive the winning shift from the window center
+            fpl, fpr = rec.fp_left, rec.fp_right
+            if span is not None:
+                cx = t_left + (j0 + j1) / 2.0 * pxs
+                k = round((cx - (fpl + fpr) / 2.0) / span)
+                fpl, fpr = fpl + k * span, fpr + k * span
+            # tile-pixel centers -> image pixel indices (nearest neighbor)
+            fx = np.clip(
+                ((t_left + (np.arange(j0, j1) + 0.5) * pxs) - fpl)
+                / (fpr - fpl) * int(rec.w),
+                0, int(rec.w) - 1,
+            ).astype(np.int64)
+            fy = np.clip(
+                ((t_top - (np.arange(i0, i1) + 0.5) * pys) - rec.fp_top)
+                / (rec.fp_bottom - rec.fp_top) * int(rec.h),
+                0, int(rec.h) - 1,
+            ).astype(np.int64)
+            acc[i0:i1, j0:j1] += img[fy][:, fx].astype(np.int64)
+            cnt[i0:i1, j0:j1] += 1
+        canvas = np.where(cnt > 0, acc // np.maximum(cnt, 1), 0).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "row": [int(pdf["row"].iat[0])],
+                "col": [int(pdf["col"].iat[0])],
+                "n_images": [len(pdf)],
+                "tile_w": [tw],
+                "tile_h": [th],
+                "bytes": [canvas.tobytes()],
+            }
+        )
+
+    return win.groupBy("row", "col").applyInPandas(compose, schema=_COMPOSE_SCHEMA)
+
+
 _VERIFY_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),
