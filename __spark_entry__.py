@@ -627,18 +627,34 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "pid", F.col("rank").cast("int").alias("rank"))
 
 
-def sql_knn() -> str:
+def q_knn_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ring-DOUBLING kNN path made gate-visible: a sparse point set
+    (~1 point per 40 z6 tiles) cannot satisfy k=3 inside ring 1, so the
+    disc radius doubles across multiple driver rounds before the
+    k-th-distance guarantee terminates — value-gated against the same
+    brute-force oracle as the dense case."""
+    pts = _events(spark, sf_dir).filter(F.col("event_id") % 53 == 0).select(
+        F.col("event_id").alias("pid"), "lon", "lat"
+    )
+    queries = pts.filter(F.col("pid") % 265 == 0).select(
+        F.col("pid").alias("qid"), "lon", "lat"
+    )
+    out = knn.knn_join(queries, pts, GEODETIC, zoom=6, k=3, query_id="qid", point_id="pid")
+    return out.select("qid", "pid", F.col("rank").cast("int").alias("rank"))
+
+
+def sql_knn(pts_filter: str = "TRUE", q_filter: str = "pid % 157 = 3") -> str:
     span = _d(RIGHT - LEFT)
     return f"""
       WITH pts AS (
-        SELECT event_id AS pid, lon, lat FROM ({_EVENTS_SQL})
+        SELECT event_id AS pid, lon, lat FROM ({_EVENTS_SQL}) WHERE {pts_filter}
       ),
       valid AS (
         SELECT * FROM pts
         WHERE lon >= {_d(LEFT)} AND lon <= {_d(RIGHT)} AND lat >= {_d(BOTTOM)} AND lat <= {_d(TOP)}
           AND NOT (lat = {_d(BOTTOM)})
       ),
-      queries AS (SELECT pid AS qid, lon AS qx, lat AS qy FROM valid WHERE pid % 157 = 3),
+      queries AS (SELECT pid AS qid, lon AS qx, lat AS qy FROM valid WHERE {q_filter}),
       ranked AS (
         SELECT q.qid, p.pid,
           row_number() OVER (
@@ -2372,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersecting": q_intersecting,
         "intersecting_down": q_intersecting_down,
         "knn": q_knn,
+        "knn_sparse": q_knn_sparse,
         "events_topk_window": q_events_topk_window,
         "stream_tile_counts": q_stream_tile_counts,
         "user_sessions": q_user_sessions,
@@ -2434,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
         "intersecting": sql_intersecting(),
         "intersecting_down": sql_intersecting_down(),
         "knn": sql_knn(),
+        "knn_sparse": sql_knn(pts_filter="event_id % 53 = 0", q_filter="pid % 265 = 0"),
         "events_topk_window": sql_events_topk_window(),
         "stream_tile_counts": sql_stream_tile_counts(),
         "user_sessions": sql_user_sessions(),
