@@ -218,3 +218,75 @@ def test_quality_monotone_empty_vs_real(spark):
     )
     q = {r["doc_id"]: r["q"] for r in df.select("doc_id", textfns.quality_score("text").alias("q")).collect()}
     assert q[1] > q[2] and q[1] > q[3]
+
+
+def test_morton_random_mirror(spark):
+    """600 random (row, col) pairs: exprs.morton_id == pure-python bit
+    interleave, and morton sorting within any 2^k-aligned square block
+    keeps the block contiguous (the prefix property of the Z curve)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows = rng.integers(0, 1 << 29, size=600)
+    cols = rng.integers(0, 1 << 29, size=600)
+
+    def py_morton(r, c):
+        out = 0
+        for i in range(30):
+            out |= ((int(c) >> i) & 1) << (2 * i)
+            out |= ((int(r) >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [(int(r), int(c)) for r, c in zip(rows, cols)], "row long, col long"
+    )
+    got = {
+        (x["row"], x["col"]): x["m"]
+        for x in df.select("row", "col", exprs.morton_id("row", "col").alias("m")).collect()
+    }
+    for r, c in zip(rows, cols):
+        assert got[(int(r), int(c))] == py_morton(r, c)
+    # prefix property: all cells of an aligned 2^k block share the morton
+    # prefix, so the block occupies one contiguous morton range
+    for r0, c0, k in ((0, 0, 3), (8, 24, 3), (512, 1024, 4)):
+        ms = sorted(
+            py_morton(r0 + dr, c0 + dc)
+            for dr in range(1 << k)
+            for dc in range(1 << k)
+        )
+        assert ms[-1] - ms[0] == (1 << (2 * k)) - 1
+
+
+def test_portable_lsh_buckets_partitioning_invariant(spark):
+    """Portable LSH bucket assignment is a pure function of the vector:
+    identical at any partitioning/parallelism (the integer-exactness claim
+    the ANN oracle rests on)."""
+    import numpy as np
+
+    from tilematrix_spark.functions import similarity
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def buckets(frame):
+        out = similarity.with_lsh_buckets(frame, dim=16, num_bits=16, bands=4, portable=True)
+        return {
+            r["vec_id"]: tuple(r[f"bucket_{b}"] for b in range(4))
+            for r in out.collect()
+        }
+
+    a = buckets(df.coalesce(1))
+    b = buckets(df.repartition(13))
+    assert a == b
+    # python mirror: quantize + int matmul + band pack
+    planes = similarity.portable_sign_planes(16, 16)
+    iv = np.floor(vecs.astype(np.float64) * similarity.PORTABLE_SCALE + 0.5)
+    signs = (iv @ planes) > 0
+    weights = 1 << np.arange(4)
+    keys = signs.reshape(-1, 4, 4).astype(np.int64) @ weights
+    for i in range(300):
+        assert a[i] == tuple(int(k) for k in keys[i])
