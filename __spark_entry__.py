@@ -143,6 +143,39 @@ def sql_tile_bounds() -> str:
     """
 
 
+def q_tile_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 per-tile affine transform (pixelbuffer=4): the 6 coefficients
+    (px, 0, left_buffered, 0, -py, top_buffered) of `_tile.py:126-139` as
+    flat DOUBLE columns for the distinct z5 tiles hit by events."""
+    tiles = q_point_tile_counts(spark, sf_dir).select("tile_row", "tile_col")
+    a = exprs.tile_affine(GEODETIC, 5, "tile_row", "tile_col", 4)
+    return tiles.select(
+        "tile_row", "tile_col",
+        F.element_at(a, 1).alias("a"), F.element_at(a, 2).alias("b"),
+        F.element_at(a, 3).alias("c"), F.element_at(a, 4).alias("d"),
+        F.element_at(a, 5).alias("e"), F.element_at(a, 6).alias("f"),
+    )
+
+
+def sql_tile_affine() -> str:
+    h = _d(_tile_size(5))
+    px = _d(GEODETIC.pixel_x_size(5))
+    off = f"({px} * {_d(4.0)})"
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(5)}),
+      tiles AS (
+        SELECT tile_row, tile_col FROM tiled WHERE {_valid_sql(5)}
+        GROUP BY tile_row, tile_col
+      )
+      SELECT tile_row, tile_col,
+        {px} AS a, {_d(0.0)} AS b,
+        ({_d(LEFT)} + tile_col * {h}) - {off} AS c,
+        {_d(0.0)} AS d, -{px} AS e,
+        least(({_d(TOP)} - tile_row * {h}) + {off}, {_d(TOP)}) AS f
+      FROM tiles
+    """
+
+
 def q_tile_shape_pixelbuffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O13 tile pixel shapes with pixelbuffer=10 (global-grid edge rules)."""
     tiles = q_point_tile_counts(spark, sf_dir).select("tile_row", "tile_col")
@@ -2373,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_row_zoom_assign": q_per_row_zoom_assign,
         "pyramid_counts": q_pyramid_counts,
         "tile_bounds": q_tile_bounds,
+        "tile_affine": q_tile_affine,
         "tile_shape_pixelbuffer": q_tile_shape_pixelbuffer,
         "tile_shape_metatile": q_tile_shape_metatile,
         "matrix_dims": q_matrix_dims,
@@ -2436,6 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         "per_row_zoom_assign": sql_per_row_zoom_assign(),
         "pyramid_counts": sql_pyramid_counts(),
         "tile_bounds": sql_tile_bounds(),
+        "tile_affine": sql_tile_affine(),
         "tile_shape_pixelbuffer": sql_tile_shape_pixelbuffer(),
         "tile_shape_metatile": sql_tile_shape_metatile(),
         "matrix_dims": sql_matrix_dims(),
