@@ -396,54 +396,71 @@ def q_cover_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cover_sql(boxes_sql: str, zoom: int, tp: PyramidConfig, id_col: str = "event_id") -> str:
-    """Generic SQL mirror of cover.cover_ranges + tiles_from_bounds for any
-    (global geodetic-bounds) pyramid incl. metatiling: clamp y, crossing ->
-    full x range, corner tiles rt/lb edge rules, multipart interval filter.
-    ``hx``/``hy`` are the metatile map-unit sizes (differ when metatiling
-    makes the matrix non-square)."""
+    """Generic SQL mirror of cover.cover_ranges + tiles_from_bounds for ANY
+    pyramid (bounds, metatiling, global or not): global grids clamp y and
+    handle antimeridian crossing/multipart intervals; non-global grids pass
+    bounds through raw (clipping happens at the matrix-range clamp, like
+    the engine).  ``hx``/``hy`` are the metatile map-unit sizes."""
     hx = _d(tp.tile_x_size(zoom))
     hy = _d(tp.tile_y_size(zoom))
     mw = tp.matrix_width(zoom)
     mh = tp.matrix_height(zoom)
-    r2 = _d(RIGHT - LEFT)
+    T, B, L, R = _d(tp.top), _d(tp.bottom), _d(tp.left), _d(tp.right)
+    r2 = _d(tp.right - tp.left)
+    if tp.is_global:
+        base = f"""
+            SELECT {id_col},
+              least(bt, {T}) AS ct,
+              greatest(bb, {B}) AS cb,
+              (bl < {L} OR br > {R}) AS crossing,
+              (bl < {L}) AS west, (br > {R}) AS east,
+              CASE WHEN (bl < {L} OR br > {R}) THEN {L} ELSE bl END AS cl,
+              CASE WHEN (bl < {L} OR br > {R}) THEN {R} ELSE br END AS cr,
+              ((bl < {L}) <> (br > {R})) AND (br < bl + {r2}) AS multi,
+              CASE WHEN bl < {L} AND br <= {R} THEN bl + {r2}
+                   WHEN br > {R} AND bl >= {L} THEN {L} END AS i1l,
+              CASE WHEN bl < {L} AND br <= {R} THEN {R}
+                   WHEN br > {R} AND bl >= {L} THEN br - {r2} END AS i1r,
+              CASE WHEN bl < {L} AND br <= {R} THEN {L}
+                   WHEN br > {R} AND bl >= {L} THEN bl END AS i2l,
+              CASE WHEN bl < {L} AND br <= {R} THEN br
+                   WHEN br > {R} AND bl >= {L} THEN {R} END AS i2r
+            FROM boxes
+        """
+        colmax_wrap = f"""
+            CASE
+              WHEN cr_col = -1 THEN {mw - 1}
+              WHEN cr_col >= {mw} THEN cr_col % {mw}
+              ELSE cr_col END
+        """
+    else:
+        base = f"""
+            SELECT {id_col},
+              bt AS ct, bb AS cb,
+              FALSE AS multi,
+              NULL::DOUBLE AS i1l, NULL::DOUBLE AS i1r,
+              NULL::DOUBLE AS i2l, NULL::DOUBLE AS i2r,
+              bl AS cl, br AS cr
+            FROM boxes
+        """
+        colmax_wrap = "cr_col"
     return f"""
       WITH boxes AS ({boxes_sql}),
       rng AS (
         SELECT {id_col}, multi, i1l, i1r, i2l, i2r,
-          greatest(CAST(trunc(({_d(TOP)} - ct) / {hy}) AS BIGINT), 0) AS row_min,
+          greatest(CAST(trunc(({T} - ct) / {hy}) AS BIGINT), 0) AS row_min,
           least(
-            CAST(trunc(({_d(TOP)} - cb) / {hy}) AS BIGINT)
-              - CASE WHEN fmod({_d(TOP)} - cb, {hy}) = {_d(0.0)} THEN 1 ELSE 0 END,
+            CAST(trunc(({T} - cb) / {hy}) AS BIGINT)
+              - CASE WHEN fmod({T} - cb, {hy}) = {_d(0.0)} THEN 1 ELSE 0 END,
             {mh - 1}) AS row_max,
-          greatest(CAST(trunc((cl - {_d(LEFT)}) / {hx}) AS BIGINT), 0) AS col_min,
-          least(
-            CASE
-              WHEN cr_col = -1 THEN {mw - 1}
-              WHEN cr_col >= {mw} THEN cr_col % {mw}
-              ELSE cr_col END,
-            {mw - 1}) AS col_max
+          greatest(CAST(trunc((cl - {L}) / {hx}) AS BIGINT), 0) AS col_min,
+          least({colmax_wrap}, {mw - 1}) AS col_max
         FROM (
           SELECT {id_col}, multi, i1l, i1r, i2l, i2r, cl, cr, ct, cb,
-            CAST(trunc((cr - {_d(LEFT)}) / {hx}) AS BIGINT)
-              - CASE WHEN fmod(cr - {_d(LEFT)}, {hx}) = {_d(0.0)} THEN 1 ELSE 0 END AS cr_col
+            CAST(trunc((cr - {L}) / {hx}) AS BIGINT)
+              - CASE WHEN fmod(cr - {L}, {hx}) = {_d(0.0)} THEN 1 ELSE 0 END AS cr_col
           FROM (
-            SELECT {id_col},
-              least(bt, {_d(TOP)}) AS ct,
-              greatest(bb, {_d(BOTTOM)}) AS cb,
-              (bl < {_d(LEFT)} OR br > {_d(RIGHT)}) AS crossing,
-              (bl < {_d(LEFT)}) AS west, (br > {_d(RIGHT)}) AS east,
-              CASE WHEN (bl < {_d(LEFT)} OR br > {_d(RIGHT)}) THEN {_d(LEFT)} ELSE bl END AS cl,
-              CASE WHEN (bl < {_d(LEFT)} OR br > {_d(RIGHT)}) THEN {_d(RIGHT)} ELSE br END AS cr,
-              ((bl < {_d(LEFT)}) <> (br > {_d(RIGHT)})) AND (br < bl + {r2}) AS multi,
-              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN bl + {r2}
-                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN {_d(LEFT)} END AS i1l,
-              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN {_d(RIGHT)}
-                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN br - {r2} END AS i1r,
-              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN {_d(LEFT)}
-                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN bl END AS i2l,
-              CASE WHEN bl < {_d(LEFT)} AND br <= {_d(RIGHT)} THEN br
-                   WHEN br > {_d(RIGHT)} AND bl >= {_d(LEFT)} THEN {_d(RIGHT)} END AS i2r
-            FROM boxes
+            {base}
           )
         )
       ),
@@ -459,10 +476,10 @@ def _cover_sql(boxes_sql: str, zoom: int, tp: PyramidConfig, id_col: str = "even
       )
       SELECT {id_col}, tile_row, tile_col FROM cells
       WHERE NOT multi
-         OR (({_d(LEFT)} + tile_col * {hx}) <= i1r
-             AND least(({_d(LEFT)} + tile_col * {hx}) + {hx}, {_d(RIGHT)}) >= i1l)
-         OR (({_d(LEFT)} + tile_col * {hx}) <= i2r
-             AND least(({_d(LEFT)} + tile_col * {hx}) + {hx}, {_d(RIGHT)}) >= i2l)
+         OR (({L} + tile_col * {hx}) <= i1r
+             AND least(({L} + tile_col * {hx}) + {hx}, {R}) >= i1l)
+         OR (({L} + tile_col * {hx}) <= i2r
+             AND least(({L} + tile_col * {hx}) + {hx}, {R}) >= i2l)
     """
 
 
@@ -2193,6 +2210,105 @@ def sql_cover_bbox_mt4() -> str:
     return _cover_sql(_EVENT_BOXES_SQL, 4, GEO_MT4)
 
 
+def _event_boxes_merc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event boxes in MERCATOR map units (hundreds of km), ~2% crossing the
+    antimeridian edge of the mercator square."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").filter(F.col("event_id") % 20 == 0)
+    r = MERC_R
+    cx = F.lit(-r) + (F.col("event_id") * F.lit(PHI1)) % F.lit(1.0) * F.lit(2 * r)
+    cy = F.lit(-r) + (F.col("event_id") * F.lit(PHI2)) % F.lit(1.0) * F.lit(2 * r)
+    w = (F.lit(1.0) + (F.col("event_id") % 7).cast("double")) * F.lit(2.0e5)
+    h = (F.lit(1.0) + (F.col("event_id") % 5).cast("double")) * F.lit(1.5e5)
+    left = F.when(F.col("event_id") % 50 == 0, F.lit(r - 3.0e5)).otherwise(cx)
+    return df.select(
+        "event_id",
+        left.alias("bl"),
+        F.greatest(cy - h, F.lit(-r)).alias("bb"),
+        (left + w).alias("br"),
+        F.least(cy + h, F.lit(r)).alias("bt"),
+    )
+
+
+def _event_boxes_merc_sql() -> str:
+    r = MERC_R
+    cx = f"({_d(-r)} + fmod(event_id * {_d(PHI1)}, {_d(1.0)}) * {_d(2 * r)})"
+    cy = f"({_d(-r)} + fmod(event_id * {_d(PHI2)}, {_d(1.0)}) * {_d(2 * r)})"
+    w = f"(({_d(1.0)} + CAST(event_id % 7 AS DOUBLE)) * {_d(2.0e5)})"
+    h = f"(({_d(1.0)} + CAST(event_id % 5 AS DOUBLE)) * {_d(1.5e5)})"
+    left = f"CASE WHEN event_id % 50 = 0 THEN {_d(r - 3.0e5)} ELSE {cx} END"
+    return f"""
+      SELECT event_id,
+        {left} AS bl,
+        greatest({cy} - {h}, {_d(-r)}) AS bb,
+        ({left}) + {w} AS br,
+        least({cy} + {h}, {_d(r)}) AS bt
+      FROM events WHERE event_id % 20 = 0
+    """
+
+
+def q_cover_bbox_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25-O27 bbox cover on the MERCATOR pyramid at z5 (different bounds,
+    square zoom-0 shape, antimeridian crossing in map units)."""
+    boxes = _event_boxes_merc(spark, sf_dir)
+    out = cover.tiles_from_bounds(
+        boxes, MERCATOR_TP, 5, left="bl", bottom="bb", right="br", top="bt",
+        out_row="tile_row", out_col="tile_col",
+    )
+    return out.select("event_id", "tile_row", "tile_col")
+
+
+def sql_cover_bbox_mercator() -> str:
+    return _cover_sql(_event_boxes_merc_sql(), 5, MERCATOR_TP)
+
+
+def _event_boxes_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxes on the NON-GLOBAL irregular EPSG:31259 grid, some overflowing
+    the grid bounds (clip-at-matrix-range semantics, no wrap)."""
+    tp = IRREGULAR_TP
+    sx, sy = tp.right - tp.left, tp.top - tp.bottom
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").filter(F.col("event_id") % 20 == 0)
+    cx = F.lit(tp.left) + (F.col("event_id") * F.lit(PHI1)) % F.lit(1.0) * F.lit(sx)
+    cy = F.lit(tp.bottom) + (F.col("event_id") * F.lit(PHI2)) % F.lit(1.0) * F.lit(sy)
+    w = (F.lit(1.0) + (F.col("event_id") % 7).cast("double")) * F.lit(sx / 1000.0)
+    h = (F.lit(1.0) + (F.col("event_id") % 5).cast("double")) * F.lit(sy / 1000.0)
+    return df.select(
+        "event_id",
+        (cx - w).alias("bl"), (cy - h).alias("bb"),
+        (cx + w).alias("br"), (cy + h).alias("bt"),
+    )
+
+
+def _event_boxes_custom_sql() -> str:
+    tp = IRREGULAR_TP
+    sx, sy = tp.right - tp.left, tp.top - tp.bottom
+    cx = f"({_d(tp.left)} + fmod(event_id * {_d(PHI1)}, {_d(1.0)}) * {_d(sx)})"
+    cy = f"({_d(tp.bottom)} + fmod(event_id * {_d(PHI2)}, {_d(1.0)}) * {_d(sy)})"
+    w = f"(({_d(1.0)} + CAST(event_id % 7 AS DOUBLE)) * {_d(sx / 1000.0)})"
+    h = f"(({_d(1.0)} + CAST(event_id % 5 AS DOUBLE)) * {_d(sy / 1000.0)})"
+    return f"""
+      SELECT event_id,
+        {cx} - {w} AS bl, {cy} - {h} AS bb,
+        {cx} + {w} AS br, {cy} + {h} AS bt
+      FROM events WHERE event_id % 20 = 0
+    """
+
+
+def q_cover_bbox_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25-O27 bbox cover on the NON-GLOBAL custom grid: no antimeridian
+    logic, out-of-grid box parts clipped at the matrix range (the
+    reference's `_tiles_from_cleaned_bounds` direct path)."""
+    boxes = _event_boxes_custom(spark, sf_dir)
+    out = cover.tiles_from_bounds(
+        boxes, IRREGULAR_TP, 2, left="bl", bottom="bb", right="br", top="bt",
+        out_row="tile_row", out_col="tile_col",
+    )
+    return out.select("event_id", "tile_row", "tile_col")
+
+
+def sql_cover_bbox_custom() -> str:
+    return _cover_sql(_event_boxes_custom_sql(), 2, IRREGULAR_TP)
+
+
 def _event_boxes_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continent-scale boxes (20-50° x 10-26°, some antimeridian) whose z6
     covers exceed the explode cap — the auto-split exercise."""
@@ -2417,6 +2533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_bbox": q_cover_bbox,
         "cover_bbox_mt4": q_cover_bbox_mt4,
         "cover_bbox_split": q_cover_bbox_split,
+        "cover_bbox_mercator": q_cover_bbox_mercator,
+        "cover_bbox_custom": q_cover_bbox_custom,
         "cover_multizoom": q_cover_multizoom,
         "snap_bounds": q_snap_bounds,
         "intersecting": q_intersecting,
@@ -2481,6 +2599,8 @@ def oracle_sql() -> dict[str, str]:
         "cover_bbox": sql_cover_bbox(),
         "cover_bbox_mt4": sql_cover_bbox_mt4(),
         "cover_bbox_split": sql_cover_bbox_split(),
+        "cover_bbox_mercator": sql_cover_bbox_mercator(),
+        "cover_bbox_custom": sql_cover_bbox_custom(),
         "cover_multizoom": sql_cover_multizoom(),
         "snap_bounds": sql_snap_bounds(),
         "intersecting": sql_intersecting(),
