@@ -173,3 +173,40 @@ def test_batch_row_major_ordering(spark, geodetic):
 
     total = batched.rdd.mapPartitions(lambda it: check_partition(it)).count()
     assert total == tiles.count()
+
+
+def test_cover_mercator_antimeridian_crossing(spark):
+    """Mercator cover in map units: a box crossing the +x edge wraps to the
+    west columns, exactly like the geodetic antimeridian path."""
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("mercator")
+    r = tp.right
+    df = spark.createDataFrame(
+        [(1, r - 2.0e6, -1.0e6, r + 2.0e6, 1.0e6)],
+        "id int, left double, bottom double, right double, top double",
+    )
+    got = {(x["row"], x["col"]) for x in cover.tiles_from_bounds(df, tp, 4).collect()}
+    cols = {c for _, c in got}
+    mw = tp.matrix_width(4)
+    assert max(cols) == mw - 1 and 0 in cols  # both edges of the matrix
+    assert all(0 <= rr < tp.matrix_height(4) for rr, _ in got)
+
+
+def test_cover_custom_grid_clips_no_wrap(spark):
+    """Non-global custom grid: a box overflowing the left/bottom bounds is
+    clipped at the matrix range and never wraps."""
+    from tilematrix_spark.grid import GridConfig, PyramidConfig
+
+    grid = GridConfig.create(
+        grid="custom", shape=(2, 4), bounds=(0.0, 0.0, 400.0, 200.0),
+        srs={"epsg": 31259}, is_global=False,
+    )
+    tp = PyramidConfig.create(grid, tile_size=256, metatiling=1)
+    df = spark.createDataFrame(
+        [(1, -150.0, -50.0, 150.0, 120.0)],
+        "id int, left double, bottom double, right double, top double",
+    )
+    got = {(x["row"], x["col"]) for x in cover.tiles_from_bounds(df, tp, 1).collect()}
+    # z1: 4 rows x 8 cols of 50-unit tiles; box covers cols 0-2, rows 1-3
+    assert got == {(r, c) for r in (1, 2, 3) for c in (0, 1, 2)}
