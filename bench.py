@@ -188,6 +188,51 @@ def pip_scaling_job(spark: SparkSession, n_points: int) -> float:
     return n_points / dt
 
 
+def compose_skew_job(spark: SparkSession) -> dict:
+    """Skewed mosaic composition: one hot z6 tile holding ~100x the median
+    per-tile contributor count (4000 images with an identical footprint
+    strictly inside tile (17, 67), plus 4000 globally scattered images).
+    Times the default salted two-stage path against the single-stage path
+    (hot_threshold=inf) on the SAME input — the ratio is the skew fix: the
+    hot tile's contributor bytes split across salt_buckets tasks instead of
+    concentrating in one."""
+    import __spark_entry__ as em
+    from tilematrix_spark import images, raster
+
+    import os as _os
+    import tempfile as _tf
+
+    par = spark.sparkContext.defaultParallelism * 2
+    hot = (
+        images.images_df(spark, 4000, partitions=par)
+        .withColumn("fp_left", F.lit(8.6)).withColumn("fp_right", F.lit(11.1))
+        .withColumn("fp_bottom", F.lit(39.5)).withColumn("fp_top", F.lit(42.0))
+    )
+    cold = images.images_df(spark, 4000, partitions=par)
+    # stage through parquet: compose's slim counts pass column-prunes the
+    # scan (the production shape — input is a table, not a generator)
+    path = _os.path.join(_tf.gettempdir(), "tmx_bench_compose_skew")
+    hot.unionByName(cold).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    # JIT/Arrow warm-up on a tiny compose
+    raster.compose_tiles(images.images_df(spark, 64, partitions=4), em.GEODETIC, 3).count()
+    t0 = time.time()
+    n_salted = raster.compose_tiles(df, em.GEODETIC, 6).count()
+    salted = time.time() - t0
+    t0 = time.time()
+    n_single = raster.compose_tiles(df, em.GEODETIC, 6, hot_threshold=1 << 30).count()
+    single = time.time() - t0
+    assert n_salted == n_single
+    return {
+        "hot_contributors": 4000,
+        "tiles": n_salted,
+        "salted_sec": round(salted, 3),
+        "single_stage_sec": round(single, 3),
+        "salted_speedup": round(single / salted, 2) if salted > 0 else None,
+        "imgs_per_sec": round(8000 / salted) if salted > 0 else None,
+    }
+
+
 def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
     """Subprocess entry: run one scaling measurement in a fresh JVM and
     print the best rate on the last stdout line."""
@@ -251,6 +296,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings = run_suite(spark, sf_dir)
     rows_per_s, n_rows = flagship_throughput(spark, sf_dir)
+    compose_skew = compose_skew_job(spark)
     total = round(sum(timings.values()), 3)
 
     result = {
@@ -262,6 +308,7 @@ def main() -> None:
         "flagship_rows_per_sec": round(rows_per_s),
         "flagship_rows": n_rows,
         "cpus": cpus,
+        "compose_skew": compose_skew,
     }
 
     if do_scaling:

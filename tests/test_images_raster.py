@@ -187,3 +187,34 @@ def test_compose_tiles_single_image_window_matches_resample(spark):
                 assert (canvas[i, j] == img[v, u]).all(), (r["row"], r["col"], i, j)
                 checked += 1
     assert checked > 50
+
+
+def test_compose_tiles_salted_hot_path_byte_identical(spark):
+    """The salted two-stage (hot) compose path must produce byte-identical
+    canvases and identical n_images to the single-pass (cold) path — integer
+    sum/count planes are associative, so slicing contributors by salt cannot
+    change the integer-mean result."""
+    from tilematrix_spark import raster
+
+    df = images.images_df(spark, 48, partitions=4)
+    tp = _tp()
+    cold = {
+        (r["row"], r["col"]): r
+        for r in raster.compose_tiles(df, tp, 3, hot_threshold=10**9).collect()
+    }
+    hot = {
+        (r["row"], r["col"]): r
+        for r in raster.compose_tiles(
+            df, tp, 3, hot_threshold=0, salt_buckets=4
+        ).collect()
+    }
+    assert set(cold) == set(hot) and cold
+    multi = 0
+    for k, c in cold.items():
+        h = hot[k]
+        assert c["n_images"] == h["n_images"], k
+        assert (c["tile_w"], c["tile_h"]) == (h["tile_w"], h["tile_h"]), k
+        assert bytes(c["bytes"]) == bytes(h["bytes"]), k
+        if c["n_images"] > 1:
+            multi += 1
+    assert multi > 0  # the overlap/mean path was actually exercised

@@ -104,98 +104,203 @@ _COMPOSE_SCHEMA = T.StructType(
     ]
 )
 
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.LongType()),
+        T.StructField("col", T.LongType()),
+        T.StructField("n_images", T.IntegerType()),
+        T.StructField("tile_w", T.IntegerType()),
+        T.StructField("tile_h", T.IntegerType()),
+        T.StructField("sum_bytes", T.BinaryType()),
+        T.StructField("cnt_bytes", T.BinaryType()),
+    ]
+)
+
+_WIN_COLS = [
+    "row", "col", "bytes", "w", "h", "fmt",
+    "fp_left", "fp_bottom", "fp_right", "fp_top",
+    "win_col_off", "win_row_off", "win_width", "win_height",
+]
+
+
+def _accumulate(pdf: pd.DataFrame, span) -> tuple:
+    """Shared compose accumulator: decode every contributor in ``pdf`` (one
+    tile, or one (tile, salt) slice of a hot tile), nearest-neighbor resample
+    into the tile pixel grid, and add into int64 sum/count planes.  Integer
+    sums are associative, so partial planes from disjoint slices merge to the
+    exact same result as one pass (pytest pins byte-identity)."""
+    tw = int(pdf["_tw"].iat[0])
+    th = int(pdf["_th"].iat[0])
+    t_left = float(pdf["_tl"].iat[0])
+    t_top = float(pdf["_tt"].iat[0])
+    pxs = float(pdf["_px"].iat[0])
+    pys = float(pdf["_py"].iat[0])
+    acc = np.zeros((th, tw, 3), dtype=np.int64)
+    cnt = np.zeros((th, tw, 1), dtype=np.int64)
+    blended = 0
+    for rec in pdf.itertuples(index=False):
+        img = images.decode(rec.bytes, int(rec.w), int(rec.h), rec.fmt)
+        j0, i0 = int(rec.win_col_off), int(rec.win_row_off)
+        ww, wh = int(rec.win_width), int(rec.win_height)
+        j1, i1 = min(j0 + ww, tw), min(i0 + wh, th)
+        if j1 <= j0 or i1 <= i0:
+            # defensive only: the win_width/height > 0 filter already implies
+            # off < tile dim (off < end <= dim), so every row here blends —
+            # n_images therefore counts BLENDED contributors
+            continue
+        # antimeridian straddlers met this tile at a ±span shift of the
+        # footprint: re-derive the winning shift from the window center
+        fpl, fpr = rec.fp_left, rec.fp_right
+        if span is not None:
+            cx = t_left + (j0 + j1) / 2.0 * pxs
+            k = round((cx - (fpl + fpr) / 2.0) / span)
+            fpl, fpr = fpl + k * span, fpr + k * span
+        # tile-pixel centers -> image pixel indices (nearest neighbor)
+        fx = np.clip(
+            ((t_left + (np.arange(j0, j1) + 0.5) * pxs) - fpl)
+            / (fpr - fpl) * int(rec.w),
+            0, int(rec.w) - 1,
+        ).astype(np.int64)
+        fy = np.clip(
+            ((t_top - (np.arange(i0, i1) + 0.5) * pys) - rec.fp_top)
+            / (rec.fp_bottom - rec.fp_top) * int(rec.h),
+            0, int(rec.h) - 1,
+        ).astype(np.int64)
+        acc[i0:i1, j0:j1] += img[fy][:, fx].astype(np.int64)
+        cnt[i0:i1, j0:j1] += 1
+        blended += 1
+    return acc, cnt, blended, tw, th
+
+
+def _finalize(acc: np.ndarray, cnt: np.ndarray) -> bytes:
+    return np.where(cnt > 0, acc // np.maximum(cnt, 1), 0).astype(np.uint8).tobytes()
+
 
 def compose_tiles(
     df: DataFrame,
     tp: PyramidConfig,
     zoom: int,
     max_cover_tiles: Optional[int] = None,
+    hot_threshold: int = 64,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Mosaic the images table onto pyramid tiles: every tile gets a raw
     RGB canvas composed from ALL images whose footprint covers it —
     nearest-neighbor resampled onto the tile's pixel grid, overlaps
     averaged (integer mean, deterministic).  The raster→vector tiling
-    endgame: (row, col, n_images, tile_w, tile_h, bytes).
+    endgame: (row, col, n_images, tile_w, tile_h, bytes).  ``n_images``
+    counts the contributors actually blended into the canvas (≡ the
+    window-intersecting rows: win_width/height > 0 implies a non-empty
+    clipped window).
 
-    Execution shape: the native cover + window math (raster_tile_windows)
-    explodes images onto tiles — one shuffle on (row, col) — then an
-    applyInPandas kernel per tile decodes each contributor and accumulates
-    sum/count planes.  Tile canvases are bounded (tile_size²·3 bytes);
-    per-tile contributor counts are bounded by the footprint density, the
-    quantity the z-level choice controls at scale.
+    Execution shape — skew-split on runtime stats (the scale fix for hot
+    tiles: a popular tile or any low-zoom compose previously concentrated
+    EVERY contributor's bytes in one task):
+
+    1. contributor counts per tile come from a slim no-bytes recompute of
+       the cover/window math (column-pruned parquet scan, native exprs);
+    2. cold tiles (count ≤ ``hot_threshold``) join the counts and compose in
+       one ``applyInPandas`` pass — the join shuffle doubles as the groupBy
+       shuffle, so contributor bytes still move exactly once;
+    3. hot tiles hash-salt contributors into ``salt_buckets`` slices, each
+       slice accumulates a partial int32 (sum, count) canvas — per-task bytes
+       bounded by count/S contributors — and a second stage merges ≤S small
+       canvases per tile.  Integer-mean output is bit-identical to the
+       single-pass path (associative sums; pytest pins it).
     """
+    slim = df.drop("bytes", "caption") if "caption" in df.columns else df.drop("bytes")
+    counts = (
+        raster_tile_windows(slim, tp, zoom, max_cover_tiles=max_cover_tiles)
+        .filter((F.col("win_width") > 0) & (F.col("win_height") > 0))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("_tile_n"))
+    )
+
     win = raster_tile_windows(df, tp, zoom, max_cover_tiles=max_cover_tiles)
     win = win.filter((F.col("win_width") > 0) & (F.col("win_height") > 0))
     s = exprs.tile_shape(tp, zoom, "row", "col")
     b = exprs.tile_bounds(tp, zoom, "row", "col")
     px = exprs.pixel_x_size(tp, zoom)
     py = exprs.pixel_y_size(tp, zoom)
-    cols = [
-        "row", "col", "bytes", "w", "h", "fmt",
-        "fp_left", "fp_bottom", "fp_right", "fp_top",
-        "win_col_off", "win_row_off", "win_width", "win_height",
-    ]
     win = win.select(
-        *cols,
+        *_WIN_COLS,
         s["width"].cast("int").alias("_tw"),
         s["height"].cast("int").alias("_th"),
         b["left"].alias("_tl"),
         b["top"].alias("_tt"),
         px.alias("_px"),
         py.alias("_py"),
-    )
+    ).join(counts, on=["row", "col"])
 
     span = (tp.right - tp.left) if tp.is_global else None
 
     def compose(pdf: pd.DataFrame) -> pd.DataFrame:
-        tw = int(pdf["_tw"].iat[0])
-        th = int(pdf["_th"].iat[0])
-        t_left = float(pdf["_tl"].iat[0])
-        t_top = float(pdf["_tt"].iat[0])
-        pxs = float(pdf["_px"].iat[0])
-        pys = float(pdf["_py"].iat[0])
-        acc = np.zeros((th, tw, 3), dtype=np.int64)
-        cnt = np.zeros((th, tw, 1), dtype=np.int64)
-        for rec in pdf.itertuples(index=False):
-            img = images.decode(rec.bytes, int(rec.w), int(rec.h), rec.fmt)
-            j0, i0 = int(rec.win_col_off), int(rec.win_row_off)
-            ww, wh = int(rec.win_width), int(rec.win_height)
-            j1, i1 = min(j0 + ww, tw), min(i0 + wh, th)
-            if j1 <= j0 or i1 <= i0:
-                continue
-            # antimeridian straddlers met this tile at a ±span shift of the
-            # footprint: re-derive the winning shift from the window center
-            fpl, fpr = rec.fp_left, rec.fp_right
-            if span is not None:
-                cx = t_left + (j0 + j1) / 2.0 * pxs
-                k = round((cx - (fpl + fpr) / 2.0) / span)
-                fpl, fpr = fpl + k * span, fpr + k * span
-            # tile-pixel centers -> image pixel indices (nearest neighbor)
-            fx = np.clip(
-                ((t_left + (np.arange(j0, j1) + 0.5) * pxs) - fpl)
-                / (fpr - fpl) * int(rec.w),
-                0, int(rec.w) - 1,
-            ).astype(np.int64)
-            fy = np.clip(
-                ((t_top - (np.arange(i0, i1) + 0.5) * pys) - rec.fp_top)
-                / (rec.fp_bottom - rec.fp_top) * int(rec.h),
-                0, int(rec.h) - 1,
-            ).astype(np.int64)
-            acc[i0:i1, j0:j1] += img[fy][:, fx].astype(np.int64)
-            cnt[i0:i1, j0:j1] += 1
-        canvas = np.where(cnt > 0, acc // np.maximum(cnt, 1), 0).astype(np.uint8)
+        acc, cnt, blended, tw, th = _accumulate(pdf, span)
         return pd.DataFrame(
             {
                 "row": [int(pdf["row"].iat[0])],
                 "col": [int(pdf["col"].iat[0])],
-                "n_images": [len(pdf)],
+                "n_images": [blended],
                 "tile_w": [tw],
                 "tile_h": [th],
-                "bytes": [canvas.tobytes()],
+                "bytes": [_finalize(acc, cnt)],
             }
         )
 
-    return win.groupBy("row", "col").applyInPandas(compose, schema=_COMPOSE_SCHEMA)
+    cold = (
+        win.filter(F.col("_tile_n") <= hot_threshold)
+        .groupBy("row", "col")
+        .applyInPandas(compose, schema=_COMPOSE_SCHEMA)
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc, cnt, blended, tw, th = _accumulate(pdf, span)
+        return pd.DataFrame(
+            {
+                "row": [int(pdf["row"].iat[0])],
+                "col": [int(pdf["col"].iat[0])],
+                "n_images": [blended],
+                "tile_w": [tw],
+                "tile_h": [th],
+                # 255·n fits int32 up to 8.4M contributors per slice
+                "sum_bytes": [acc.astype(np.int32).tobytes()],
+                "cnt_bytes": [cnt.astype(np.int32).tobytes()],
+            }
+        )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        tw = int(pdf["tile_w"].iat[0])
+        th = int(pdf["tile_h"].iat[0])
+        acc = np.zeros((th, tw, 3), dtype=np.int64)
+        cnt = np.zeros((th, tw, 1), dtype=np.int64)
+        for rec in pdf.itertuples(index=False):
+            acc += np.frombuffer(rec.sum_bytes, dtype=np.int32).reshape(th, tw, 3)
+            cnt += np.frombuffer(rec.cnt_bytes, dtype=np.int32).reshape(th, tw, 1)
+        return pd.DataFrame(
+            {
+                "row": [int(pdf["row"].iat[0])],
+                "col": [int(pdf["col"].iat[0])],
+                "n_images": [int(pdf["n_images"].sum())],
+                "tile_w": [tw],
+                "tile_h": [th],
+                "bytes": [_finalize(acc, cnt)],
+            }
+        )
+
+    salt = F.pmod(
+        F.xxhash64("fp_left", "fp_bottom", "fp_right", "fp_top", "w", "h", "fmt"),
+        F.lit(salt_buckets),
+    )
+    hot = (
+        win.filter(F.col("_tile_n") > hot_threshold)
+        .withColumn("_salt", salt)
+        .groupBy("row", "col", "_salt")
+        .applyInPandas(partial, schema=_PARTIAL_SCHEMA)
+        .groupBy("row", "col")
+        .applyInPandas(merge, schema=_COMPOSE_SCHEMA)
+    )
+
+    return cold.unionByName(hot)
 
 
 _VERIFY_SCHEMA = T.StructType(
