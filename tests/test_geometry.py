@@ -134,6 +134,68 @@ def test_clip_geometry_antimeridian_parts():
             assert minx >= -180.0 and maxx <= 180.0
 
 
+def test_clip_linestring_antimeridian_parts():
+    # mirror of reference test_helper_funcs.py:37-46 semantics for a
+    # non-polygonal geometry: a LineString crossing the antimeridian splits
+    # into an inside piece and a shifted outside piece, spliced at x=±180
+    # with interpolated crossing points (shapely line∩box / line−box)
+    bounds = (-180.0, -90.0, 180.0, 90.0)
+    line = {"type": "LineString", "coordinates": [(-183.125, 70.0), (-177.5, 71.0)]}
+    parts = geomkernels.clip_geometry_to_srs_bounds(line, bounds, True, shift=360.0)
+    assert len(parts) == 2
+    assert all(p["type"] == "LineString" for p in parts)
+    y_cross = 70.0 + ((-180.0 + 183.125) / (-177.5 + 183.125)) * 1.0
+    inside, west = parts
+    assert inside["coordinates"][0] == (-180.0, y_cross)
+    assert inside["coordinates"][-1] == (-177.5, 71.0)
+    # west part translated by +360 into range, ending at the right bound
+    assert west["coordinates"][0] == (-183.125 + 360.0, 70.0)
+    assert west["coordinates"][-1] == (180.0, y_cross)
+    for p in parts:
+        minx, _, maxx, _ = geomkernels.geom_bounds(p)
+        assert minx >= -180.0 and maxx <= 180.0
+
+    # zig-zag crossing BOTH bounds -> 3 parts, every piece in range
+    zig = {
+        "type": "LineString",
+        "coordinates": [(-185.0, 0.0), (-170.0, 5.0), (170.0, 10.0), (185.0, 15.0)],
+    }
+    parts = geomkernels.clip_geometry_to_srs_bounds(zig, bounds, True, shift=360.0)
+    assert len(parts) == 3
+    for p in parts:
+        minx, _, maxx, _ = geomkernels.geom_bounds(p)
+        assert minx >= -180.0 and maxx <= 180.0
+
+
+def test_clip_multipoint_antimeridian_parts():
+    bounds = (-180.0, -90.0, 180.0, 90.0)
+    mp = {"type": "MultiPoint", "coordinates": [(-183.0, 70.0), (10.0, 10.0), (185.0, 5.0)]}
+    parts = geomkernels.clip_geometry_to_srs_bounds(mp, bounds, True, shift=360.0)
+    assert [p["type"] for p in parts] == ["Point"] * 3
+    assert [p["coordinates"] for p in parts] == [
+        (177.0, 70.0), (10.0, 10.0), (-175.0, 5.0)
+    ]
+
+
+def test_tiles_from_geom_line_antimeridian_end_to_end(spark):
+    # end-to-end parity: the engine's shifted-rect refine on the RAW
+    # crossing LineString must yield exactly the union of tiles of the
+    # clipped-and-shifted parts (the reference materializes the parts;
+    # set-equivalence is the operator contract)
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic")
+    raw = {"type": "LineString", "coordinates": [(-183.125, 67.5), (-177.5, 73.125)]}
+    got_raw = _geom_tiles(spark, tp, raw, 5)
+    parts = geomkernels.clip_geometry_to_srs_bounds(
+        raw, (tp.left, tp.bottom, tp.right, tp.top), True, shift=2 * tp.right
+    )
+    got_parts = set()
+    for p in parts:
+        got_parts |= _geom_tiles(spark, tp, p, 5)
+    assert got_raw == got_parts and got_raw
+
+
 def test_rects_intersect_touch_counts():
     poly = {"type": "Polygon", "coordinates": [[(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)]]}
     import numpy as np

@@ -386,23 +386,87 @@ def clip_geometry_to_srs_bounds(
                 rings.append(ring_out)
         return rings
 
+    def clip_line_x(pts, lo, hi, dx):
+        """Clip a polyline to the x-halfplane slab [lo, hi] (None = open),
+        splicing at the boundary (interpolated crossing points) and
+        splitting into separate pieces where the line leaves the slab —
+        the polyline analogue of shapely's line∩box in ``_funcs.py:41``.
+        Zero-length touch points (a vertex exactly on the boundary with
+        both neighbors outside) are dropped."""
+
+        def clip_seg(p, q):
+            # parametric clip of segment p->q to the slab; returns
+            # ((x,y),(x,y)) or None if fully outside
+            x0, y0 = float(p[0]), float(p[1])
+            x1, y1 = float(q[0]), float(q[1])
+            t0, t1 = 0.0, 1.0
+            dxx = x1 - x0
+            for bound, keep_ge in ((lo, True), (hi, False)):
+                if bound is None:
+                    continue
+                if dxx == 0.0:
+                    if (x0 < bound) if keep_ge else (x0 > bound):
+                        return None
+                    continue
+                t = (bound - x0) / dxx
+                entering = (dxx > 0) if keep_ge else (dxx < 0)
+                if entering:
+                    t0 = max(t0, t)
+                else:
+                    t1 = min(t1, t)
+            if t0 >= t1:
+                return None
+            a = (x0 + t0 * dxx, y0 + t0 * (y1 - y0)) if t0 > 0.0 else (x0, y0)
+            b = (x0 + t1 * dxx, y0 + t1 * (y1 - y0)) if t1 < 1.0 else (x1, y1)
+            return a, b
+
+        pieces = []
+        cur: List = []
+        for i in range(len(pts) - 1):
+            seg = clip_seg(pts[i], pts[i + 1])
+            if seg is None:
+                if len(cur) >= 2:
+                    pieces.append(cur)
+                cur = []
+                continue
+            a, b = seg
+            if cur and cur[-1] == a:
+                cur.append(b)
+            else:
+                if len(cur) >= 2:
+                    pieces.append(cur)
+                cur = [a, b]
+        if len(cur) >= 2:
+            pieces.append(cur)
+        return [[(x + dx, y) for x, y in piece] for piece in pieces]
+
     parts: List[Dict[str, Any]] = []
     for kind, coords in _iter_parts(geom):
-        if kind != "polygon":
-            # line/point parts: partition vertices by region and shift —
-            # sufficient for the box-dominant workload; exact line clipping
-            # would splice at the boundary
-            raise NotImplementedError("SRS-bounds clip implemented for polygonal parts")
-        inside = clip_poly_x(coords, left, right, 0.0)
-        west = clip_poly_x(coords, None, left, shift)
-        east = clip_poly_x(coords, right, None, -shift)
-        for rings in (inside, west, east):
-            for ring in rings:
-                # drop degenerate slivers (zero area)
-                arr = np.asarray(ring)
-                area = 0.0
-                for i in range(len(arr) - 1):
-                    area += arr[i, 0] * arr[i + 1, 1] - arr[i + 1, 0] * arr[i, 1]
-                if abs(area) * 0.5 > 0.0:
-                    parts.append({"type": "Polygon", "coordinates": [ring]})
+        if kind == "polygon":
+            inside = clip_poly_x(coords, left, right, 0.0)
+            west = clip_poly_x(coords, None, left, shift)
+            east = clip_poly_x(coords, right, None, -shift)
+            for rings in (inside, west, east):
+                for ring in rings:
+                    # drop degenerate slivers (zero area)
+                    arr = np.asarray(ring)
+                    area = 0.0
+                    for i in range(len(arr) - 1):
+                        area += arr[i, 0] * arr[i + 1, 1] - arr[i + 1, 0] * arr[i, 1]
+                    if abs(area) * 0.5 > 0.0:
+                        parts.append({"type": "Polygon", "coordinates": [ring]})
+        elif kind == "line":
+            for lo, hi, dx in ((left, right, 0.0), (None, left, shift), (right, None, -shift)):
+                for piece in clip_line_x(list(coords), lo, hi, dx):
+                    parts.append({"type": "LineString", "coordinates": piece})
+        else:  # point parts: inside kept, outside shifted into range
+            # (reference _funcs.py:47-55: each outside piece translated
+            # by ±2·pyramid.right toward the grid)
+            for x, y in coords:
+                x, y = float(x), float(y)
+                if x < left:
+                    x += shift
+                elif x > right:
+                    x -= shift
+                parts.append({"type": "Point", "coordinates": (x, y)})
     return parts
