@@ -232,6 +232,36 @@ def test_stub_formats_raise(spark):
         multimodal.video_frame_sample(None)
 
 
+def test_decoder_registry_end_to_end(spark):
+    """A runtime-registered decoder lights up a stub format end-to-end
+    (Arrow kernel over Spark), and kernels built before unregistration keep
+    working afterwards — proving closure snapshot, not shared module state."""
+    from tilematrix_spark import images
+
+    assert "raw" in multimodal.registered_formats()
+
+    # fake 'jpeg': payload is a raw RGB buffer, decoder just reshapes it
+    def fake_jpeg(data: bytes, w: int, h: int):
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+    df = images.images_df(spark, 12, partitions=2).filter("fmt = 'raw'").withColumn(
+        "fmt", F.lit("jpeg")
+    )
+    assert df.count() > 0
+    multimodal.register_decoder("jpeg", fake_jpeg)
+    try:
+        feats = multimodal.extract_image_features(df)  # snapshots registry here
+        rows = feats.collect()
+        assert rows and all(100 < r["mean_r"] < 155 for r in rows)
+    finally:
+        multimodal.unregister_decoder("jpeg")
+    # plan built while registered still decodes after unregistration
+    assert len(feats.collect()) == len(rows)
+    # and a fresh plan is back to the stub error
+    with pytest.raises(Exception, match="jpeg"):
+        multimodal.extract_image_features(df).collect()
+
+
 def test_audio_features_pcm16(spark):
     sig = (np.sin(np.linspace(0, 20, 1000)) * 10000).astype(np.int16)
     df = spark.createDataFrame(

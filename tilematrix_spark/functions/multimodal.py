@@ -10,7 +10,7 @@ cluster without touching the plumbing.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -22,17 +22,93 @@ from .. import images as imglib
 
 #: formats the sandbox can really decode (numpy-only codecs)
 REAL_FORMATS = {"raw", "q8"}
-#: formats requiring external libs — stubbed
+#: formats requiring external libs — auto-registered when the lib imports
 STUB_FORMATS = {"jpeg", "png", "webp"}
 
+# ---------------------------------------------------------------------------
+# codec registry (one dispatch point for every decode path)
+#
+# Decoder: (data, w, h) -> uint8 ndarray (h, w, 3).  The registry is
+# populated at import time — numpy codecs always, PIL-backed jpeg/png/webp
+# iff PIL imports (a real cluster lights them up with zero code changes;
+# this container lacks it, so those formats raise NotImplementedError).
+#
+# Every Arrow kernel snapshots the registry into its closure at
+# DataFrame-construction time (``decoders = dict(_DECODERS)``), so a
+# decoder registered at runtime on the driver is cloudpickled to executors
+# with the kernel — registration works on a real multi-JVM cluster, not
+# just in local mode where the module state happens to be shared.
+# ---------------------------------------------------------------------------
 
-def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    if fmt in REAL_FORMATS:
-        return imglib.decode(data, w, h, fmt)
+ImageDecoder = Callable[[bytes, int, int], np.ndarray]
+
+_DECODERS: Dict[str, ImageDecoder] = {}
+
+
+def register_decoder(fmt: str, fn: ImageDecoder) -> None:
+    """Register/replace the decoder for ``fmt``.  Call before building the
+    DataFrame plan — kernels snapshot the registry into their closures."""
+    _DECODERS[fmt] = fn
+
+
+def unregister_decoder(fmt: str) -> None:
+    _DECODERS.pop(fmt, None)
+
+
+def registered_formats() -> set:
+    return set(_DECODERS)
+
+
+def snapshot_decoders() -> Dict[str, ImageDecoder]:
+    """Copy of the registry for closure capture at plan-build time (ships to
+    executors via cloudpickle with the Arrow kernel)."""
+    return dict(_DECODERS)
+
+
+def _pil_decoder() -> Optional[ImageDecoder]:
+    """Import-guarded PIL decoder for jpeg/png/webp — None when PIL absent."""
+    try:
+        from PIL import Image  # noqa: F401
+    except Exception:
+        return None
+
+    def decode(data: bytes, w: int, h: int) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), dtype=np.uint8)
+
+    return decode
+
+
+def _install_default_decoders() -> None:
+    for f in REAL_FORMATS:
+        _DECODERS.setdefault(f, lambda data, w, h, _f=f: imglib.decode(data, w, h, _f))
+    pil = _pil_decoder()
+    if pil is not None:
+        for f in STUB_FORMATS:
+            _DECODERS.setdefault(f, pil)
+
+
+_install_default_decoders()
+
+
+def decode_image(
+    data: bytes, w: int, h: int, fmt: str,
+    decoders: Optional[Dict[str, ImageDecoder]] = None,
+) -> np.ndarray:
+    d = _DECODERS if decoders is None else decoders
+    fn = d.get(fmt)
+    if fn is not None:
+        return fn(data, w, h)
     if fmt in STUB_FORMATS:
-        # STUB: container has no image codec libraries; a real deployment
-        # plugs PIL/turbojpeg here. Plumbing (shapes, batching) is identical.
-        raise NotImplementedError(f"decoder for '{fmt}' requires an image codec library")
+        # no codec library present and none registered; a real deployment
+        # gets these via the import-guarded PIL path or register_decoder()
+        raise NotImplementedError(
+            f"decoder for '{fmt}' requires an image codec library "
+            "(install PIL or register_decoder())"
+        )
     raise ValueError(f"unknown image format: {fmt}")
 
 
@@ -63,6 +139,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     """Per-image channel means, gray stddev, and average-hash — Arrow-batched
     and vectorized per (w, h, fmt) shape group: one stacked mean/std/hash
     pass per group, no per-row Python statistics."""
+    decoders = snapshot_decoders()  # ships to executors in the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -74,7 +151,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             phash = np.empty(m, dtype=np.int64)
             for w, h, fmt, ii in _shape_groups(pdf):
                 stack = np.stack(
-                    [decode_image(pdf["bytes"].iat[i], w, h, fmt) for i in ii]
+                    [decode_image(pdf["bytes"].iat[i], w, h, fmt, decoders) for i in ii]
                 ).astype(np.float64)
                 mean_rgb[ii] = stack.mean(axis=(1, 2))
                 std_gray[ii] = stack.mean(axis=3).std(axis=(1, 2))
@@ -106,6 +183,7 @@ _RESIZE_SCHEMA = T.StructType(
 
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize to (out_w, out_h); output fmt is ``raw``."""
+    decoders = snapshot_decoders()  # ships to executors in the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,7 +195,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 # index maps are shared by the whole shape group: one fancy
                 # index over the (n, h, w, 3) stack resizes every image
                 stack = np.stack(
-                    [decode_image(pdf["bytes"].iat[i], w, h, fmt) for i in ii]
+                    [decode_image(pdf["bytes"].iat[i], w, h, fmt, decoders) for i in ii]
                 )
                 ys = (np.arange(out_h) * h) // out_h
                 xs = (np.arange(out_w) * w) // out_w

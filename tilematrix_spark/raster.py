@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import exprs, images
-from .functions.multimodal import _shape_groups
+from .functions.multimodal import _shape_groups, decode_image, snapshot_decoders
 from .grid import PyramidConfig
 from .operators import cover as cover_ops
 
@@ -123,7 +123,7 @@ _WIN_COLS = [
 ]
 
 
-def _accumulate(pdf: pd.DataFrame, span) -> tuple:
+def _accumulate(pdf: pd.DataFrame, span, decoders=None) -> tuple:
     """Shared compose accumulator: decode every contributor in ``pdf`` (one
     tile, or one (tile, salt) slice of a hot tile), nearest-neighbor resample
     into the tile pixel grid, and add into int64 sum/count planes.  Integer
@@ -139,7 +139,7 @@ def _accumulate(pdf: pd.DataFrame, span) -> tuple:
     cnt = np.zeros((th, tw, 1), dtype=np.int64)
     blended = 0
     for rec in pdf.itertuples(index=False):
-        img = images.decode(rec.bytes, int(rec.w), int(rec.h), rec.fmt)
+        img = decode_image(rec.bytes, int(rec.w), int(rec.h), rec.fmt, decoders)
         j0, i0 = int(rec.win_col_off), int(rec.win_row_off)
         ww, wh = int(rec.win_width), int(rec.win_height)
         j1, i1 = min(j0 + ww, tw), min(i0 + wh, th)
@@ -233,9 +233,10 @@ def compose_tiles(
     ).join(counts, on=["row", "col"])
 
     span = (tp.right - tp.left) if tp.is_global else None
+    decoders = snapshot_decoders()  # ships to executors in the kernel closures
 
     def compose(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc, cnt, blended, tw, th = _accumulate(pdf, span)
+        acc, cnt, blended, tw, th = _accumulate(pdf, span, decoders)
         return pd.DataFrame(
             {
                 "row": [int(pdf["row"].iat[0])],
@@ -254,7 +255,7 @@ def compose_tiles(
     )
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc, cnt, blended, tw, th = _accumulate(pdf, span)
+        acc, cnt, blended, tw, th = _accumulate(pdf, span, decoders)
         return pd.DataFrame(
             {
                 "row": [int(pdf["row"].iat[0])],
@@ -319,6 +320,7 @@ _VERIFY_SCHEMA = T.StructType(
 def verify_images(df: DataFrame, psnr_threshold: float = 40.0) -> DataFrame:
     """Per-row invariant check (BASELINE.json): decoded pixels vs the
     deterministic regeneration, caption equality, phash equality."""
+    decoders = snapshot_decoders()  # ships to executors in the closure
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # vectorized by (w, h, fmt) group: decode/regenerate stacks, one
@@ -334,7 +336,7 @@ def verify_images(df: DataFrame, psnr_threshold: float = 40.0) -> DataFrame:
             phash_ok = np.zeros(m, dtype=bool)
             for w, h, fmt, ii in _shape_groups(pdf):
                 decoded = np.stack(
-                    [images.decode(pdf["bytes"].iat[i], w, h, fmt) for i in ii]
+                    [decode_image(pdf["bytes"].iat[i], w, h, fmt, decoders) for i in ii]
                 )
                 expected = images.gen_pixels_batch(idxs[ii], w, h)
                 diff = decoded.astype(np.float64) - expected.astype(np.float64)
