@@ -46,6 +46,16 @@ def test_table_io_roundtrip(spark, tmp_path):
     assert io.read(str(tmp_path / "t")).count() == 10
 
 
+def test_write_counted_matches_readback(spark, tmp_path):
+    """Observed-during-write row count equals a read-back count (one scan,
+    not two), including the empty-output edge."""
+    io = TableIO(spark)
+    df = spark.range(137).withColumn("p", F.col("id") % 3)
+    n = io.write_counted(df, str(tmp_path / "c"), partition_by=["p"])
+    assert n == 137 == io.read(str(tmp_path / "c")).count()
+    assert io.write_counted(spark.range(5).filter("id < 0"), str(tmp_path / "e")) == 0
+
+
 def _tmx(*args):
     return subprocess.run(
         [sys.executable, "-m", "tilematrix_spark.cli", *args],

@@ -26,7 +26,7 @@ import time
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from .grid import PyramidConfig
 
@@ -49,6 +49,18 @@ class TableIO:
 
     def read(self, path: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(path)
+
+    def write_counted(self, df: DataFrame, path: str, mode: str = "overwrite",
+                      partition_by: Optional[List[str]] = None) -> int:
+        """Write and return the row count observed DURING the write action
+        (``df.observe``) — one scan total, vs read-back-and-count's two.
+        At 100 TB outputs the saved re-scan is the whole point."""
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        self.write(df.observe(obs, F.count(F.lit(1)).alias("rows")), path,
+                   mode=mode, partition_by=partition_by)
+        return int(obs.get["rows"])
 
 
 @dataclass
@@ -130,8 +142,7 @@ class StageJob:
             t0 = time.time()
             df = build(self.spark, self.read_stage)
             path = os.path.join(self.out, unit)
-            self.io.write(df, path)
-            rows = self.io.read(path).count()
+            rows = self.io.write_counted(df, path)
             self.lineage.commit(
                 LineageRecord(
                     unit=unit,
@@ -211,8 +222,7 @@ class PyramidJob:
                         F.pmod(F.hash(F.col(self.band_col)), F.lit(self.bands)) == band
                     )
                 path = os.path.join(self.out, unit)
-                self.io.write(df, path)
-                rows = self.io.read(path).count()
+                rows = self.io.write_counted(df, path)
                 self.lineage.commit(
                     LineageRecord(
                         unit=unit,
