@@ -235,7 +235,8 @@ def with_ivf_cells(
             top = np.argmax(sims, axis=1)[:, None]
         else:
             top = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
-        return pd.Series([[int(c) for c in row] for row in top])
+        # rows of the int32 matrix go to Arrow as-is — no per-element loop
+        return pd.Series(list(top.astype(np.int32)))
 
     return df.withColumn(out_col, cells(F.col(vec_col)))
 
