@@ -325,6 +325,24 @@ def test_connected_components_long_chain_converges(spark):
     assert len(comp) == 41
 
 
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Exhausting max_iters with a live frontier must error, not silently
+    return labels that would keep several survivors per cluster."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=1)
+
+
+def test_quota_per_key_rejects_reserved_columns(spark):
+    from tilematrix_spark.functions import sampling
+
+    df = spark.createDataFrame([(1, "a", 0)], "doc_id long, source string, _qh int")
+    with pytest.raises(ValueError, match="_qh"):
+        sampling.quota_per_key(df, "source", 5)
+
+
 def test_hash_sample_deterministic_rate_and_composability(spark):
     from tilematrix_spark.functions import sampling
 

@@ -349,6 +349,15 @@ def connected_components(
         prev.unpersist()
         if converged:
             break
+    else:
+        # pointer doubling covers diameter ~2^max_iters, so a live frontier
+        # here means something is genuinely wrong — surface it rather than
+        # silently returning labels that would keep >1 survivor per cluster
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(frontier still non-empty); raise max_iters"
+        )
     edges.unpersist()
     return labels
 

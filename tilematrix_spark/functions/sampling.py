@@ -90,6 +90,11 @@ def quota_per_key(
     its per-bucket quota-smallest.  Two shuffles total.
     """
     key_cols = [keys] if isinstance(keys, str) else list(keys)
+    clash = {"_qh", "_rn"} & set(df.columns)
+    if clash:
+        # silently clobbering (then dropping) a user column named _qh/_rn
+        # would corrupt the output — refuse loudly instead
+        raise ValueError(f"input columns collide with reserved temp names: {sorted(clash)}")
     h = sample_hash(id_col, salt)
     df = df.withColumn("_qh", h)
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))

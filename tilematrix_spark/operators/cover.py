@@ -187,6 +187,19 @@ def tiles_from_bounds(
       uncapped cover.
     * ``"drop"``: oversized covers are dropped (quarantine; the caller can
       route them to an error sink by testing ``cover_size`` beforehand).
+
+    Behavior change (round 2): the default was effectively ``"drop"`` when
+    ``max_cover_tiles`` was introduced; it is now ``"split"`` — capped
+    callers that relied on quarantine-drop must pass ``oversize="drop"``
+    explicitly or their sinks receive complete (potentially huge per-key)
+    covers.
+
+    Intentional relational deviation from the reference: for NON-GLOBAL
+    grids, bounds outside the grid are clipped to the matrix range (rows
+    fully outside produce no tiles), whereas the reference's
+    ``_tiles_from_cleaned_bounds`` raises ``ValueError`` via ``tp.tile``
+    (``tilematrix/_funcs.py``).  Raising per-row is not actionable inside a
+    billion-row explode; out-of-grid input is data, not a config error.
     """
     if oversize not in ("split", "drop"):
         raise ValueError(f"oversize must be 'split' or 'drop', got {oversize!r}")
