@@ -2033,6 +2033,40 @@ def sql_compose_tiles() -> str:
     """
 
 
+def q_overview_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid overview step (raster.overview_level: 2x2 integer-mean box
+    filter of each child into its parent quadrant).  The full downsample
+    kernel runs; the oracle gates the SQL-expressible surface — which
+    parents exist and from how many children (tile addressing halves per
+    zoom, reference get_parent semantics) — while overview pixel bytes are
+    pinned by the numpy-mirror pytest."""
+    from tilematrix_spark import images as imglib
+    from tilematrix_spark import raster
+
+    df = imglib.images_df(spark, 400, partitions=8)
+    out = raster.overview_level(raster.compose_tiles(df, GEODETIC, 6))
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        F.col("n_children").cast("long").alias("n_children"),
+    )
+
+
+def sql_overview_coverage() -> str:
+    """Parents at z5 of the composed z6 tile set, with child counts —
+    integer-halved addressing over the compose coverage CTE."""
+    return f"""
+      SELECT tile_row // 2 AS tile_row, tile_col // 2 AS tile_col,
+             count(*) AS n_children
+      FROM (
+        SELECT DISTINCT tile_row, tile_col
+        FROM ({sql_raster_windows(n=400)})
+        WHERE win_width > 0 AND win_height > 0
+      )
+      GROUP BY 1, 2
+    """
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN top-3 at FULL probe (nprobe = n_centroids): the quantizer,
     cell assignment, probe join and exact re-rank all execute, and full
@@ -2602,7 +2636,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_bbox": q_cover_bbox,
         "cover_bbox_split": q_cover_bbox_split,
         "cover_bbox_mercator": q_cover_bbox_mercator,
-        "cover_bbox_custom": q_cover_bbox_custom,
         "cover_multizoom": q_cover_multizoom,
         "snap_bounds": q_snap_bounds,
         "intersecting": q_intersecting,
@@ -2616,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_windows": q_raster_windows,
         "raster_windows_buffered": q_raster_windows_buffered,
         "compose_tiles": q_compose_tiles,
+        "overview_coverage": q_overview_coverage,
         "verify_images": q_verify_images,
         "phash_near_dup": q_phash_near_dup,
         # --- similarity / ANN ---
@@ -2646,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query; pytest-pinned; still run by tools/check_oracle.py) ----
         "point_tile_mercator": q_point_tile_mercator,
         "point_tile_custom_grid": q_point_tile_custom_grid,
+        "cover_bbox_custom": q_cover_bbox_custom,
         "tile_ids_packed": q_tile_ids_packed,
         "tile_morton": q_tile_morton,
         "cover_bbox_mt4": q_cover_bbox_mt4,
@@ -2719,6 +2754,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_windows": sql_raster_windows(),
         "raster_windows_buffered": sql_raster_windows(pixelbuffer=12),
         "compose_tiles": sql_compose_tiles(),
+        "overview_coverage": sql_overview_coverage(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "zorder_scan": sql_zorder_scan(),

@@ -218,3 +218,72 @@ def test_compose_tiles_salted_hot_path_byte_identical(spark):
         if c["n_images"] > 1:
             multi += 1
     assert multi > 0  # the overlap/mean path was actually exercised
+
+
+def test_overview_level_matches_numpy_mirror(spark):
+    """One overview step equals an exact numpy mirror: children grouped by
+    (row//2, col//2), each 2x2 box-filtered (integer mean) into its
+    (row%2, col%2) quadrant, missing quadrants black."""
+    df = images.images_df(spark, 220, partitions=4)
+    tp = _tp()
+    base = raster.compose_tiles(df, tp, 3).collect()
+    got = {
+        (r["row"], r["col"]): r
+        for r in raster.overview_level(raster.compose_tiles(df, tp, 3)).collect()
+    }
+
+    want = {}
+    for r in base:
+        key = (r["row"] // 2, r["col"] // 2)
+        th, tw = r["tile_h"], r["tile_w"]
+        canvas, n = want.setdefault(
+            key, [np.zeros((th, tw, 3), dtype=np.uint8), 0]
+        )
+        img = np.frombuffer(bytes(r["bytes"]), dtype=np.uint8).reshape(th, tw, 3)
+        hh, hw = th // 2, tw // 2
+        ds = (img.reshape(hh, 2, hw, 2, 3).astype(np.uint32).sum(axis=(1, 3)) // 4).astype(np.uint8)
+        qr, qc = r["row"] % 2, r["col"] % 2
+        canvas[qr * hh:(qr + 1) * hh, qc * hw:(qc + 1) * hw] = ds
+        want[key][1] = n + 1
+
+    assert set(got) == set(want) and got
+    saw_partial = saw_full = False
+    for key, (canvas, n) in want.items():
+        g = got[key]
+        assert g["n_children"] == n, key
+        assert bytes(g["bytes"]) == canvas.tobytes(), key
+        saw_full |= n == 4
+        saw_partial |= n < 4
+    assert saw_full and saw_partial  # both quadrant-fill regimes exercised
+
+
+def test_build_overviews_chain_coverage(spark):
+    """Chaining levels halves the address space each step and every parent
+    at z-2 is an ancestor of some base tile; the footprint's fully-covered
+    interior survives each box-filter level undiluted (a 2x2 block of the
+    solid value averages to itself) while edge mixes never exceed it."""
+    tp = _tp()
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    rows = [
+        {
+            "image_id": "s0", "bytes": bytearray(px.tobytes()),
+            "w": 16, "h": 16, "fmt": "raw",
+            "fp_left": -80.0, "fp_bottom": 10.0, "fp_right": -60.0, "fp_top": 30.0,
+        }
+    ]
+    base = raster.compose_tiles(spark.createDataFrame(rows), tp, 4)
+    levels = raster.build_overviews(base, base_zoom=4, min_zoom=2)
+    assert set(levels) == {4, 3, 2}
+    base_tiles = {(r["row"], r["col"]) for r in base.collect()}
+    for z in (3, 2):
+        tiles = levels[z].collect()
+        assert {(r["row"], r["col"]) for r in tiles} == {
+            (r // 2 ** (4 - z), c // 2 ** (4 - z)) for r, c in base_tiles
+        }
+        for t in tiles:
+            canvas = np.frombuffer(bytes(t["bytes"]), dtype=np.uint8).reshape(
+                t["tile_h"], t["tile_w"], 3
+            )
+            covered = canvas[canvas.sum(axis=2) > 0]
+            assert len(covered) > 0
+            assert covered.max() == 200  # interior survives undiluted

@@ -191,3 +191,36 @@ def test_stage_job_resume_mid_pipeline(spark, tmp_path):
     m = job.metrics()
     assert set(m) == {"stage=evens", "stage=counts", "stage=totals"}
     assert all(rec["rows"] > 0 for rec in m.values())
+
+
+def test_overview_pyramid_job_resumes_mid_pyramid(spark, geodetic, tmp_path):
+    """Raster overview chain on PyramidJob: zoom z reads z+1's committed
+    output, so a restart resumes at the first unbuilt level and never
+    recomputes finished ones."""
+    from tilematrix_spark import images, raster
+
+    out = str(tmp_path / "ovr")
+    built = []
+
+    def make_build(job_holder):
+        def build(s, zoom):
+            built.append(zoom)
+            if zoom == 4:
+                return raster.compose_tiles(images.images_df(s, 30, partitions=2), geodetic, 4)
+            return raster.overview_level(job_holder["j"].read_zoom(zoom + 1))
+        return build
+
+    h1 = {}
+    job = PyramidJob(spark, geodetic, out, make_build(h1))
+    h1["j"] = job
+    assert job.run([4, 3]) == [4, 3]
+
+    built.clear()
+    h2 = {}
+    job2 = PyramidJob(spark, geodetic, out, make_build(h2))
+    h2["j"] = job2
+    assert job2.run([4, 3, 2]) == [2]
+    assert built == [2]  # committed levels not recomputed
+    z2 = {(r["row"], r["col"]) for r in job2.read_zoom(2).collect()}
+    z4 = {(r["row"], r["col"]) for r in job2.read_zoom(4).collect()}
+    assert z2 == {(r // 4, c // 4) for r, c in z4}

@@ -144,3 +144,23 @@ def test_cover_split_plan_no_shuffle_three_generates(spark, geodetic):
     gens = sum(1 for line in plan.splitlines() if line.startswith("(") and ") Generate" in line)
     assert gens == 3  # band + row + col
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_overview_plan_one_shuffle_bounded_groups(spark, geodetic):
+    """One overview level = exactly one Exchange (the parent groupBy; at
+    most 4 single-tile rows per group — bounded memory at any corpus size)
+    feeding one FlatMapGroupsInPandas."""
+    from tilematrix_spark import raster
+
+    tiles = spark.createDataFrame(
+        [(2, 3, 1, 4, 4, bytearray(b"\0" * 48))],
+        "row long, col long, n_images int, tile_w int, tile_h int, bytes binary",
+    )
+    plan = _plan(raster.overview_level(tiles))
+    ex = sum(1 for line in plan.splitlines() if line.startswith("(") and ") Exchange" in line)
+    assert ex == 1, plan
+    fm = sum(
+        1 for line in plan.splitlines()
+        if line.startswith("(") and ") FlatMapGroupsInPandas" in line
+    )
+    assert fm == 1, plan

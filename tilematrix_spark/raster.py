@@ -304,6 +304,81 @@ def compose_tiles(
     return cold.unionByName(hot)
 
 
+_OVERVIEW_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.LongType()),
+        T.StructField("col", T.LongType()),
+        T.StructField("n_children", T.IntegerType()),
+        T.StructField("tile_w", T.IntegerType()),
+        T.StructField("tile_h", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+    ]
+)
+
+
+def overview_level(tiles: DataFrame) -> DataFrame:
+    """One pyramid overview step: composed tiles at zoom z → tiles at z-1.
+
+    Each parent (row//2, col//2) assembles from its ≤4 children: a child is
+    2×2 box-filtered (integer mean — deterministic, exact) to half
+    resolution and placed in its quadrant (row%2, col%2); missing quadrants
+    stay black.  Mirrors the overview/downsample step of gdal2tiles-style
+    pyramid builds on the reference's grid addressing (row/col halve per
+    zoom on both pyramid axes, ``tilematrix/_tile.py`` get_parent).
+
+    Scale shape: groupBy(parent) sees AT MOST 4 rows of one tile each —
+    group memory is bounded by 4 canvases regardless of corpus size, no
+    skew possible, one narrow shuffle per level.  Input needs uniform
+    even-dimension raw-RGB tiles (``compose_tiles`` output on a mt=1 grid).
+    """
+
+    def down(pdf: pd.DataFrame) -> pd.DataFrame:
+        tw = int(pdf["tile_w"].iat[0])
+        th = int(pdf["tile_h"].iat[0])
+        if (pdf["tile_w"] != tw).any() or (pdf["tile_h"] != th).any() or tw % 2 or th % 2:
+            raise ValueError("overview_level requires uniform even tile dims (mt=1 grid)")
+        hw, hh = tw // 2, th // 2
+        canvas = np.zeros((th, tw, 3), dtype=np.uint8)
+        for rec in pdf.itertuples(index=False):
+            img = np.frombuffer(rec.bytes, dtype=np.uint8).reshape(th, tw, 3)
+            ds = (
+                img.reshape(hh, 2, hw, 2, 3).astype(np.uint32).sum(axis=(1, 3)) // 4
+            ).astype(np.uint8)
+            qr, qc = int(rec.row) % 2, int(rec.col) % 2
+            canvas[qr * hh:(qr + 1) * hh, qc * hw:(qc + 1) * hw] = ds
+        return pd.DataFrame(
+            {
+                "row": [int(pdf["row"].iat[0]) // 2],
+                "col": [int(pdf["col"].iat[0]) // 2],
+                "n_children": [len(pdf)],
+                "tile_w": [tw],
+                "tile_h": [th],
+                "bytes": [canvas.tobytes()],
+            }
+        )
+
+    return (
+        tiles.select("row", "col", "tile_w", "tile_h", "bytes")
+        .groupBy(F.shiftright("row", 1).alias("_pr"), F.shiftright("col", 1).alias("_pc"))
+        .applyInPandas(lambda _k, pdf: down(pdf), schema=_OVERVIEW_SCHEMA)
+    )
+
+
+def build_overviews(tiles: DataFrame, base_zoom: int, min_zoom: int) -> dict:
+    """Chain ``overview_level`` from ``base_zoom`` down to ``min_zoom``;
+    returns {zoom: DataFrame}.  For resumable per-zoom commits use
+    ``jobs/overview_job.py`` (PyramidJob: each level reads the previously
+    committed one, so a crashed build resumes mid-pyramid)."""
+    if min_zoom >= base_zoom:
+        raise ValueError("min_zoom must be below base_zoom")
+    out = {base_zoom: tiles}
+    cur = tiles
+    for z in range(base_zoom - 1, min_zoom - 1, -1):
+        cur = overview_level(cur)
+        out[z] = cur
+    return out
+
+
 _VERIFY_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),
