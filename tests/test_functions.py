@@ -228,8 +228,47 @@ def test_pack_sign_bits(spark):
 def test_stub_formats_raise(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"", 1, 1, "jpeg")
-    with pytest.raises(NotImplementedError):
-        multimodal.video_frame_sample(None)
+    # compressed video without a registered decoder fails in the kernel
+    vdf = spark.createDataFrame(
+        [("v0", bytearray(b"xx"), 2, 2, "h264")],
+        "video_id string, bytes binary, w int, h int, fmt string",
+    )
+    with pytest.raises(Exception, match="h264"):
+        multimodal.video_frame_sample(vdf).collect()
+
+
+def test_video_frame_sample_rawv(spark):
+    """rawv videos explode into every-n-th raw RGB frames whose bytes equal
+    the original frame slices; output feeds the image operators directly."""
+    rng = np.random.default_rng(11)
+    w, h, n_frames = 4, 3, 10
+    frames = rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+    rows = [("v0", bytearray(frames.tobytes()), w, h, "rawv")]
+    df = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = {r["frame_no"]: r for r in multimodal.video_frame_sample(df, every_n=3).collect()}
+    assert sorted(out) == [0, 3, 6, 9]
+    for i, r in out.items():
+        assert (r["w"], r["h"], r["fmt"]) == (w, h, "raw")
+        assert bytes(r["bytes"]) == frames[i].tobytes()
+    # frames flow straight into the image feature kernel
+    feats = multimodal.extract_image_features(
+        multimodal.video_frame_sample(df, every_n=5).withColumn(
+            "image_id", F.concat(F.col("video_id"), F.lit("#"), F.col("frame_no"))
+        )
+    )
+    assert feats.count() == 2
+    # a runtime-registered codec lights up a foreign fmt end-to-end
+    multimodal.register_video_decoder(
+        "fakecodec",
+        lambda d, ww, hh: np.frombuffer(d, dtype=np.uint8).reshape(-1, hh, ww, 3),
+    )
+    try:
+        df2 = df.withColumn("fmt", F.lit("fakecodec"))
+        assert multimodal.video_frame_sample(df2, every_n=10).count() == 1
+    finally:
+        multimodal._VIDEO_DECODERS.pop("fakecodec", None)
 
 
 def test_decoder_registry_end_to_end(spark):
