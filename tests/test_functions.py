@@ -462,3 +462,26 @@ def test_top_terms_scoring(spark):
     # doc 3: cherry 2/2=1.0, date 1/1=1.0 -> tie broken by term text asc
     assert got[(3, 1)] == "cherry"
     assert got[(3, 2)] == "date"
+
+
+def test_audio_decoder_registry(spark):
+    """A registered decoder lights up a compressed-audio fmt; unknown fmts
+    still raise; mixed-format batches agree with the pcm16 fast path."""
+    sig = (np.sin(np.linspace(0, 20, 500)) * 8000).astype(np.int16)
+    rows = [
+        ("p", bytearray(sig.tobytes()), "pcm16"),
+        ("c", bytearray(sig.tobytes()), "fakeogg"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, fmt string").coalesce(1)
+    with pytest.raises(Exception, match="fakeogg"):
+        multimodal.audio_features(df).collect()
+    multimodal.register_audio_decoder(
+        "fakeogg", lambda d: np.frombuffer(d, dtype=np.int16).astype(np.float64)
+    )
+    try:
+        out = {r["clip_id"]: r for r in multimodal.audio_features(df).collect()}
+    finally:
+        multimodal._AUDIO_DECODERS.pop("fakeogg", None)
+    assert out["p"]["n_samples"] == out["c"]["n_samples"] == 500
+    assert abs(out["p"]["rms"] - out["c"]["rms"]) < 1e-9
+    assert out["p"]["peak"] == out["c"]["peak"]

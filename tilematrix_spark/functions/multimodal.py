@@ -282,9 +282,26 @@ _AUDIO_SCHEMA = T.StructType(
 )
 
 
+#: AudioDecoder: (data) -> float64 sample array.  pcm16 is built in (and
+#: bypasses per-clip decode via the concatenated-reduceat fast path);
+#: compressed codecs plug in via register_audio_decoder.
+AudioDecoder = Callable[[bytes], np.ndarray]
+
+_AUDIO_DECODERS: Dict[str, AudioDecoder] = {}
+
+
+def register_audio_decoder(fmt: str, fn: AudioDecoder) -> None:
+    """Register/replace the audio decoder for ``fmt`` (call before building
+    the DataFrame plan — kernels snapshot the registry into their closures)."""
+    _AUDIO_DECODERS[fmt] = fn
+
+
 def audio_features(df: DataFrame, clip_id: str = "clip_id", payload: str = "bytes", fmt: str = "fmt") -> DataFrame:
-    """Audio feature extraction.  Real path for fmt='pcm16' (raw int16 mono);
-    compressed codecs are stubbed."""
+    """Audio feature extraction (n_samples, rms, peak).  fmt='pcm16' (raw
+    int16 mono) runs the vectorized fast path; other formats decode through
+    the registry (``register_audio_decoder``), raising a clear error when
+    no decoder is present."""
+    decoders = dict(_AUDIO_DECODERS)  # snapshot: ships to executors
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -293,8 +310,39 @@ def audio_features(df: DataFrame, clip_id: str = "clip_id", payload: str = "byte
                 continue
             fmts = pdf[fmt].to_numpy()
             if (fmts != "pcm16").any():
-                bad = fmts[fmts != "pcm16"][0]
-                raise NotImplementedError(f"audio codec '{bad}' requires an audio library")
+                # registry path: per-clip decode to a sample array, then the
+                # same concatenated-reduceat statistics as pcm16
+                raw = pdf[payload]
+                decoded = []
+                for i in range(m):
+                    f = fmts[i]
+                    if f == "pcm16":
+                        decoded.append(np.frombuffer(raw.iat[i], dtype=np.int16))
+                        continue
+                    fn = decoders.get(f)
+                    if fn is None:
+                        raise NotImplementedError(
+                            f"audio codec '{f}' requires an audio library "
+                            "(register_audio_decoder())"
+                        )
+                    decoded.append(np.asarray(fn(raw.iat[i]), dtype=np.float64))
+                lens = np.fromiter((len(s) for s in decoded), dtype=np.int64, count=m)
+                rms = np.zeros(m, dtype=np.float64)
+                peak = np.zeros(m, dtype=np.float64)
+                nz = np.flatnonzero(lens > 0)
+                for i in nz:
+                    s = decoded[i].astype(np.float64)
+                    rms[i] = np.sqrt((s * s).mean())
+                    peak[i] = np.abs(s).max()
+                yield pd.DataFrame(
+                    {
+                        "clip_id": pdf[clip_id].values,
+                        "n_samples": lens.astype(np.int32),
+                        "rms": rms,
+                        "peak": peak,
+                    }
+                )
+                continue
             # vectorized over the whole batch: one concatenated sample
             # buffer, segment sums/maxima via ufunc.reduceat (no per-clip
             # numpy dispatch).  rms accumulates sequentially (reduceat) —
