@@ -233,6 +233,54 @@ def compose_skew_job(spark: SparkSession) -> dict:
     }
 
 
+def _base_tiles(spark: SparkSession, zoom: int, tile_px: int):
+    """Deterministic full-matrix composed-tile set at ``zoom`` (geodetic):
+    one raw-RGB tile per (row, col) with a per-tile gradient fill — the
+    shape ``compose_tiles`` emits, generated without the compose cost so the
+    overview chain is measured in isolation."""
+    import numpy as np
+    import pandas as pd
+
+    width = 2 ** (zoom + 1)
+    n = width * (2 ** zoom)
+    par = spark.sparkContext.defaultParallelism * 2
+    base = np.arange(tile_px * tile_px * 3, dtype=np.uint32)
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "row": ids // width,
+                    "col": ids % width,
+                    "tile_w": tile_px,
+                    "tile_h": tile_px,
+                    "bytes": [((base + int(i)) % 251).astype(np.uint8).tobytes() for i in ids],
+                }
+            )
+
+    return spark.range(0, n, numPartitions=par).mapInPandas(
+        gen, "row long, col long, tile_w int, tile_h int, bytes binary"
+    )
+
+
+def overview_chain_job(spark: SparkSession, base_zoom: int = 6, tile_px: int = 64) -> float:
+    """child-tiles-consumed/s of the full overview downsample chain
+    base_zoom → 0 (every level's 2x2 box-filter + quadrant placement).
+    Bounded ≤4 rows per group at every level — the chain's wall time is the
+    per-level shuffle + Arrow kernel, no skew possible."""
+    from tilematrix_spark import raster
+
+    levels = raster.build_overviews(_base_tiles(spark, base_zoom, tile_px), base_zoom, 0)
+    t0 = time.time()
+    n_top = levels[0].count()  # one action computes the whole lazy chain
+    dt = time.time() - t0
+    assert n_top == 2
+    # children consumed = every tile at zooms base..1
+    consumed = sum(2 * 4 ** z for z in range(1, base_zoom + 1))
+    return consumed / dt
+
+
 def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
     """Subprocess entry: run one scaling measurement in a fresh JVM and
     print the best rate on the last stdout line."""
@@ -241,6 +289,11 @@ def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
     if job == "tile":
         scaling_job(s, sf_dir)  # JIT warm-up
         rate = max(scaling_job(s, sf_dir)[0] for _ in range(3))
+    elif job == "overview":
+        # z8 x 48px: ~131k base tiles / ~900MB of pixels through the chain,
+        # long enough per run that JVM/jit flat costs amortize
+        overview_chain_job(s, 5, 48)  # JIT + Arrow warm-up
+        rate = max(overview_chain_job(s, 8, 48) for _ in range(2))
     elif job == "pip":
         # 48M points: long enough (~16-30s/run) that host-state swing can't
         # dominate a measurement, and the per-job flat share amortizes (12M
@@ -297,6 +350,8 @@ def main() -> None:
     timings = run_suite(spark, sf_dir)
     rows_per_s, n_rows = flagship_throughput(spark, sf_dir)
     compose_skew = compose_skew_job(spark)
+    overview_chain_job(spark, 4, 64)  # warm-up
+    overview_tiles_per_s = overview_chain_job(spark, 6, 64)
     total = round(sum(timings.values()), 3)
 
     result = {
@@ -309,6 +364,7 @@ def main() -> None:
         "flagship_rows": n_rows,
         "cpus": cpus,
         "compose_skew": compose_skew,
+        "overview_child_tiles_per_sec": round(overview_tiles_per_s),
     }
 
     if do_scaling:
@@ -335,8 +391,9 @@ def main() -> None:
         # python-stage throughput at 32 threads swings 2-3x with invisible
         # host state; a single unlucky subprocess would poison the ratio
         flagship = {}
-        rounds = {"pip": 2, "verify": 2, "tile": 2}
-        for tgt, job in ((flagship, "pip"), (compute, "verify"), (stream, "tile")):
+        overview = {}
+        rounds = {"pip": 2, "verify": 2, "tile": 2, "overview": 2}
+        for tgt, job in ((flagship, "pip"), (compute, "verify"), (stream, "tile"), (overview, "overview")):
             for cpus in ("8", "32") * rounds[job]:
                 tgt[cpus] = max(tgt.get(cpus, 0.0), measure(job, cpus))
         env8 = spin_control(8)
@@ -358,6 +415,11 @@ def main() -> None:
             "image_verify_imgs_per_sec_local8": round(compute["8"]),
             "image_verify_imgs_per_sec_local32": round(compute["32"]),
             "image_verify_efficiency_8_to_32": round(compute["32"] / (4 * compute["8"]), 3),
+            # overview chain: z8 full-matrix 2x2 box-filter pyramid build
+            # (Arrow compute + one narrow shuffle per level)
+            "overview_child_tiles_per_sec_local8": round(overview["8"]),
+            "overview_child_tiles_per_sec_local32": round(overview["32"]),
+            "overview_efficiency_8_to_32": round(overview["32"] / (4 * overview["8"]), 3),
             # hardware envelope: pure-register python, no Spark/no memory —
             # the best ANY sustained job can scale on this box right now
             "spin_control_mops_8": round(env8 / 1e6, 1),

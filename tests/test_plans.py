@@ -147,9 +147,10 @@ def test_cover_split_plan_no_shuffle_three_generates(spark, geodetic):
 
 
 def test_overview_plan_one_shuffle_bounded_groups(spark, geodetic):
-    """One overview level = exactly one Exchange (the parent groupBy; at
-    most 4 single-tile rows per group — bounded memory at any corpus size)
-    feeding one FlatMapGroupsInPandas."""
+    """One overview level = exactly one Exchange (the parent groupBy
+    collect_list agg; at most 4 single-tile elements per group — bounded
+    memory at any corpus size) feeding one MapInPandas that downsamples
+    whole Arrow batches of parents (no per-group pandas frames)."""
     from tilematrix_spark import raster
 
     tiles = spark.createDataFrame(
@@ -159,8 +160,11 @@ def test_overview_plan_one_shuffle_bounded_groups(spark, geodetic):
     plan = _plan(raster.overview_level(tiles))
     ex = sum(1 for line in plan.splitlines() if line.startswith("(") and ") Exchange" in line)
     assert ex == 1, plan
-    fm = sum(
+    mp = sum(
         1 for line in plan.splitlines()
-        if line.startswith("(") and ") FlatMapGroupsInPandas" in line
+        if line.startswith("(") and (") MapInPandas" in line or ") PythonMapInArrow" in line)
     )
-    assert fm == 1, plan
+    assert mp == 1, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    # the collect_list agg must partial-aggregate map-side (ObjectHashAggregate)
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
