@@ -2067,6 +2067,47 @@ def sql_overview_coverage() -> str:
     """
 
 
+def q_incremental_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pyramid maintenance work estimate
+    (incremental.dirty_tile_stats): the z6 tiles dirtied by an append batch
+    (image ids >= 800 of a 1000-image corpus) with new vs total contributor
+    counts — the planner surface whose keys drive the delta recompose.
+    Full per-tile value parity vs the windows-SQL mirror; canvas-delta
+    bytes are pinned by tests/test_incremental.py (incremental == full
+    rebuild, byte-identical)."""
+    from tilematrix_spark import images as imglib
+    from tilematrix_spark import incremental
+
+    df = imglib.images_df(spark, 1000, partitions=16)
+    split = "img%012d" % 800
+    old = df.filter(F.col("image_id") < split)
+    upd = df.filter(F.col("image_id") >= split)
+    out = incremental.dirty_tile_stats(old, upd, GEODETIC, 6)
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+
+
+def sql_incremental_dirty() -> str:
+    """Dirty-tile stats over the windows mirror: per z6 tile, contributors
+    from the update slice (id >= 800) and from the whole corpus; dirty
+    tiles only (n_new > 0)."""
+    return f"""
+      SELECT tile_row, tile_col,
+             sum(CASE WHEN CAST(substring(image_id, 4) AS BIGINT) >= 800
+                 THEN 1 ELSE 0 END) AS n_new,
+             count(*) AS n_total
+      FROM ({sql_raster_windows(n=1000)})
+      WHERE win_width > 0 AND win_height > 0
+      GROUP BY 1, 2
+      HAVING sum(CASE WHEN CAST(substring(image_id, 4) AS BIGINT) >= 800
+             THEN 1 ELSE 0 END) > 0
+    """
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN top-3 at FULL probe (nprobe = n_centroids): the quantizer,
     cell assignment, probe join and exact re-rank all execute, and full
@@ -2635,7 +2676,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- covers (one per grid family; mt4 variant demoted) ---
         "cover_bbox": q_cover_bbox,
         "cover_bbox_split": q_cover_bbox_split,
-        "cover_bbox_mercator": q_cover_bbox_mercator,
         "cover_multizoom": q_cover_multizoom,
         "snap_bounds": q_snap_bounds,
         "intersecting": q_intersecting,
@@ -2650,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_windows_buffered": q_raster_windows_buffered,
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
+        "incremental_dirty": q_incremental_dirty,
         "verify_images": q_verify_images,
         "phash_near_dup": q_phash_near_dup,
         # --- similarity / ANN ---
@@ -2680,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query; pytest-pinned; still run by tools/check_oracle.py) ----
         "point_tile_mercator": q_point_tile_mercator,
         "point_tile_custom_grid": q_point_tile_custom_grid,
+        "cover_bbox_mercator": q_cover_bbox_mercator,
         "cover_bbox_custom": q_cover_bbox_custom,
         "tile_ids_packed": q_tile_ids_packed,
         "tile_morton": q_tile_morton,
@@ -2755,6 +2797,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_windows_buffered": sql_raster_windows(pixelbuffer=12),
         "compose_tiles": sql_compose_tiles(),
         "overview_coverage": sql_overview_coverage(),
+        "incremental_dirty": sql_incremental_dirty(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "zorder_scan": sql_zorder_scan(),

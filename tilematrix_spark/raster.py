@@ -183,6 +183,7 @@ def compose_tiles(
     max_cover_tiles: Optional[int] = None,
     hot_threshold: int = 64,
     salt_buckets: int = 16,
+    tiles_filter: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Mosaic the images table onto pyramid tiles: every tile gets a raw
     RGB canvas composed from ALL images whose footprint covers it —
@@ -207,17 +208,29 @@ def compose_tiles(
        bounded by count/S contributors — and a second stage merges ≤S small
        canvases per tile.  Integer-mean output is bit-identical to the
        single-pass path (associative sums; pytest pins it).
+
+    ``tiles_filter`` (optional, columns row/col) restricts composition to
+    those tile keys via a BROADCAST semi-join applied before any bytes move
+    — the incremental-maintenance hook (`incremental.py`): contributor bytes
+    shuffle only for the dirty tiles, so update cost is ∝ |dirty cover|,
+    not |corpus|.  The filter set is a tile cover (≤ matrix size at the
+    compose zoom), small by construction.
     """
+    keys = None
+    if tiles_filter is not None:
+        keys = F.broadcast(tiles_filter.select("row", "col").distinct())
     slim = df.drop("bytes", "caption") if "caption" in df.columns else df.drop("bytes")
-    counts = (
-        raster_tile_windows(slim, tp, zoom, max_cover_tiles=max_cover_tiles)
-        .filter((F.col("win_width") > 0) & (F.col("win_height") > 0))
-        .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).alias("_tile_n"))
+    counts = raster_tile_windows(slim, tp, zoom, max_cover_tiles=max_cover_tiles).filter(
+        (F.col("win_width") > 0) & (F.col("win_height") > 0)
     )
+    if keys is not None:
+        counts = counts.join(keys, ["row", "col"], "left_semi")
+    counts = counts.groupBy("row", "col").agg(F.count(F.lit(1)).alias("_tile_n"))
 
     win = raster_tile_windows(df, tp, zoom, max_cover_tiles=max_cover_tiles)
     win = win.filter((F.col("win_width") > 0) & (F.col("win_height") > 0))
+    if keys is not None:
+        win = win.join(keys, ["row", "col"], "left_semi")
     s = exprs.tile_shape(tp, zoom, "row", "col")
     b = exprs.tile_bounds(tp, zoom, "row", "col")
     px = exprs.pixel_x_size(tp, zoom)
