@@ -233,6 +233,54 @@ def compose_skew_job(spark: SparkSession) -> dict:
     }
 
 
+def incremental_vs_full_job(spark: SparkSession) -> dict:
+    """Incremental pyramid maintenance vs full rebuild: a 500-image append
+    batch against a 100k-image corpus at z6.  Full = recompose every
+    covered tile from the new corpus; incremental = recompose only the
+    dirty cover (broadcast semi-join keeps clean tiles' bytes out of the
+    shuffle).  The ratio grows ∝ corpus/|updates| (the full side scales
+    with corpus, the incremental side with the update batch); 100k is the
+    smallest corpus on this box where compose work dominates per-job fixed
+    costs (at 4k images BOTH sides are ~9s of overhead and the comparison
+    inverts into noise — measured 2026-08-17)."""
+    import os as _os
+    import tempfile as _tf
+
+    import __spark_entry__ as em
+    from tilematrix_spark import images, incremental, raster
+
+    par = spark.sparkContext.defaultParallelism * 2
+    n_old, n_upd = 100_000, 500
+    path = _os.path.join(_tf.gettempdir(), "tmx_bench_incremental")
+    images.images_df(spark, n_old + n_upd, partitions=par).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path)
+    split = "img%012d" % n_old
+    old = df.filter(F.col("image_id") < split)
+    upd = df.filter(F.col("image_id") >= split)
+    # warm-up: JIT/codegen on a tiny compose + page cache for the staged
+    # parquet (first full run otherwise reads 2x slower cold: 95s vs 44s)
+    raster.compose_tiles(images.images_df(spark, 64, partitions=4), em.GEODETIC, 3).count()
+    df.agg(F.sum(F.length("bytes"))).collect()
+    t0 = time.time()
+    n_full = raster.compose_tiles(df, em.GEODETIC, 6).count()
+    full = time.time() - t0
+    t0 = time.time()
+    n_dirty = incremental.incremental_compose(old, upd, em.GEODETIC, 6).count()
+    inc = time.time() - t0
+    return {
+        "corpus": n_old,
+        "updates": n_upd,
+        "full_tiles": n_full,
+        "dirty_tiles": n_dirty,
+        "dirty_fraction": round(n_dirty / max(n_full, 1), 4),
+        "full_rebuild_sec": round(full, 3),
+        "incremental_sec": round(inc, 3),
+        "speedup": round(full / inc, 2) if inc > 0 else None,
+    }
+
+
 def _base_tiles(spark: SparkSession, zoom: int, tile_px: int):
     """Deterministic full-matrix composed-tile set at ``zoom`` (geodetic):
     one raw-RGB tile per (row, col) with a per-tile gradient fill — the
@@ -350,6 +398,7 @@ def main() -> None:
     timings = run_suite(spark, sf_dir)
     rows_per_s, n_rows = flagship_throughput(spark, sf_dir)
     compose_skew = compose_skew_job(spark)
+    incremental = incremental_vs_full_job(spark)
     overview_chain_job(spark, 4, 64)  # warm-up
     overview_tiles_per_s = overview_chain_job(spark, 6, 64)
     total = round(sum(timings.values()), 3)
@@ -364,6 +413,7 @@ def main() -> None:
         "flagship_rows": n_rows,
         "cpus": cpus,
         "compose_skew": compose_skew,
+        "incremental": incremental,
         "overview_child_tiles_per_sec": round(overview_tiles_per_s),
     }
 

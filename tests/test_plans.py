@@ -168,3 +168,25 @@ def test_overview_plan_one_shuffle_bounded_groups(spark, geodetic):
     assert "FlatMapGroupsInPandas" not in plan, plan
     # the collect_list agg must partial-aggregate map-side (ObjectHashAggregate)
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_incremental_compose_broadcast_semi_join(spark, geodetic):
+    """The dirty-tile restriction must reach the windows pipeline as a
+    BROADCAST left-semi join (no shuffled join on the bytes-carrying side):
+    at corpus scale the dirty key set is the small side by construction and
+    the contributor bytes must not move for clean tiles."""
+    from tilematrix_spark import incremental
+
+    imgs = images.images_df(spark, 64, partitions=4)
+    split = "img%012d" % 48
+    old = imgs.filter(F.col("image_id") < split)
+    upd = imgs.filter(F.col("image_id") >= split)
+    plan = _plan(incremental.incremental_compose(old, upd, geodetic, 4))
+    semi = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastHashJoin" in line and "LeftSemi" in line
+    ]
+    # two pipelines are restricted: the slim counts pass and the bytes pass
+    assert len(semi) >= 2, plan
+    assert "SortMergeJoin LeftSemi" not in plan, plan
