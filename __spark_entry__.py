@@ -1083,6 +1083,57 @@ def sql_simhash() -> str:
     """
 
 
+_WINNOW_FPS_SQL = f"""
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos, m,
+      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM (
+      SELECT doc_id, i AS pos, len(toks) - 2 AS m,
+        substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8) AS h
+      FROM (SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t <> '') AS toks FROM documents),
+       unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+    )
+  ) WHERE pos <= greatest(m - 3, 1)
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (dedup.winnow_fingerprints, the
+    MOSS scheme): positional word-trigram hashes, sliding min over windows
+    of 4, distinct selected hashes per doc — full value parity vs a DuckDB
+    window-function mirror (fixed-length hex MIN is engine-portable)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedupfns.winnow_fingerprints(docs, n=3, w=4)
+
+
+def sql_winnow_fingerprints() -> str:
+    return _WINNOW_FPS_SQL
+
+
+def q_winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs sharing >= 2 winnowing fingerprints
+    (dedup.winnow_near_pairs): guaranteed to surface any shared run of
+    >= 6 tokens — contained-overlap detection, not just whole-doc
+    near-identity.  Hot-fingerprint cap mirrored in the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedupfns.winnow_near_pairs(docs, min_shared=2, max_docs_per_fp=1000)
+
+
+def sql_winnow_near_pairs() -> str:
+    return f"""
+      WITH fps AS ({_WINNOW_FPS_SQL}),
+      cold AS (
+        SELECT * FROM fps WHERE fp NOT IN (
+          SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1000
+        )
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-distance-<=1 near-dup pairs via bit-flip explode: each
     doc probes 17 variants (identity + 16 single-bit flips) and joins on
@@ -2672,7 +2723,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_rollup": q_parent_rollup,
         "children": q_children,
         "neighbors": q_neighbors,
-        "neighbors_mt4_buffered": q_neighbors_mt4_buffered,
         # --- covers (one per grid family; mt4 variant demoted) ---
         "cover_bbox": q_cover_bbox,
         "cover_bbox_split": q_cover_bbox_split,
@@ -2699,7 +2749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
         # --- windows / streaming ---
-        "events_topk_window": q_events_topk_window,
         "stream_tile_counts": q_stream_tile_counts,
         "user_sessions": q_user_sessions,
         "tile_quantiles": q_tile_quantiles,
@@ -2712,6 +2761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_verified": q_minhash_lsh_verified,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_pairs": q_winnow_near_pairs,
         "dedup_clusters": q_dedup_clusters,
         "lang_stratified": q_lang_stratified,
         "source_quota": q_source_quota,
@@ -2722,6 +2773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_tile_mercator": q_point_tile_mercator,
         "point_tile_custom_grid": q_point_tile_custom_grid,
         "cover_bbox_mercator": q_cover_bbox_mercator,
+        "neighbors_mt4_buffered": q_neighbors_mt4_buffered,
+        "events_topk_window": q_events_topk_window,
         "cover_bbox_custom": q_cover_bbox_custom,
         "tile_ids_packed": q_tile_ids_packed,
         "tile_morton": q_tile_morton,
@@ -2782,6 +2835,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
+        "winnow_fingerprints": sql_winnow_fingerprints(),
+        "winnow_near_pairs": sql_winnow_near_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
         "sample_hash": sql_sample_hash(),
         "lang_stratified": sql_lang_stratified(),

@@ -485,3 +485,56 @@ def test_audio_decoder_registry(spark):
     assert out["p"]["n_samples"] == out["c"]["n_samples"] == 500
     assert abs(out["p"]["rms"] - out["c"]["rms"]) < 1e-9
     assert out["p"]["peak"] == out["c"]["peak"]
+
+
+def _py_winnow(text: str, n: int = 3, w: int = 4, hash_chars: int = 8):
+    """Pure-Python winnowing mirror (independent implementation)."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:hash_chars] for g in grams]
+    if not hs:
+        return set()
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_winnow_fingerprints_match_python_mirror(spark, docs):
+    got = {}
+    for r in dedup.winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, body in DOCS:
+        want = _py_winnow(body)
+        assert got.get(doc_id, set()) == want, doc_id
+
+
+def test_winnow_short_doc_gets_one_fingerprint(spark):
+    # 4 tokens -> m=2 grams < w=4: exactly one fingerprint (min of all)
+    df = spark.createDataFrame([(1, "just four small tokens")], "doc_id long, text string")
+    rows = dedup.winnow_fingerprints(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["fp"] == min(_py_winnow("just four small tokens", w=1))
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Any shared token run of >= n+w-1 tokens yields a shared fingerprint
+    (the winnowing coverage guarantee), surfaced by winnow_near_pairs with
+    min_shared=1."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = n+w-1
+    df = spark.createDataFrame(
+        [
+            (1, f"unique prefix one two {shared} tail words here"),
+            (2, f"other beginning {shared} different ending text"),
+            (3, "no overlap with anything else in this corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.winnow_near_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

@@ -407,3 +407,100 @@ def simhash_near_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    w: int = 4,
+    hash_chars: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme): hash every POSITIONAL word n-gram, slide a window
+    of ``w`` consecutive hashes, keep each window's minimum — the selected
+    distinct hashes are the fingerprint set.  Guarantees a shared
+    fingerprint for any shared run of ≥ n+w-1 tokens, with ~2/(w+1) of the
+    grams selected.
+
+    Execution shape: tokens materialized as a bound column (tokenizer
+    inlining trap), positional grams via one explode (a Generate boundary —
+    no nested array lambdas, which projection collapse silently corrupts),
+    hex-string md5 prefixes as the rolling hashes (portable: fixed-length
+    hex MIN is identical in Spark and the SQL oracle), then the sliding min
+    as a NATIVE window aggregation — one shuffle on the doc id, partial
+    nothing (window), distinct folds map-side.  Docs shorter than one full
+    window (m < w) emit the min over all their grams (one fingerprint), so
+    every doc with ≥ n tokens is fingerprinted.
+
+    Returns distinct (id, fp) rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        textfns.tokens(textfns.normalize(text_col)).alias("_toks"),
+    ).withColumn("_m", F.size("_toks") - (n - 1))
+    grams = toks.filter(F.col("_m") >= 1).select(
+        "_id",
+        "_m",
+        F.explode(F.sequence(F.lit(1), F.col("_m"))).alias("pos"),
+        F.col("_toks"),
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("_toks"), (F.col("pos") + j).cast("int")) for j in range(n)]
+    )
+    hashed = grams.select(
+        "_id",
+        "_m",
+        "pos",
+        F.substring(F.md5(gram), 1, hash_chars).alias("_h"),
+    )
+    win = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        hashed.withColumn("fp", F.min("_h").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("_m") - (w - 1), F.lit(1)))
+        .select(F.col("_id").alias(id_col), "fp")
+        .distinct()
+    )
+
+
+def winnow_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: Optional[int] = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints: docs
+    sharing ≥ ``min_shared`` selected hashes.  Because winnowing picks a
+    fingerprint from every w-window, any shared passage of ≥ n+w-1 tokens
+    is guaranteed to surface — unlike MinHash-LSH this catches contained
+    plagiarism-style overlap, not just near-identical whole docs.
+
+    Scale discipline mirrors ngram_jaccard_pairs: the fingerprint
+    self-join is bounded by dropping hashes shared by more than
+    ``max_docs_per_fp`` docs (boilerplate runs; a dropped hot hash can only
+    lose candidates ALSO sharing rarer hashes — same rationale as the hot
+    shingle cap), and only (id, fp) rows join — never text.
+    Returns (id_a, id_b, n_shared).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, n, w).localCheckpoint(eager=False)
+    if max_docs_per_fp:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_docs_per_fp)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
