@@ -210,3 +210,62 @@ def test_stream_sessionize_stateful(spark, tmp_path):
         if r["session_idx"] != open_tail[r["user_id"]]
     }
     assert got == closed_batch
+
+
+def test_incremental_tile_sink_matches_full_compose(spark, geodetic, tmp_path):
+    """Streamed micro-batches through the incremental sink produce the SAME
+    tile table as one full compose over all images — per-tile canvas bytes
+    included — and a replayed batch (crash-retry) changes nothing."""
+    from tilematrix_spark import images, raster
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    tiles = str(tmp_path / "tiles")
+    all_imgs = images.images_df(spark, 120, partitions=4)
+    split = "img%012d" % 80
+    # two source files -> two micro-batches with maxFilesPerTrigger=1
+    all_imgs.filter(F.col("image_id") < split).coalesce(1).write.parquet(src + "/a")
+    all_imgs.filter(F.col("image_id") >= split).coalesce(1).write.parquet(src + "/b")
+
+    sink = streaming.incremental_tile_sink(geodetic, 4, corpus, tiles, n_buckets=8)
+    stream = (
+        spark.readStream.schema(all_imgs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    def canvases(df):
+        return {
+            (r["row"], r["col"]): (r["n_images"], bytes(r["bytes"]))
+            for r in df.select("row", "col", "n_images", "bytes").collect()
+        }
+
+    got = canvases(spark.read.parquet(tiles))
+    want = canvases(raster.compose_tiles(all_imgs, geodetic, 4))
+    assert set(got) == set(want)
+    assert got == want
+    # corpus table holds every image exactly once across batch partitions
+    assert spark.read.parquet(corpus).count() == 120
+
+    # crash-retry: re-running the LAST batch (corpus already appended is
+    # the post-4 state; replay the pre-4 state by re-invoking on the same
+    # batch after dropping its corpus partition) must reproduce the same
+    # table
+    import shutil
+
+    batch_dirs = [
+        p for p in __import__("os").listdir(corpus) if p.startswith("batch_id=")
+    ]
+    last = sorted(batch_dirs)[-1]
+    shutil.rmtree(f"{corpus}/{last}")
+    sink(all_imgs.filter(F.col("image_id") >= split), int(last.split("=")[1]))
+    assert canvases(spark.read.parquet(tiles)) == want
+    assert spark.read.parquet(corpus).count() == 120

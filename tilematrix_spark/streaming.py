@@ -228,3 +228,84 @@ def stream_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_tile_sink(
+    tp: PyramidConfig,
+    zoom: int,
+    corpus_path: str,
+    tiles_path: str,
+    n_buckets: int = 64,
+    **compose_kwargs,
+):
+    """foreachBatch sink maintaining a composed tile table INCREMENTALLY
+    from a stream of image batches: per micro-batch, recompose only the
+    tiles the batch dirties (``incremental.incremental_compose``) and
+    rewrite only the parquet partitions that hold them.
+
+    Layout: ``tiles_path`` is partitioned by ``pb = pmod(hash(row,col),
+    n_buckets)``; the upsert reads ONLY the affected buckets (partition
+    pruning), anti-joins the dirty keys, unions the fresh canvases, and
+    overwrites those buckets via dynamic partition overwrite — parquet
+    upsert with bytes rewritten ∝ dirty buckets, never the whole table.
+
+    Exactly-once discipline (the resume story, same order every batch):
+
+    1. compose the delta against the corpus AS COMMITTED (batch not yet
+       appended — the union inside incremental_compose supplies it once);
+    2. eagerly materialize the merged buckets (localCheckpoint: the merge
+       reads the same path it overwrites);
+    3. overwrite the dirty buckets;
+    4. append the batch to ``corpus_path``, partitioned by batch_id.
+
+    A retry after a crash between 3 and 4 recomputes the SAME delta (the
+    corpus still lacks the batch) and rewrites the same buckets —
+    idempotent; the batch_id partition makes the corpus append idempotent
+    too (dynamic overwrite of its own partition).
+
+    Usage::
+
+        q = (stream.writeStream.foreachBatch(
+                 incremental_tile_sink(tp, 6, corpus, tiles))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+    from . import incremental as incr
+    from . import raster
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            old = spark.read.parquet(corpus_path).drop("batch_id")
+        except Exception:
+            old = spark.createDataFrame([], batch_df.schema)
+        delta = incr.incremental_compose(old, batch_df, tp, zoom, **compose_kwargs)
+        pb = F.pmod(F.hash("row", "col"), F.lit(n_buckets))
+        delta = delta.withColumn("pb", pb)
+        try:
+            existing = spark.read.parquet(tiles_path)
+            buckets = [r["pb"] for r in delta.select("pb").distinct().collect()]
+            keep = (
+                existing.filter(F.col("pb").isin(buckets))
+                .join(delta.select("row", "col"), ["row", "col"], "left_anti")
+            )
+            merged = keep.unionByName(delta)
+        except Exception:
+            merged = delta
+        # eager barrier: the write below overwrites partitions this plan reads
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pb")
+            .parquet(tiles_path)
+        )
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(corpus_path)
+        )
+
+    return process
