@@ -216,12 +216,17 @@ def compose_skew_job(spark: SparkSession) -> dict:
     df = spark.read.parquet(path)
     # JIT/Arrow warm-up on a tiny compose
     raster.compose_tiles(images.images_df(spark, 64, partitions=4), em.GEODETIC, 3).count()
-    t0 = time.time()
-    n_salted = raster.compose_tiles(df, em.GEODETIC, 6).count()
-    salted = time.time() - t0
-    t0 = time.time()
-    n_single = raster.compose_tiles(df, em.GEODETIC, 6, hot_threshold=1 << 30).count()
-    single = time.time() - t0
+    # interleaved best-of-2: a single cold pair once measured the salted
+    # path 2x slow purely from host drift (isolated rerun: 1.06x fast)
+    salted, single = float("inf"), float("inf")
+    n_salted = n_single = 0
+    for _ in range(2):
+        t0 = time.time()
+        n_salted = raster.compose_tiles(df, em.GEODETIC, 6).count()
+        salted = min(salted, time.time() - t0)
+        t0 = time.time()
+        n_single = raster.compose_tiles(df, em.GEODETIC, 6, hot_threshold=1 << 30).count()
+        single = min(single, time.time() - t0)
     assert n_salted == n_single
     return {
         "hot_contributors": 4000,
