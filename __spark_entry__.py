@@ -1417,6 +1417,50 @@ def sql_phash_near_dup() -> str:
     """
 
 
+def q_spatial_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-blocked perceptual near-dup (multimodal.spatial_phash_pairs):
+    candidates limited to the same or 8-neighboring z3 tile (Chebyshev ≤ 1
+    with antimeridian wrap — hierarchy.k_ring), exact bit_count refine at
+    Hamming ≤ 24.  The burst-photo dedup shape: spatial blocking bounds the
+    hash comparison to local density², and stays exact at any radius within
+    one tile step.  Full pair/value parity vs a DuckDB mirror of the
+    scatter + tile math + wrap-distance join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").alias("image_id"),
+        mmfns.pack_sign_bits(F.col("embedding")).alias("phash"),
+        (F.lit(-180.0) + (F.col("vec_id") * F.lit(PHI1)) % F.lit(1.0) * F.lit(360.0)).alias("lon"),
+        (F.lit(-90.0) + (F.col("vec_id") * F.lit(PHI2)) % F.lit(1.0) * F.lit(180.0)).alias("lat"),
+    )
+    out = mmfns.spatial_phash_pairs(base, GEODETIC, 3, max_hamming=24)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def sql_spatial_phash_pairs() -> str:
+    mw = GEODETIC.matrix_width(3)
+    return f"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      ),
+      pts AS (
+        SELECT vec_id AS image_id,
+          CAST(list_aggregate(list_transform(range(1, 64),
+            i -> CASE WHEN v[i] > {_d(0.0)} THEN (1::BIGINT << (i - 1))
+                 ELSE 0::BIGINT END), 'sum') AS BIGINT) AS phash,
+          {_d(-180.0)} + fmod(vec_id * {_d(PHI1)}, {_d(1.0)}) * {_d(360.0)} AS lon,
+          {_d(-90.0)} + fmod(vec_id * {_d(PHI2)}, {_d(1.0)}) * {_d(180.0)} AS lat
+        FROM base
+      ),
+      tiled AS ({_tiles_sql(3)}),
+      t AS (SELECT image_id, phash, tile_row, tile_col FROM tiled WHERE {_valid_sql(3)})
+      SELECT a.image_id AS id_a, b.image_id AS id_b,
+        CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+      FROM t a JOIN t b
+        ON a.image_id < b.image_id
+       AND abs(a.tile_row - b.tile_row) <= 1
+       AND least(abs(a.tile_col - b.tile_col), {mw} - abs(a.tile_col - b.tile_col)) <= 1
+      WHERE bit_count(xor(a.phash, b.phash)) <= 24
+    """
 
 
 def q_point_tile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2721,7 +2765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_dims": q_matrix_dims,
         # --- hierarchy ---
         "parent_rollup": q_parent_rollup,
-        "children": q_children,
         "neighbors": q_neighbors,
         # --- covers (one per grid family; mt4 variant demoted) ---
         "cover_bbox": q_cover_bbox,
@@ -2743,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dirty": q_incremental_dirty,
         "verify_images": q_verify_images,
         "phash_near_dup": q_phash_near_dup,
+        "spatial_phash_pairs": q_spatial_phash_pairs,
         # --- similarity / ANN ---
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2775,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_bbox_mercator": q_cover_bbox_mercator,
         "neighbors_mt4_buffered": q_neighbors_mt4_buffered,
         "events_topk_window": q_events_topk_window,
+        "children": q_children,
         "cover_bbox_custom": q_cover_bbox_custom,
         "tile_ids_packed": q_tile_ids_packed,
         "tile_morton": q_tile_morton,
@@ -2844,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),
         "phash_near_dup": sql_phash_near_dup(),
+        "spatial_phash_pairs": sql_spatial_phash_pairs(),
         "geom_tiles_boxes": sql_geom_tiles_boxes(),
         "geom_tiles_exact": sql_geom_tiles_exact(),
         "pip_join_regions": sql_pip_join_regions(),

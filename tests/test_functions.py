@@ -538,3 +538,61 @@ def test_winnow_shared_run_guarantee(spark):
     }
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_spatial_phash_pairs_matches_bruteforce(spark, geodetic):
+    """Geo-blocked phash pairs == brute-force cross-join filtered to tile
+    Chebyshev distance <= 1 (with antimeridian col wrap) and the same
+    Hamming radius — blocking loses nothing inside the spatial radius."""
+    from tilematrix_spark.operators import assign
+
+    phi1, phi2 = 0.7548776662466927, 0.5698402909980532
+    n = 300
+    base = spark.range(n).select(
+        F.col("id").alias("image_id"),
+        (F.lit(-180.0) + (F.col("id") * F.lit(phi1)) % F.lit(1.0) * F.lit(360.0)).alias("lon"),
+        (F.lit(-90.0) + (F.col("id") * F.lit(phi2)) % F.lit(1.0) * F.lit(180.0)).alias("lat"),
+        F.expr(
+            "shiftleft(1L, CAST(id % 60 AS INT)) | shiftleft(1L, CAST((id * 7) % 60 AS INT))"
+        ).alias("phash"),
+    )
+    # clones: every 10th image re-appears ~one tile east with 1 flipped bit
+    clones = base.filter(F.col("image_id") % 10 == 0).select(
+        (F.col("image_id") + 100000).alias("image_id"),
+        F.when(F.col("lon") + 11.25 > 180.0, F.col("lon") + 11.25 - 360.0)
+        .otherwise(F.col("lon") + 11.25)
+        .alias("lon"),
+        "lat",
+        F.col("phash").bitwiseXOR(F.lit(1 << 61).cast("long")).alias("phash"),
+    )
+    df = base.unionByName(clones)
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.spatial_phash_pairs(df, geodetic, 4, max_hamming=4).collect()
+    }
+
+    t = assign.with_tile(df, geodetic, 4, out_tile_id=None)
+    a = t.select(
+        F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"),
+        F.col("row").alias("ra"), F.col("col").alias("ca"),
+    )
+    b = t.select(
+        F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"),
+        F.col("row").alias("rb"), F.col("col").alias("cb"),
+    )
+    mw = geodetic.matrix_width(4)
+    dcol = F.abs(F.col("ca") - F.col("cb"))
+    wrapped = F.least(dcol, F.lit(mw) - dcol)
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.abs(F.col("ra") - F.col("rb")) <= 1) & (wrapped <= 1))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 4)
+        .collect()
+    }
+    assert got == want
+    assert len(got) >= 30  # the planted clones are recovered

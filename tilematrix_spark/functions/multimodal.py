@@ -268,6 +268,61 @@ def phash_dup_pairs(df: DataFrame, max_distance: int = 2, id_col: str = "image_i
     )
 
 
+def spatial_phash_pairs(
+    df: DataFrame,
+    tp,
+    zoom,
+    max_hamming: int = 6,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Geo-blocked perceptual near-dup pairs: candidate pairs are limited to
+    images whose centroids fall in the SAME or an 8-neighboring tile at
+    ``zoom`` (Chebyshev distance ≤ 1, antimeridian wrap on global grids),
+    then exact ``bit_count(xor)`` Hamming ≤ ``max_hamming``.
+
+    The burst-photo dedup shape for planet-scale image corpora: near-dups
+    of the same scene are near in SPACE, so spatial blocking bounds the
+    quadratic hash comparison to ~ (local density)² per tile instead of a
+    corpus self-join — and unlike banded pigeonhole blocking it stays exact
+    at ANY Hamming radius within the spatial block.  Pick ``zoom`` so tile
+    extent ≳ GPS error + scene size; recall is exact for pairs within one
+    tile step (guaranteed once tile extent ≥ max co-location distance).
+
+    Plan shape: one tile assignment projection (native), a 9-way ring
+    explode on the probe side (``hierarchy.k_ring`` — wrap/clamp/dedup per
+    reference neighbor rules), an equi-join on the tile key, native
+    bit_count refine.  Each unordered pair surfaces exactly once (the ring
+    tile set is distinct, and ``id_a < id_b`` picks one orientation).
+    Returns (id_a, id_b, hamming).
+    """
+    from ..operators import assign, hierarchy
+
+    slim = df.select(
+        F.col(id_col), F.col(phash_col).alias("_ph"), F.col(lon_col), F.col(lat_col)
+    )
+    tiled = assign.with_tile(slim, tp, zoom, lon_col, lat_col, out_tile_id=None)
+    probe = hierarchy.k_ring(tiled, tp, 1, zoom=zoom, include_center=True).select(
+        F.col(id_col).alias("id_a"),
+        F.col("_ph").alias("ph_a"),
+        F.col("ring_row").alias("row"),
+        F.col("ring_col").alias("col"),
+    )
+    base = tiled.select(
+        F.col(id_col).alias("id_b"), F.col("_ph").alias("ph_b"), "row", "col"
+    )
+    dist = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        probe.join(base, ["row", "col"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # audio / video plumbing (deterministic fake + stubs)
 # ---------------------------------------------------------------------------
