@@ -1220,6 +1220,38 @@ def sql_lang_stratified() -> str:
     """
 
 
+def q_spatial_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe geographic train/val/test split (sampling.spatial_split):
+    fold assigned by md5 of the 4x4-tile super-block at z6, so spatially
+    co-located rows always share a fold (per-row hash splits leak
+    near-duplicate neighbors across train/test).  Pure projection, no
+    shuffle, reproducible at any parallelism; full per-row value parity vs
+    the SQL mirror of block-key hashing + cumulative thresholds."""
+    pts = _events(spark, sf_dir)
+    out = samplefns.spatial_split(pts, GEODETIC, 6, block=4)
+    return out.select("event_id", "fold")
+
+
+def sql_spatial_split() -> str:
+    # cumulative bounds: train 0.8 -> 'cccccccc', val 0.9 -> 'e6666666'
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(6)}),
+      keyed AS (
+        SELECT event_id,
+          substr(md5(
+            CAST(CAST(trunc(tile_row / 4.0) AS BIGINT) AS VARCHAR) || '_' ||
+            CAST(CAST(trunc(tile_col / 4.0) AS BIGINT) AS VARCHAR) || '#s0'
+          ), 1, 8) AS h
+        FROM tiled WHERE {_valid_sql(6)}
+      )
+      SELECT event_id,
+        CASE WHEN h < 'cccccccc' THEN 'train'
+             WHEN h < 'e6666666' THEN 'val'
+             ELSE 'test' END AS fold
+      FROM keyed
+    """
+
+
 def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota cap (≤10 docs per source, deterministic
     hash-ordered selection) computed hot-key-safe as a two-stage top-k —
@@ -2808,7 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_pairs": q_winnow_near_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "lang_stratified": q_lang_stratified,
+        "spatial_split": q_spatial_split,
         "source_quota": q_source_quota,
         # --- Z-order sink write/read roundtrip gate ---
         "zorder_scan": q_zorder_scan,
@@ -2820,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbors_mt4_buffered": q_neighbors_mt4_buffered,
         "events_topk_window": q_events_topk_window,
         "children": q_children,
+        "lang_stratified": q_lang_stratified,
         "cover_bbox_custom": q_cover_bbox_custom,
         "tile_ids_packed": q_tile_ids_packed,
         "tile_morton": q_tile_morton,
@@ -2886,6 +2919,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": sql_sample_hash(),
         "lang_stratified": sql_lang_stratified(),
         "source_quota": sql_source_quota(),
+        "spatial_split": sql_spatial_split(),
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),
         "phash_near_dup": sql_phash_near_dup(),

@@ -596,3 +596,43 @@ def test_spatial_phash_pairs_matches_bruteforce(spark, geodetic):
     }
     assert got == want
     assert len(got) >= 30  # the planted clones are recovered
+
+
+def test_spatial_split_is_leakage_free_and_deterministic(spark, geodetic):
+    from tilematrix_spark.functions import sampling
+    from tilematrix_spark.operators import assign
+
+    phi1, phi2 = 0.7548776662466927, 0.5698402909980532
+    pts = spark.range(5000).select(
+        F.col("id").alias("image_id"),
+        (F.lit(-180.0) + (F.col("id") * F.lit(phi1)) % F.lit(1.0) * F.lit(360.0)).alias("lon"),
+        (F.lit(-90.0) + (F.col("id") * F.lit(phi2)) % F.lit(1.0) * F.lit(180.0)).alias("lat"),
+    )
+    out = sampling.spatial_split(pts, geodetic, 6, block=4)
+    rows = out.collect()
+    assert {r["fold"] for r in rows} == {"train", "val", "test"}
+
+    # zero leakage: every row in the same 4x4 tile block shares one fold
+    tiled = assign.with_tile(pts, geodetic, 6, out_tile_id=None)
+    blocks = (
+        tiled.join(out.select("image_id", "fold"), "image_id")
+        .select((F.col("row") / 4).cast("long").alias("br"),
+                (F.col("col") / 4).cast("long").alias("bc"), "fold")
+        .groupBy("br", "bc")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(F.max("nf"))
+        .collect()[0][0]
+    )
+    assert blocks == 1
+
+    # deterministic at any partitioning
+    again = {
+        r["image_id"]: r["fold"]
+        for r in sampling.spatial_split(pts.repartition(17), geodetic, 6, block=4).collect()
+    }
+    assert again == {r["image_id"]: r["fold"] for r in rows}
+
+    # realized fractions converge at block granularity (loose bounds)
+    n = len(rows)
+    train = sum(1 for r in rows if r["fold"] == "train") / n
+    assert 0.6 < train < 0.95

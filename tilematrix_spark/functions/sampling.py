@@ -108,3 +108,63 @@ def quota_per_key(
         .filter(F.col("_rn") <= quota)
         .drop("_rn", "_qh")
     )
+
+
+def spatial_split(
+    df: DataFrame,
+    tp,
+    zoom,
+    block: int = 4,
+    fractions=None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    salt: str = "s0",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Leakage-safe geographic train/val/test split: every row is assigned
+    a fold by hashing its tile SUPER-BLOCK (``block``×``block`` tiles at
+    ``zoom``), so spatially co-located rows — burst shots, adjacent scenes,
+    overlapping footprints — always land in the SAME fold.  A per-row hash
+    split leaks: near-duplicate neighbors straddle train/test and inflate
+    eval.  Block-hashing trades exact fraction sizes (realized fractions
+    converge at the block count, not the row count) for zero spatial
+    leakage within a block and at most block-boundary adjacency between
+    folds; raise ``block`` or lower ``zoom`` until block extent ≥ the
+    spatial correlation length.
+
+    Same determinism contract as ``hash_sample``: md5 of the block key —
+    reproducible at any cluster size/partitioning/retry, no RNG state,
+    pure projection (no shuffle); portable to a SQL oracle byte-for-byte.
+
+    ``fractions``: ordered {fold_name: fraction}, summing to ≤ 1 (a
+    remainder falls into the LAST fold, mirroring the usual train-gets-
+    the-rest convention when fractions sum to 1 within float error).
+    """
+    from ..operators import assign
+
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("fractions must sum to <= 1")
+    tiled = assign.with_tile(df, tp, zoom, lon_col, lat_col, out_row="_sb_row", out_col="_sb_col", out_tile_id=None)
+    key = F.concat_ws(
+        "_",
+        (F.col("_sb_row") / block).cast("long"),
+        (F.col("_sb_col") / block).cast("long"),
+    )
+    h = sample_hash(key, salt)
+    names = list(fractions)
+    bounds = []
+    run = 0.0
+    for name in names:
+        run += fractions[name]
+        bounds.append((name, run))
+    # first matching cumulative bound wins: h<b1 -> fold1, elif h<b2 -> ...,
+    # else the last fold (which also absorbs any <1.0 remainder)
+    expr = F.lit(names[-1])
+    for name, bound in reversed(bounds[:-1]):
+        expr = F.when(h < F.lit(hash_threshold(bound)), F.lit(name)).otherwise(expr)
+    return tiled.withColumn(out_col, expr).drop("_sb_row", "_sb_col")
