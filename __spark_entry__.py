@@ -2194,6 +2194,43 @@ def sql_overview_coverage() -> str:
     """
 
 
+def q_rasterize_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster rasterization bin surface (raster.rasterize_bins):
+    one row per non-empty pixel bin of the z5 point-density burn — tile
+    assignment + trunc((coord - tile_origin)/pixel_size) clamped to the
+    256-pixel tile grid, two-level native agg (shuffle carries bins, not
+    points).  Canvas bytes (clip-255 gray burn + overview chaining) are
+    pinned by the numpy-mirror pytest."""
+    from tilematrix_spark import raster
+
+    pts = _events(spark, sf_dir)
+    out = raster.rasterize_bins(pts, GEODETIC, 5)
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        F.col("py").alias("px_row"),
+        F.col("px").alias("px_col"),
+        F.col("n").alias("n"),
+    )
+
+
+def sql_rasterize_bins() -> str:
+    zoom, ts = 5, 256
+    hx = _d(GEODETIC.tile_x_size(zoom))
+    pxs = _d(GEODETIC.pixel_x_size(zoom))
+    pys = _d(GEODETIC.pixel_y_size(zoom))
+    h = _d(_tile_size(zoom))
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(zoom)})
+      SELECT tile_row, tile_col,
+        least(greatest(CAST(trunc((({_d(TOP)} - tile_row * {h}) - lat) / {pys}) AS BIGINT), 0), {ts - 1}) AS px_row,
+        least(greatest(CAST(trunc((lon - ({_d(LEFT)} + tile_col * {hx})) / {pxs}) AS BIGINT), 0), {ts - 1}) AS px_col,
+        count(*) AS n
+      FROM tiled WHERE {_valid_sql(zoom)}
+      GROUP BY 1, 2, 3, 4
+    """
+
+
 def q_incremental_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental pyramid maintenance work estimate
     (incremental.dirty_tile_stats): the z6 tiles dirtied by an append batch
@@ -2813,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- raster / image kernels ---
         "raster_windows": q_raster_windows,
         "raster_windows_buffered": q_raster_windows_buffered,
+        "rasterize_bins": q_rasterize_bins,
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
         "incremental_dirty": q_incremental_dirty,
@@ -2834,7 +2872,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "lang_id_counts": q_lang_id_counts,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "minhash_lsh_verified": q_minhash_lsh_verified,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2853,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_window": q_events_topk_window,
         "children": q_children,
         "lang_stratified": q_lang_stratified,
+        "minhash_lsh_verified": q_minhash_lsh_verified,
         "cover_bbox_custom": q_cover_bbox_custom,
         "tile_ids_packed": q_tile_ids_packed,
         "tile_morton": q_tile_morton,
@@ -2933,6 +2971,7 @@ def oracle_sql() -> dict[str, str]:
         "compose_tiles": sql_compose_tiles(),
         "overview_coverage": sql_overview_coverage(),
         "incremental_dirty": sql_incremental_dirty(),
+        "rasterize_bins": sql_rasterize_bins(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "zorder_scan": sql_zorder_scan(),

@@ -190,3 +190,17 @@ def test_incremental_compose_broadcast_semi_join(spark, geodetic):
     # two pipelines are restricted: the slim counts pass and the bytes pass
     assert len(semi) >= 2, plan
     assert "SortMergeJoin LeftSemi" not in plan, plan
+
+
+def test_spatial_split_is_pure_projection(spark, geodetic):
+    """Fold assignment must be a shuffle-free native projection — at corpus
+    scale it runs inside the scan stage (no Exchange, no Python)."""
+    from tilematrix_spark.functions import sampling
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 170 - 85), float(i % 80 - 40)) for i in range(50)],
+        "image_id long, lon double, lat double",
+    )
+    plan = _plan(sampling.spatial_split(pts, geodetic, 6, block=4))
+    assert ") Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
