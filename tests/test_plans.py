@@ -204,3 +204,22 @@ def test_spatial_split_is_pure_projection(spark, geodetic):
     plan = _plan(sampling.spatial_split(pts, geodetic, 6, block=4))
     assert ") Exchange" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_rasterize_bins_partial_aggregates_before_shuffle(spark, geodetic):
+    """Point->bin burn must partial-aggregate map-side: the shuffle carries
+    one row per non-empty pixel bin, never per point, and the binning math
+    stays native (no Python eval nodes)."""
+    from tilematrix_spark import raster
+
+    pts = spark.createDataFrame(
+        [(float(i % 170 - 85), float(i % 80 - 40)) for i in range(100)],
+        "lon double, lat double",
+    )
+    plan = _plan(raster.rasterize_bins(pts, geodetic, 5))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    ex = sum(1 for line in plan.splitlines() if line.startswith("(") and ") Exchange" in line)
+    assert ex == 1, plan
+    # partial HashAggregate before the exchange (two agg nodes total)
+    aggs = plan.count("HashAggregate")
+    assert aggs >= 2, plan
