@@ -636,3 +636,24 @@ def test_spatial_split_is_leakage_free_and_deterministic(spark, geodetic):
     n = len(rows)
     train = sum(1 for r in rows if r["fold"] == "train") / n
     assert 0.6 < train < 0.95
+
+
+def test_winnow_fingerprints_randomized_corpus(spark):
+    """Winnowing vs the pure-Python mirror over a 60-doc randomized corpus
+    (seeded): repeated words, shared passages, short docs, heavy whitespace."""
+    import random
+
+    rng = random.Random(424242)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        n_tok = rng.choice([0, 1, 2, 3, 5, 8, 20, 60])
+        words = [rng.choice(vocab) for _ in range(n_tok)]
+        sep = rng.choice([" ", "  ", " \t ", "\n"])
+        docs.append((i, sep.join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in dedup.winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, body in docs:
+        assert got.get(doc_id, set()) == _py_winnow(body), doc_id
