@@ -1220,6 +1220,33 @@ def sql_lang_stratified() -> str:
     """
 
 
+def q_tile_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per z5 tile (windows.exact_distinct_per_key):
+    dedup (tile, user) first — the shuffle carries distinct pairs and
+    partial-aggregates map-side — then count per tile.  The scale-safe
+    exact-distinct shape (hot tiles spread over the pair dedup); full
+    value parity vs COUNT(DISTINCT)."""
+    from tilematrix_spark.functions import windows as winfns
+
+    pts = _events(spark, sf_dir)
+    tiled = assign.with_tile(
+        pts, GEODETIC, 5, "lon", "lat",
+        out_row="tile_row", out_col="tile_col", out_tile_id=None,
+    )
+    return winfns.exact_distinct_per_key(
+        tiled, ["tile_row", "tile_col"], "user_id", out_col="n_users"
+    )
+
+
+def sql_tile_user_counts() -> str:
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}), tiled AS ({_tiles_sql(5)})
+      SELECT tile_row, tile_col, count(DISTINCT user_id) AS n_users
+      FROM tiled WHERE {_valid_sql(5)}
+      GROUP BY 1, 2
+    """
+
+
 def q_spatial_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe geographic train/val/test split (sampling.spatial_split):
     fold assigned by md5 of the 4x4-tile super-block at z6, so spatially
@@ -2826,7 +2853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_tile_counts": q_point_tile_counts,
         "point_tile_edges": q_point_tile_edges,
         "per_row_zoom_assign": q_per_row_zoom_assign,
-        "pyramid_counts": q_pyramid_counts,
         "tile_bounds": q_tile_bounds,
         "tile_affine": q_tile_affine,
         "tile_shape_pixelbuffer": q_tile_shape_pixelbuffer,
@@ -2866,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tile_counts": q_stream_tile_counts,
         "user_sessions": q_user_sessions,
         "tile_quantiles": q_tile_quantiles,
+        "tile_user_counts": q_tile_user_counts,
         # --- dedup / text pipeline ---
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -2891,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "children": q_children,
         "lang_stratified": q_lang_stratified,
         "minhash_lsh_verified": q_minhash_lsh_verified,
+        "pyramid_counts": q_pyramid_counts,
         "cover_bbox_custom": q_cover_bbox_custom,
         "tile_ids_packed": q_tile_ids_packed,
         "tile_morton": q_tile_morton,
@@ -2958,6 +2986,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_stratified": sql_lang_stratified(),
         "source_quota": sql_source_quota(),
         "spatial_split": sql_spatial_split(),
+        "tile_user_counts": sql_tile_user_counts(),
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),
         "phash_near_dup": sql_phash_near_dup(),

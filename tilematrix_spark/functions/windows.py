@@ -81,3 +81,24 @@ def grouped_quantiles(
         for p in probs
     ]
     return df.groupBy(*group_cols).agg(F.count("*").alias("n"), *aggs)
+
+
+def exact_distinct_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """EXACT distinct counts per key, scale-safe: dedup (keys, value) first
+    (partial-aggregates map-side, so the shuffle carries distinct pairs,
+    not rows), then count per key.  This is the shape that survives hot
+    keys at corpus scale — a direct ``countDistinct`` builds the whole
+    distinct set inside one aggregation; two-stage lets the dedup shuffle
+    spread over (keys ⊗ value) before the per-key count collapses it.
+    Exact and engine-portable (value-oracled), unlike HLL sketches
+    (``approx_count_distinct``), whose estimates differ per implementation
+    — use the approx form only when a few % error is acceptable and swap is
+    then one line."""
+    keys = list(keys)
+    pairs = df.select(*keys, distinct_col).distinct()
+    return pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))
