@@ -31,9 +31,14 @@ def _worker(master: str, job: str, sf_dir: str) -> None:
 
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n_exec = int(master.split("[")[1].split(",")[0])
     spark = (
         SparkSession.builder.master(master)
+        # executor JVMs spawn their own python workers, which do not inherit
+        # the driver's sys.path: ship the repo root (pip/verify jobs run
+        # tilematrix_spark Arrow kernels executor-side; tile is pure native)
+        .config("spark.executorEnv.PYTHONPATH", repo)
         .appName(f"tmx_cluster_scaling_{n_exec}")
         .config("spark.sql.shuffle.partitions", str(8 * n_exec))
         .config("spark.sql.adaptive.enabled", "true")
