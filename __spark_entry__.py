@@ -2288,14 +2288,14 @@ def sql_incremental_dirty() -> str:
     tiles only (n_new > 0)."""
     return f"""
       SELECT tile_row, tile_col,
-             sum(CASE WHEN CAST(substring(image_id, 4) AS BIGINT) >= 800
-                 THEN 1 ELSE 0 END) AS n_new,
+             count(*) FILTER (WHERE CAST(substring(image_id, 4) AS BIGINT)
+                 >= 800) AS n_new,
              count(*) AS n_total
       FROM ({sql_raster_windows(n=1000)})
       WHERE win_width > 0 AND win_height > 0
       GROUP BY 1, 2
-      HAVING sum(CASE WHEN CAST(substring(image_id, 4) AS BIGINT) >= 800
-             THEN 1 ELSE 0 END) > 0
+      HAVING count(*) FILTER (WHERE CAST(substring(image_id, 4) AS BIGINT)
+             >= 800) > 0
     """
 
 

@@ -269,3 +269,12 @@ def test_incremental_tile_sink_matches_full_compose(spark, geodetic, tmp_path):
     sink(all_imgs.filter(F.col("image_id") >= split), int(last.split("=")[1]))
     assert canvases(spark.read.parquet(tiles)) == want
     assert spark.read.parquet(corpus).count() == 120
+
+    # crash-retry AFTER the corpus append (post-step-4, pre-checkpoint-
+    # commit): the batch_id partition is LEFT IN PLACE and the sink
+    # re-invoked with the same batch — the batch_id exclusion in the
+    # corpus read must keep every batch image blended exactly once
+    # (without it the replayed images are double-counted into canvases)
+    sink(all_imgs.filter(F.col("image_id") >= split), int(last.split("=")[1]))
+    assert canvases(spark.read.parquet(tiles)) == want
+    assert spark.read.parquet(corpus).count() == 120

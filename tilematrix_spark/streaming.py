@@ -31,6 +31,18 @@ from .grid import PyramidConfig
 from .operators import assign
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Explicit filesystem existence probe (works for local, HDFS, s3a —
+    any Hadoop-registered scheme).  Used instead of try/except around
+    ``spark.read.parquet``: a bare except would treat transient IO errors
+    or corrupt footers as "table does not exist yet" and silently compose
+    against an empty corpus."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def stream_with_tile(
     stream: DataFrame,
     tp: PyramidConfig,
@@ -251,17 +263,24 @@ def incremental_tile_sink(
 
     Exactly-once discipline (the resume story, same order every batch):
 
-    1. compose the delta against the corpus AS COMMITTED (batch not yet
-       appended — the union inside incremental_compose supplies it once);
-    2. eagerly materialize the merged buckets (localCheckpoint: the merge
-       reads the same path it overwrites);
+    1. compose the delta against the corpus EXCLUDING this batch_id (the
+       union inside incremental_compose supplies the batch exactly once —
+       even when a replay finds the batch already appended);
+    2. eagerly materialize the delta (localCheckpoint) so the Arrow
+       compose kernels run ONCE, then the merged buckets (the merge reads
+       the same path it overwrites);
     3. overwrite the dirty buckets;
     4. append the batch to ``corpus_path``, partitioned by batch_id.
 
     A retry after a crash between 3 and 4 recomputes the SAME delta (the
-    corpus still lacks the batch) and rewrites the same buckets —
-    idempotent; the batch_id partition makes the corpus append idempotent
-    too (dynamic overwrite of its own partition).
+    corpus still lacks the batch); a retry after 4 but before the stream
+    checkpoint commit finds the batch ALREADY in the corpus — the
+    batch_id filter in step 1 excludes it, so the recompose is still
+    old ∪ batch seen exactly once, and the batch_id partition makes the
+    corpus append idempotent too (dynamic overwrite of its own
+    partition). Read errors other than path-not-found propagate and fail
+    the batch (the checkpoint retries) — they must NOT be mistaken for
+    "table does not exist yet".
 
     Usage::
 
@@ -275,22 +294,32 @@ def incremental_tile_sink(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            old = spark.read.parquet(corpus_path).drop("batch_id")
-        except Exception:
+        if _hadoop_path_exists(spark, corpus_path):
+            # Exclude a replayed batch: after a crash between the corpus
+            # append and the checkpoint commit, this batch_id is already in
+            # the corpus — without the filter it would be blended twice.
+            old = (
+                spark.read.parquet(corpus_path)
+                .filter(F.col("batch_id") != int(batch_id))
+                .drop("batch_id")
+            )
+        else:
             old = spark.createDataFrame([], batch_df.schema)
         delta = incr.incremental_compose(old, batch_df, tp, zoom, **compose_kwargs)
         pb = F.pmod(F.hash("row", "col"), F.lit(n_buckets))
-        delta = delta.withColumn("pb", pb)
-        try:
-            existing = spark.read.parquet(tiles_path)
+        # materialize the compose ONCE: bucket discovery, the anti-join,
+        # and the final write all consume this plan — unpinned, the Arrow
+        # blend kernels would re-execute per consumer.
+        delta = delta.withColumn("pb", pb).localCheckpoint(eager=True)
+        if _hadoop_path_exists(spark, tiles_path):
             buckets = [r["pb"] for r in delta.select("pb").distinct().collect()]
             keep = (
-                existing.filter(F.col("pb").isin(buckets))
+                spark.read.parquet(tiles_path)
+                .filter(F.col("pb").isin(buckets))
                 .join(delta.select("row", "col"), ["row", "col"], "left_anti")
             )
             merged = keep.unionByName(delta)
-        except Exception:
+        else:
             merged = delta
         # eager barrier: the write below overwrites partitions this plan reads
         merged = merged.localCheckpoint(eager=True)

@@ -1,6 +1,9 @@
 """Local mimic of the driver's correctness gate: run every queries() entry in
 Spark AND its oracle_sql() in DuckDB at a given sf, compare row count, schema
-shape, and an order-insensitive value multiset.
+shape, an order-insensitive value multiset, AND Arrow-level column types
+(the driver's value hasher is typed: DuckDB HUGEINT vs Spark BIGINT
+hash-mismatches even when Python-level values are identical — see
+VERDICT r3 item 1 / the incremental_dirty red row).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -31,6 +34,38 @@ def norm_val(v):
     return v
 
 
+def arrow_type_key(t):
+    """Canonical comparison key for an Arrow type.
+
+    Collapses representational freedoms that carry no value semantics
+    (string vs large_string, list vs large_list, timestamp unit) but keeps
+    everything that changes a typed value hash: integer WIDTH and
+    signedness (int64 != DuckDB's int128 HUGEINT), decimal vs float,
+    float32 vs float64.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return ("list", arrow_type_key(t.value_type))
+    if pa.types.is_timestamp(t):
+        return ("timestamp", t.tz)
+    if pa.types.is_struct(t):
+        return ("struct", tuple((f.name, arrow_type_key(f.type)) for f in t))
+    return str(t)
+
+
+def type_mismatches(spark_schema, duck_schema):
+    out = []
+    for sf, df_ in zip(spark_schema, duck_schema):
+        if arrow_type_key(sf.type) != arrow_type_key(df_.type):
+            out.append(f"{sf.name}: spark={sf.type} duckdb={df_.type}")
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -56,7 +91,11 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(norm_val(v) for v in row) for row in sdf.collect()]
+            stab = sdf.toArrow()
+            srows = [
+                tuple(norm_val(v) for v in row)
+                for row in zip(*(c.to_pylist() for c in stab.columns))
+            ] if stab.num_columns else []
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
@@ -66,9 +105,12 @@ def main():
             print(f"SKIP {name}: no oracle ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = [tuple(norm_val(v) for v in row) for row in res.fetchall()]
+            otab = con.execute(sql).arrow()
+            ocols = otab.column_names
+            orows = [
+                tuple(norm_val(v) for v in row)
+                for row in zip(*(c.to_pylist() for c in otab.columns))
+            ] if otab.num_columns else []
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
@@ -76,6 +118,11 @@ def main():
         dt = time.time() - t0
         if scols != ocols:
             print(f"FAIL {name}: columns {scols} != {ocols}")
+            failures.append(name)
+            continue
+        tmis = type_mismatches(stab.schema, otab.schema)
+        if tmis:
+            print(f"FAIL {name}: arrow types differ: {tmis}")
             failures.append(name)
             continue
         if len(srows) != len(orows):
