@@ -238,6 +238,110 @@ def compose_skew_job(spark: SparkSession) -> dict:
     }
 
 
+def spatial_phash_skew_job(spark: SparkSession) -> dict:
+    """Hot-tile guard for geo-blocked phash dedup: 400k rows following the
+    images.py spatial law (same HOT_BOUNDS cluster, same 10% hot fraction,
+    same R2 scatter — generated natively so no pixel bytes are staged) —
+    per-tile density ~2500x the median, so the per-tile self-join's
+    candidate set is quadratic in exactly the way one dense city is at
+    corpus scale (~4x10^8 candidates under ONE join key).  Times the
+    guarded path (within-tile banded re-block, output provably identical)
+    against the unguarded path on the SAME input, and reports the peak
+    per-join-key candidate count both ways — the unguarded peak is the one
+    runaway task no salt can split.  Every 997th row has a planted
+    near-dup clone (1 flipped bit, ~1km offset) so the pair output — and
+    the guarded==unguarded equality assert — is non-trivial."""
+    import __spark_entry__ as em
+    from tilematrix_spark import images
+    from tilematrix_spark.functions import multimodal as mm
+    from tilematrix_spark.operators import assign, hierarchy
+
+    n, zoom, cap = 400_000, 6, 2_000
+    par = spark.sparkContext.defaultParallelism * 2
+    l, b, r, t = images.HOT_BOUNDS
+    base = spark.range(0, n, numPartitions=par).select(
+        F.col("id").alias("image_id"),
+        F.xxhash64(F.col("id")).alias("phash"),
+        F.when(
+            F.col("id") % 10 == 3,
+            F.lit(l) + (F.col("id") * F.lit(images.PHI1)) % F.lit(1.0) * F.lit(r - l),
+        ).otherwise(
+            F.lit(-180.0) + (F.col("id") * F.lit(images.PHI1)) % F.lit(1.0) * F.lit(360.0)
+        ).alias("lon"),
+        F.when(
+            F.col("id") % 10 == 3,
+            F.lit(b) + (F.col("id") * F.lit(images.PHI2)) % F.lit(1.0) * F.lit(t - b),
+        ).otherwise(
+            F.lit(-90.0) + (F.col("id") * F.lit(images.PHI2)) % F.lit(1.0) * F.lit(180.0)
+        ).alias("lat"),
+    )
+    clones = base.filter(F.col("image_id") % 997 == 0).select(
+        (F.col("image_id") + n).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(1).cast("long")).alias("phash"),
+        F.least(F.col("lon") + F.lit(0.01), F.lit(180.0)).alias("lon"),
+        "lat",
+    )
+    df = base.unionByName(clones).localCheckpoint(eager=True)
+
+    # candidate-peak diagnostics (pure aggregates — the join itself never
+    # materializes the unguarded peak bucket)
+    tiled = assign.with_tile(df, em.GEODETIC, zoom, out_tile_id=None)
+    base_cnt = tiled.groupBy("row", "col").agg(F.count("*").alias("nb"))
+    probe_cnt = (
+        hierarchy.k_ring(tiled, em.GEODETIC, 1, zoom=zoom)
+        .groupBy(F.col("ring_row").alias("row"), F.col("ring_col").alias("col"))
+        .agg(F.count("*").alias("np"))
+    )
+    peak_unguarded = (
+        probe_cnt.join(base_cnt, ["row", "col"])
+        .agg(F.max(F.col("np") * F.col("nb")))
+        .collect()[0][0]
+    )
+    nb_bands = 7  # max_hamming 6 + 1
+    hot_tiles = base_cnt.filter(F.col("nb") > cap).select("row", "col")
+    hot_banded = mm._banded(
+        tiled.join(F.broadcast(hot_tiles), ["row", "col"], "left_semi").select(
+            "row", "col", "phash"
+        ),
+        "phash",
+        nb_bands,
+    )
+    hot_bucket_cnt = hot_banded.groupBy("row", "col", "_bi", "_bv").agg(
+        F.count("*").alias("nb")
+    )
+    peak_hot_bucket = hot_bucket_cnt.agg(F.max("nb")).collect()[0][0] or 0
+
+    # JIT/Arrow warm-up
+    mm.spatial_phash_pairs(df.limit(2000), em.GEODETIC, zoom).count()
+    guarded, unguarded = float("inf"), float("inf")
+    n_g = n_u = 0
+    for _ in range(2):  # interleaved best-of-2 (host drift discipline)
+        t0 = time.time()
+        n_g = mm.spatial_phash_pairs(
+            df, em.GEODETIC, zoom, max_tile_contributors=cap
+        ).count()
+        guarded = min(guarded, time.time() - t0)
+        t0 = time.time()
+        n_u = mm.spatial_phash_pairs(
+            df, em.GEODETIC, zoom, max_tile_contributors=None
+        ).count()
+        unguarded = min(unguarded, time.time() - t0)
+    assert n_g == n_u  # the guard is output-invariant (pigeonhole-exact)
+    return {
+        "images": n,
+        "zoom": zoom,
+        "cap": cap,
+        "pairs": n_g,
+        "peak_candidates_per_key_unguarded": int(peak_unguarded or 0),
+        # guarded peak: per (tile, band) bucket, ≤ peak_hot_bucket² worst
+        # case — report the bucket size (the bound's driver)
+        "peak_hot_bucket_rows_guarded": int(peak_hot_bucket),
+        "guarded_sec": round(guarded, 3),
+        "unguarded_sec": round(unguarded, 3),
+        "guarded_speedup": round(unguarded / guarded, 2) if guarded > 0 else None,
+    }
+
+
 def incremental_vs_full_job(spark: SparkSession) -> dict:
     """Incremental pyramid maintenance vs full rebuild: a 500-image append
     batch against a 100k-image corpus at z6.  Full = recompose every
@@ -403,6 +507,7 @@ def main() -> None:
     timings = run_suite(spark, sf_dir)
     rows_per_s, n_rows = flagship_throughput(spark, sf_dir)
     compose_skew = compose_skew_job(spark)
+    phash_skew = spatial_phash_skew_job(spark)
     incremental = incremental_vs_full_job(spark)
     overview_chain_job(spark, 4, 64)  # warm-up
     overview_tiles_per_s = overview_chain_job(spark, 6, 64)
@@ -418,6 +523,7 @@ def main() -> None:
         "flagship_rows": n_rows,
         "cpus": cpus,
         "compose_skew": compose_skew,
+        "spatial_phash_skew": phash_skew,
         "incremental": incremental,
         "overview_child_tiles_per_sec": round(overview_tiles_per_s),
     }
@@ -444,13 +550,33 @@ def main() -> None:
 
         # interleaved pairs, best of two subprocesses per level: this box's
         # python-stage throughput at 32 threads swings 2-3x with invisible
-        # host state; a single unlucky subprocess would poison the ratio
+        # host state; a single unlucky subprocess would poison the ratio.
+        # A spin control runs IMMEDIATELY BEFORE each measurement and the
+        # one simultaneous with the winning rate is kept per (job, level):
+        # every efficiency below carries its own host envelope, so a
+        # degraded-window artifact (the r3 overview 0.113) self-labels.
         flagship = {}
         overview = {}
+        spin_at: dict[str, dict[str, float]] = {}
         rounds = {"pip": 2, "verify": 2, "tile": 2, "overview": 2}
         for tgt, job in ((flagship, "pip"), (compute, "verify"), (stream, "tile"), (overview, "overview")):
+            spin_at[job] = {}
             for cpus in ("8", "32") * rounds[job]:
-                tgt[cpus] = max(tgt.get(cpus, 0.0), measure(job, cpus))
+                env = spin_control(int(cpus), dur=3.0)
+                rate = measure(job, cpus)
+                if rate > tgt.get(cpus, 0.0):
+                    tgt[cpus] = rate
+                    spin_at[job][cpus] = env
+
+        def spin_fields(job: str) -> dict:
+            s8 = spin_at[job].get("8", 0.0)
+            s32 = spin_at[job].get("32", 0.0)
+            return {
+                f"{job}_spin_at_measure_mops_8": round(s8 / 1e6, 1),
+                f"{job}_spin_at_measure_mops_32": round(s32 / 1e6, 1),
+                f"{job}_spin_envelope_8_to_32": round(s32 / (4 * s8), 3) if s8 else None,
+            }
+
         env8 = spin_control(8)
         env32 = spin_control(32)
         result["scaling"] = {
@@ -460,21 +586,25 @@ def main() -> None:
             "pip_join_points_per_sec_local8": round(flagship["8"]),
             "pip_join_points_per_sec_local32": round(flagship["32"]),
             "pip_join_efficiency_8_to_32": round(flagship["32"] / (4 * flagship["8"]), 3),
+            **spin_fields("pip"),
             # streaming kernel: native tile-assign + salted agg (memory-
             # bandwidth-bound on one node; saturates ~4-8 local cores —
             # bandwidth scales with NODES on a real cluster)
             "tile_assign_rows_per_sec_local8": round(stream["8"]),
             "tile_assign_rows_per_sec_local32": round(stream["32"]),
             "tile_assign_efficiency_8_to_32": round(stream["32"] / (4 * stream["8"]), 3),
+            **spin_fields("tile"),
             # compute-bound kernel: Arrow-batched decode+PSNR+phash verify
             "image_verify_imgs_per_sec_local8": round(compute["8"]),
             "image_verify_imgs_per_sec_local32": round(compute["32"]),
             "image_verify_efficiency_8_to_32": round(compute["32"] / (4 * compute["8"]), 3),
+            **spin_fields("verify"),
             # overview chain: z8 full-matrix 2x2 box-filter pyramid build
             # (Arrow compute + one narrow shuffle per level)
             "overview_child_tiles_per_sec_local8": round(overview["8"]),
             "overview_child_tiles_per_sec_local32": round(overview["32"]),
             "overview_efficiency_8_to_32": round(overview["32"] / (4 * overview["8"]), 3),
+            **spin_fields("overview"),
             # hardware envelope: pure-register python, no Spark/no memory —
             # the best ANY sustained job can scale on this box right now
             "spin_control_mops_8": round(env8 / 1e6, 1),

@@ -73,12 +73,21 @@ def main() -> None:
 
     stats = {}
     for z in zooms:
-        n_dirty = job.read_zoom(z).count()
-        n_total = base.read_zoom(z).count()
+        delta_keys = job.read_zoom(z).select("row", "col")
+        base_keys = base.read_zoom(z).select("row", "col")
+        n_dirty = delta_keys.count()
+        n_committed = base_keys.count()
+        # an append batch can CREATE tiles absent from the old pyramid —
+        # count them apart and divide by the merged (committed ∪ delta)
+        # level size, or dirty_fraction could exceed 1 on sparse pyramids
+        n_new = delta_keys.join(base_keys, ["row", "col"], "left_anti").count()
+        n_merged = n_committed + n_new
         stats[z] = {
             "dirty_tiles": n_dirty,
-            "committed_tiles": n_total,
-            "dirty_fraction": round(n_dirty / max(n_total, 1), 4),
+            "new_tiles": n_new,
+            "committed_tiles": n_committed,
+            "merged_tiles": n_merged,
+            "dirty_fraction": round(n_dirty / max(n_merged, 1), 4),
         }
     print(
         json.dumps(

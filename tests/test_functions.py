@@ -597,6 +597,78 @@ def test_spatial_phash_pairs_matches_bruteforce(spark, geodetic):
     assert got == want
     assert len(got) >= 30  # the planted clones are recovered
 
+    # hot-tile guard invariance: forcing (almost) every tile through the
+    # banded-refine hot path must change NOTHING — pigeonhole with
+    # max_hamming+1 bands keeps within-tile recall exact
+    guarded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.spatial_phash_pairs(
+            df, geodetic, 4, max_hamming=4, max_tile_contributors=1
+        ).collect()
+    }
+    assert guarded == want
+
+
+def test_phash_dup_pairs_hot_band_cap(spark):
+    """A degenerate band value shared by the whole corpus (the flat-image
+    0x0000 band) is dropped by max_ids_per_band: the self-join completes
+    with bounded candidates, every pair sharing a NON-degenerate band is
+    still found, and only pairs whose sole equal band is the hot one are
+    skipped — checked pair-for-pair against a python mirror."""
+    import itertools
+
+    # band0 (bits 0-15) is 0 for everyone — the degenerate hot band;
+    # bands 1-3 carry a distinct per-id value
+    ph = {i: ((i + 1) << 16) | ((i + 1) << 32) | ((i + 1) << 48) for i in range(100)}
+    ph[200] = ph[5]  # exact clone: shares all four bands with id 5
+    # 3 bits flipped, one per non-degenerate band: hamming 3 to id 7 but
+    # the ONLY equal band is the hot band0
+    ph[201] = ph[7] ^ (1 << 30) ^ (1 << 46) ^ (1 << 62)
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in ph.items()], "image_id long, phash long"
+    )
+
+    def bands(p):
+        return [(b, (p >> (16 * b)) & 0xFFFF) for b in range(4)]
+
+    from collections import Counter
+
+    cnt = Counter(bv for p in ph.values() for bv in bands(p))
+    hot = {k for k, v in cnt.items() if v > 50}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    def pairs(keep_hot):
+        out = set()
+        for i, j in itertools.combinations(sorted(ph), 2):
+            if ham(ph[i], ph[j]) > 3:
+                continue
+            shared = [
+                ba for ba, bb in zip(bands(ph[i]), bands(ph[j])) if ba == bb
+            ]
+            if any(keep_hot or b not in hot for b in shared):
+                out.add((i, j))
+        return out
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.phash_dup_pairs(
+            df, max_distance=3, max_ids_per_band=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.phash_dup_pairs(
+            df, max_distance=3, max_ids_per_band=50
+        ).collect()
+    }
+    assert uncapped == pairs(keep_hot=True)
+    assert capped == pairs(keep_hot=False)
+    assert (5, 200) in capped  # exact clone survives the cap
+    assert (7, 201) in uncapped and (7, 201) not in capped  # only-hot-band pair
+
 
 def test_spatial_split_is_leakage_free_and_deterministic(spark, geodetic):
     from tilematrix_spark.functions import sampling

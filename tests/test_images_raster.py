@@ -220,6 +220,88 @@ def test_compose_tiles_salted_hot_path_byte_identical(spark):
     assert multi > 0  # the overlap/mean path was actually exercised
 
 
+def test_compose_tiles_contributor_quarantine(spark):
+    """max_contributors_per_tile bounds decode work on pathological tiles:
+    capped tiles blend a deterministic hash-sample, the rest are counted in
+    n_quarantined (n_images + n_quarantined == true contributor count), the
+    result is stable across runs, and uncapped calls keep the original
+    schema untouched."""
+    from tilematrix_spark import raster
+
+    tp = _tp()
+    # 300 contributors all strictly inside one z4 tile + a scattered tail
+    hot = (
+        images.images_df(spark, 300, partitions=4)
+        .withColumn("fp_left", F.lit(8.6)).withColumn("fp_right", F.lit(11.1))
+        .withColumn("fp_bottom", F.lit(39.5)).withColumn("fp_top", F.lit(42.0))
+    )
+    df = hot.unionByName(images.images_df(spark, 60, partitions=4))
+
+    full = {
+        (r["row"], r["col"]): r["n_images"]
+        for r in raster.compose_tiles(df, tp, 4).collect()
+    }
+    assert "n_quarantined" not in raster.compose_tiles(df, tp, 4).columns
+
+    capped = raster.compose_tiles(df, tp, 4, max_contributors_per_tile=50)
+    rows1 = {(r["row"], r["col"]): r for r in capped.collect()}
+    rows2 = {(r["row"], r["col"]): r for r in capped.collect()}
+    assert set(rows1) == set(full)
+    quarantined_somewhere = False
+    for k, r in rows1.items():
+        assert r["n_images"] + r["n_quarantined"] == full[k], k
+        # deterministic: same sample, same canvas, run to run
+        assert bytes(r["bytes"]) == bytes(rows2[k]["bytes"]), k
+        assert r["n_quarantined"] == rows2[k]["n_quarantined"], k
+        if r["n_quarantined"] > 0:
+            quarantined_somewhere = True
+            # hash-sampling keeps ~cap: generous stochastic bound
+            assert r["n_images"] <= 3 * 50, k
+        elif full[k] <= 50:
+            assert r["n_quarantined"] == 0, k
+    assert quarantined_somewhere  # the 300-contributor tile was capped
+
+
+def test_registered_decoder_drives_compose_and_verify(spark):
+    """A runtime-registered 'jpeg' codec is exercised by every decoding
+    kernel, not just feature extraction: verify_images passes and
+    compose_tiles produces byte-identical canvases on a corpus where half
+    the rows dispatch through the registered decoder (the fake codec is a
+    raw reshape, so registry dispatch is the only difference)."""
+    from tilematrix_spark import raster
+    from tilematrix_spark.functions import multimodal
+
+    def fake_jpeg(data, w, h):
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+    tp = _tp()
+    base = images.images_df(spark, 120, partitions=4).filter("fmt = 'raw'")
+    mixed = base.withColumn(
+        "fmt",
+        F.when(F.xxhash64("image_id") % 2 == 0, F.lit("jpeg")).otherwise(F.col("fmt")),
+    )
+    assert mixed.filter("fmt = 'jpeg'").count() > 0
+    multimodal.register_decoder("jpeg", fake_jpeg)
+    try:
+        v = raster.verify_images(mixed)
+        agg = v.agg(
+            F.count("*").alias("n"), F.sum(F.col("ok").cast("int")).alias("n_ok")
+        ).collect()[0]
+        assert agg["n"] == agg["n_ok"] > 0
+
+        want = {
+            (r["row"], r["col"]): (r["n_images"], bytes(r["bytes"]))
+            for r in raster.compose_tiles(base, tp, 4).collect()
+        }
+        got = {
+            (r["row"], r["col"]): (r["n_images"], bytes(r["bytes"]))
+            for r in raster.compose_tiles(mixed, tp, 4).collect()
+        }
+        assert got == want
+    finally:
+        multimodal.unregister_decoder("jpeg")
+
+
 def test_overview_level_matches_numpy_mirror(spark):
     """One overview step equals an exact numpy mirror: children grouped by
     (row//2, col//2), each 2x2 box-filtered (integer mean) into its

@@ -243,25 +243,77 @@ def phash_hamming(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b))
 
 
-def phash_dup_pairs(df: DataFrame, max_distance: int = 2, id_col: str = "image_id") -> DataFrame:
+def _phash_band_structs(phash_col, n_bands: int):
+    """Split a packed 64-bit hash into ``n_bands`` contiguous bit bands,
+    as (band_index, band_value) structs for explode-based blocking.
+
+    Pigeonhole: two hashes at Hamming distance ≤ n_bands - 1 agree on at
+    least one band, so joining on any-band-equal keeps recall exact for
+    that radius.  shiftright sign-extends on int64; the mask clears the
+    extended bits, so band values are correct unsigned ints for any band
+    position including the one holding bit 63."""
+    base, rem = divmod(64, n_bands)
+    out, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < rem else 0)
+        out.append(
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.shiftright(phash_col, off).bitwiseAND(F.lit((1 << w) - 1)).alias("bv"),
+            )
+        )
+        off += w
+    return out
+
+
+def _banded(df: DataFrame, phash_col: str, n_bands: int) -> DataFrame:
+    """Explode each row into its n_bands (``_bi``, ``_bv``) blocking keys."""
+    return df.select(
+        "*", F.explode(F.array(*_phash_band_structs(F.col(phash_col), n_bands))).alias("_b")
+    ).select(*df.columns, F.col("_b.bi").alias("_bi"), F.col("_b.bv").alias("_bv"))
+
+
+def phash_dup_pairs(
+    df: DataFrame,
+    max_distance: int = 2,
+    id_col: str = "image_id",
+    max_ids_per_band: Optional[int] = 100_000,
+) -> DataFrame:
     """Perceptual-hash near-dup image pairs via banded blocking: split the
     64-bit hash into 4 16-bit bands; pairs matching on any band get an exact
     Hamming check (pigeonhole: distance ≤ 3 guarantees ≥1 equal band;
-    distance ≤ max_distance ≤ 3 keeps recall exact)."""
+    distance ≤ max_distance ≤ 3 keeps recall exact).
+
+    Scale guard (``max_ids_per_band``): a degenerate band value shared by a
+    large corpus fraction — 0x0000/0xFFFF bands from flat or dark images —
+    makes one blocking bucket quadratic at corpus scale.  Band keys held by
+    more than ``max_ids_per_band`` ids are dropped via a broadcast anti-join
+    before the self-join (same discipline as ``winnow_near_pairs``'s
+    ``max_docs_per_fp``).  Any pair sharing at least one NON-degenerate band
+    is still found exactly; only pairs whose every equal band is degenerate
+    are skipped — a bounded, documented recall trade on pathological
+    corpora, exact otherwise.  ``None`` disables the cap."""
     h = df.select(F.col(id_col), F.col("phash"))
-    bands = []
-    for b in range(4):
-        bands.append(
-            F.shiftright(F.col("phash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}")
+    banded = _banded(h, "phash", 4)
+    if max_ids_per_band:
+        hot = (
+            banded.groupBy("_bi", "_bv")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_ids_per_band)
+            .select("_bi", "_bv")
         )
-    hb = h.select(id_col, "phash", *bands)
-    cands = None
-    for b in range(4):
-        left = hb.select(F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a"), F.col(f"b{b}").alias("_bk"))
-        right = hb.select(F.col(id_col).alias("id_b"), F.col("phash").alias("ph_b"), F.col(f"b{b}").alias("_bk"))
-        p = left.join(right, "_bk").filter(F.col("id_a") < F.col("id_b")).drop("_bk")
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+        banded = banded.join(F.broadcast(hot), ["_bi", "_bv"], "left_anti")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a"), "_bi", "_bv"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("phash").alias("ph_b"), "_bi", "_bv"
+    )
+    cands = (
+        left.join(right, ["_bi", "_bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     dist = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return cands.withColumn("hamming", dist).filter(F.col("hamming") <= max_distance).select(
         "id_a", "id_b", "hamming"
@@ -277,6 +329,7 @@ def spatial_phash_pairs(
     phash_col: str = "phash",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    max_tile_contributors: Optional[int] = 20_000,
 ) -> DataFrame:
     """Geo-blocked perceptual near-dup pairs: candidate pairs are limited to
     images whose centroids fall in the SAME or an 8-neighboring tile at
@@ -294,9 +347,23 @@ def spatial_phash_pairs(
     Plan shape: one tile assignment projection (native), a 9-way ring
     explode on the probe side (``hierarchy.k_ring`` — wrap/clamp/dedup per
     reference neighbor rules), an equi-join on the tile key, native
-    bit_count refine.  Each unordered pair surfaces exactly once (the ring
-    tile set is distinct, and ``id_a < id_b`` picks one orientation).
-    Returns (id_a, id_b, hamming).
+    bit_count refine.  Each unordered pair surfaces exactly once: the ring
+    tile set is distinct, ``id_a < id_b`` picks one orientation, so a pair
+    is generated only under join key = tile(id_b).
+
+    Hot-tile guard (``max_tile_contributors``): the per-tile self-join is
+    (local density)² per join key — one dense-city tile at corpus scale
+    (10⁶ co-located images → 10¹² candidates) is a single runaway task no
+    salt can split, because the candidate SET itself is quadratic.  Tiles
+    whose contributor count exceeds the cap are re-blocked WITHIN the tile
+    by phash band: the hash is split into ``max_hamming + 1`` bands and the
+    hot-side join key becomes (tile, band_idx, band_value).  Pigeonhole
+    makes this refine EXACT at radius ``max_hamming`` (≤ max_hamming
+    differing bits across max_hamming+1 bands leaves ≥ 1 band equal), so
+    the output is IDENTICAL with the guard on or off — it only bounds the
+    candidate blow-up per bucket to (density / 2^band_bits)² per band.
+    Cold tiles keep the plain one-join path (no explode overhead).
+    ``None`` disables the split.  Returns (id_a, id_b, hamming).
     """
     from ..operators import assign, hierarchy
 
@@ -313,11 +380,41 @@ def spatial_phash_pairs(
     base = tiled.select(
         F.col(id_col).alias("id_b"), F.col("_ph").alias("ph_b"), "row", "col"
     )
+    if max_tile_contributors:
+        hot_tiles = F.broadcast(
+            base.groupBy("row", "col")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_tile_contributors)
+            .select("row", "col")
+        )
+        cands = (
+            probe.join(base.join(hot_tiles, ["row", "col"], "left_anti"), ["row", "col"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "ph_a", "id_b", "ph_b")
+        )
+        nb = max_hamming + 1
+        probe_hot = _banded(
+            probe.join(hot_tiles, ["row", "col"], "left_semi"), "ph_a", nb
+        )
+        base_hot = _banded(
+            base.join(hot_tiles, ["row", "col"], "left_semi"), "ph_b", nb
+        )
+        hot_pairs = (
+            probe_hot.join(base_hot, ["row", "col", "_bi", "_bv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "ph_a", "id_b", "ph_b")
+        )
+        cands = cands.unionByName(hot_pairs)
+    else:
+        cands = (
+            probe.join(base, ["row", "col"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "ph_a", "id_b", "ph_b")
+        )
     dist = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return (
-        probe.join(base, ["row", "col"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", dist)
+        cands.withColumn("hamming", dist)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

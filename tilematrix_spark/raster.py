@@ -185,6 +185,7 @@ def compose_tiles(
     hot_threshold: int = 64,
     salt_buckets: int = 16,
     tiles_filter: Optional[DataFrame] = None,
+    max_contributors_per_tile: Optional[int] = None,
 ) -> DataFrame:
     """Mosaic the images table onto pyramid tiles: every tile gets a raw
     RGB canvas composed from ALL images whose footprint covers it —
@@ -216,6 +217,19 @@ def compose_tiles(
     shuffle only for the dirty tiles, so update cost is ∝ |dirty cover|,
     not |corpus|.  The filter set is a tile cover (≤ matrix size at the
     compose zoom), small by construction.
+
+    ``max_contributors_per_tile`` (optional): the salted hot path bounds
+    per-TASK bytes, but a pathological tile (10⁶ contributors) still pays
+    10⁶ decodes spread across its salt slices.  With the cap set, tiles
+    over it blend only a deterministic hash-sample of ~cap contributors
+    (keep-probability cap/count on a seeded xxhash64 of the contributor
+    identity — stable across retries, NO rand()), the rest are counted,
+    not decoded.  The output gains an ``n_quarantined`` column (0 for
+    uncapped tiles); ``n_images`` keeps counting what was actually
+    blended, so ``n_images + n_quarantined`` = the true contributor count.
+    Mirrors ``max_cover_tiles``: an explicit, observable bound instead of
+    a silent runaway.  Default ``None`` = exact blend of everything (and
+    the output schema is unchanged).
     """
     keys = None
     if tiles_filter is not None:
@@ -236,15 +250,48 @@ def compose_tiles(
     b = exprs.tile_bounds(tp, zoom, "row", "col")
     px = exprs.pixel_x_size(tp, zoom)
     py = exprs.pixel_y_size(tp, zoom)
-    win = win.select(
+    # hot-path salt: MUST include a per-row unique column (image_id) —
+    # exact-duplicate contributors (the same image re-ingested, a canonical
+    # hot-tile cause) share footprint/dims/fmt and would otherwise collapse
+    # into one salt bucket, degenerating the skew split back to one task.
+    # Deterministic (no rand()): a retried map task must re-emit the same
+    # bucket keys or rows shift buckets mid-shuffle.
+    salt_cols = ["fp_left", "fp_bottom", "fp_right", "fp_top", "w", "h", "fmt"]
+    if "image_id" in win.columns:
+        salt_cols = ["image_id", *salt_cols]
+    salt = F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets))
+    proj = [
         *_WIN_COLS,
+        salt.alias("_salt"),
         s["width"].cast("int").alias("_tw"),
         s["height"].cast("int").alias("_th"),
         b["left"].alias("_tl"),
         b["top"].alias("_tt"),
         px.alias("_px"),
         py.alias("_py"),
-    ).join(counts, on=["row", "col"])
+    ]
+    if max_contributors_per_tile is not None:
+        # uniform-in-[0,1) per contributor, seeded apart from the salt hash
+        # so sampling and salting stay uncorrelated; deterministic across
+        # task retries (same discipline as the salt)
+        qh = (
+            F.pmod(F.xxhash64(F.lit("tmx_quarantine"), *salt_cols), F.lit(1 << 30))
+        ).cast("double") / F.lit(float(1 << 30))
+        proj.append(qh.alias("_qh"))
+    win = win.select(*proj).join(counts, on=["row", "col"])
+
+    quarantine = None
+    if max_contributors_per_tile is not None:
+        cap = int(max_contributors_per_tile)
+        keep = (F.col("_tile_n") <= cap) | (
+            F.col("_qh") * F.col("_tile_n") < F.lit(float(cap))
+        )
+        quarantine = (
+            win.filter(~keep)
+            .groupBy("row", "col")
+            .agg(F.count(F.lit(1)).alias("n_quarantined"))
+        )
+        win = win.filter(keep).drop("_qh")
 
     span = (tp.right - tp.left) if tp.is_global else None
     decoders = snapshot_decoders()  # ships to executors in the kernel closures
@@ -264,6 +311,7 @@ def compose_tiles(
 
     cold = (
         win.filter(F.col("_tile_n") <= hot_threshold)
+        .drop("_salt")  # keep the cold-path Arrow transfer slim
         .groupBy("row", "col")
         .applyInPandas(compose, schema=_COMPOSE_SCHEMA)
     )
@@ -302,20 +350,20 @@ def compose_tiles(
             }
         )
 
-    salt = F.pmod(
-        F.xxhash64("fp_left", "fp_bottom", "fp_right", "fp_top", "w", "h", "fmt"),
-        F.lit(salt_buckets),
-    )
     hot = (
         win.filter(F.col("_tile_n") > hot_threshold)
-        .withColumn("_salt", salt)
         .groupBy("row", "col", "_salt")
         .applyInPandas(partial, schema=_PARTIAL_SCHEMA)
         .groupBy("row", "col")
         .applyInPandas(merge, schema=_COMPOSE_SCHEMA)
     )
 
-    return cold.unionByName(hot)
+    result = cold.unionByName(hot)
+    if quarantine is not None:
+        result = result.join(quarantine, ["row", "col"], "left").withColumn(
+            "n_quarantined", F.coalesce(F.col("n_quarantined"), F.lit(0))
+        )
+    return result
 
 
 _OVERVIEW_SCHEMA = T.StructType(
