@@ -236,19 +236,26 @@ def test_driver_gate_window_holds_kernel_queries():
     window = set(q[:50])
     kernel_bearing = {
         "point_tile_counts", "tile_bounds", "tile_affine", "matrix_dims",
+        "point_tile_grids",  # r4: mercator + custom-grid constants (tagged union)
         "parent_rollup", "neighbors", "cover_bbox", "cover_bbox_split",
+        "cover_bbox_grids",  # r4: mt4 + mercator + custom cover constants
         "cover_multizoom", "snap_bounds", "intersecting", "knn", "knn_sparse",
         "geom_tiles_boxes", "geom_tiles_exact", "pip_join_regions",
-        "raster_windows", "raster_windows_buffered", "rasterize_bins",
+        "raster_windows", "rasterize_bins",
         "compose_tiles", "overview_coverage", "incremental_dirty",
+        "incremental_propagate",  # r4: merged_level + propagate_level gate
         "verify_images", "phash_near_dup", "spatial_phash_pairs",
         "ann_lsh_topk", "ann_ivf_topk", "cosine_topk", "embedding_dups",
         "stream_tile_counts", "user_sessions", "tile_quantiles",
-        "tile_user_counts", "dedup_exact", "token_stats", "top_terms",
+        "dedup_exact", "token_stats", "top_terms",
         "minhash_lsh_pairs", "ngram_jaccard", "simhash_near_pairs",
         "winnow_fingerprints", "winnow_near_pairs", "dedup_clusters",
-        "spatial_split", "source_quota", "sample_hash", "zorder_scan",
-    } - {"sample_hash"}  # hash-threshold filter is gated via spatial_split too
+        "source_quota", "zorder_scan",
+    }
+    # demoted to the tail (r4): raster_windows_buffered (pixelbuffer shape
+    # gated via tile_shape_pixelbuffer + raster_windows), spatial_split /
+    # tile_user_counts / sample_hash (md5-projection and two-stage-distinct
+    # shapes shared with source_quota / dedup_exact)
     missing = kernel_bearing - window
     assert not missing, f"kernel queries outside the 50-gate window: {missing}"
     # every query has an oracle except the documented rows-only entry

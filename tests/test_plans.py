@@ -223,3 +223,34 @@ def test_rasterize_bins_partial_aggregates_before_shuffle(spark, geodetic):
     # partial HashAggregate before the exchange (two agg nodes total)
     aggs = plan.count("HashAggregate")
     assert aggs >= 2, plan
+
+
+def test_spatial_phash_guard_broadcasts_hot_set(spark, geodetic):
+    """The hot-tile split must ride BROADCAST anti/semi joins (the hot set
+    is tiny by construction — tiles over the cap); a shuffled join here
+    would move every row twice.  The phash math (bands, xor, bit_count)
+    stays native end-to-end."""
+    from tilematrix_spark.functions import multimodal
+
+    pts = spark.createDataFrame(
+        [
+            (i, float(i % 170 - 85), float(i % 80 - 40), (i * 2654435761) % (1 << 60))
+            for i in range(300)
+        ],
+        "image_id long, lon double, lat double, phash long",
+    )
+    plan = _plan(
+        multimodal.spatial_phash_pairs(
+            pts, geodetic, 4, max_hamming=4, max_tile_contributors=5
+        )
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "SortMergeJoin LeftSemi" not in plan, plan
+    assert "SortMergeJoin LeftAnti" not in plan, plan
+    semi = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastHashJoin" in line and ("LeftSemi" in line or "LeftAnti" in line)
+    ]
+    # cold anti + probe/base hot semi restrictions
+    assert len(semi) >= 3, plan

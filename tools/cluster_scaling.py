@@ -9,7 +9,7 @@ below the spin envelope isolates memory bandwidth (the resource a real 4x
 cluster step multiplies) rather than engine structure; the per-round record
 keeps that caveat evidence-based.
 
-Usage: python tools/cluster_scaling.py [--job tile|pip] [--rounds 2]
+Usage: python tools/cluster_scaling.py [--job tile|pip|verify] [--rounds 2]
 Prints one JSON line.
 """
 
@@ -54,6 +54,9 @@ def _worker(master: str, job: str, sf_dir: str) -> None:
     if job == "tile":
         bench.scaling_job(spark, sf_dir)  # JIT warm-up
         rate = max(bench.scaling_job(spark, sf_dir)[0] for _ in range(2))
+    elif job == "verify":
+        bench.verify_scaling_job(spark, 20_000)
+        rate = max(bench.verify_scaling_job(spark, 200_000) for _ in range(2))
     else:
         bench.pip_scaling_job(spark, 1_000_000)
         rate = max(bench.pip_scaling_job(spark, 24_000_000) for _ in range(2))
