@@ -1390,6 +1390,105 @@ def sql_embedding_dups() -> str:
     """
 
 
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb, simfns.pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 via asymmetric distance
+    (similarity.pq_topk): deterministic integer-exact codebooks (subspace
+    j's 16 centroids = quantized subvectors of corpus ids j*16..j*16+15),
+    native encode (argmin over struct array_min), broadcast per-query m×k
+    distance tables, candidate distance = 8 table lookups on the code —
+    the full PQ pipeline (codebooks, encode, table, ADC sum, ranking) is
+    integer arithmetic both engines compute bit-identically, so the DuckDB
+    mirror is a complete value oracle, not a rows-only check."""
+    emb, books = _pq_books(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = simfns.pq_topk(queries, emb, books, k=3)
+    return out.select("qid", "vec_id", F.col("rank").cast("int").alias("rank"))
+
+
+def _pq_base_sql() -> str:
+    s = _d(simfns.PORTABLE_SCALE)
+    h = _d(0.5)
+    m, k, sub = _PQ_M, _PQ_K, _PQ_SUB
+    return f"""
+      q AS (
+        SELECT vec_id,
+          list_transform(embedding::DOUBLE[],
+                         x -> CAST(floor(x * {s} + {h}) AS BIGINT)) AS qv
+        FROM embeddings
+      ),
+      books AS (
+        SELECT js.j, b.vec_id - js.j * {k} AS c,
+               b.qv[js.j * {sub} + 1 : js.j * {sub} + {sub}] AS cent
+        FROM q b CROSS JOIN (SELECT unnest(range({m})) AS j) js
+        WHERE b.vec_id >= js.j * {k} AND b.vec_id < (js.j + 1) * {k}
+      ),
+      dists AS (
+        SELECT v.vec_id, b.j, b.c,
+          CAST(list_aggregate(list_transform(range(1, {sub + 1}), i ->
+            (v.qv[b.j * {sub} + i] - b.cent[i])
+            * (v.qv[b.j * {sub} + i] - b.cent[i])), 'sum') AS BIGINT) AS d
+        FROM q v CROSS JOIN books b
+      ),
+      codes AS (
+        SELECT vec_id, j, c AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+          FROM dists
+        ) WHERE rn = 1
+      )
+    """
+
+
+def sql_pq_topk() -> str:
+    """Full SQL mirror of PQ-ADC: same quantization, same id-derived
+    codebooks, argmin encode with the same (distance, centroid-id) tie
+    order, ADC distance = sum of the query's per-subspace distances at the
+    candidate's code, rank by (distance, vec_id)."""
+    return f"""
+      WITH {_pq_base_sql()},
+      adc AS (
+        SELECT qd.vec_id AS qid, cd.vec_id, CAST(sum(qd.d) AS BIGINT) AS dist
+        FROM codes cd
+        JOIN dists qd ON qd.j = cd.j AND qd.c = cd.code
+        WHERE qd.vec_id < 32 AND qd.vec_id <> cd.vec_id
+        GROUP BY 1, 2
+      )
+      SELECT qid, vec_id, rank FROM (
+        SELECT qid, vec_id,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INTEGER) AS rank
+        FROM adc
+      ) WHERE rank <= 3
+    """
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode surface (similarity.with_pq_codes): every corpus vector's
+    8-code array, value-gated code by code (tail query: pq_topk in the gate
+    window already exercises encode end-to-end)."""
+    emb, books = _pq_books(spark, sf_dir)
+    out = simfns.with_pq_codes(emb.select("vec_id", "embedding"), books)
+    return out.select(
+        "vec_id", F.col("codes").cast("array<int>").alias("codes")
+    )
+
+
+def sql_pq_codes() -> str:
+    return f"""
+      WITH {_pq_base_sql()}
+      SELECT vec_id, list(code ORDER BY j)::INTEGER[] AS codes
+      FROM codes GROUP BY vec_id
+    """
+
+
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup image blocking (input_hint ``phash:int64``):
     63-bit sign-phash derived from embedding content, banded 4x16-bit
@@ -3001,8 +3100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity / ANN ---
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "pq_topk": q_pq_topk,
         "cosine_topk": q_cosine_topk,
-        "embedding_dups": q_embedding_dups,
         # --- windows / streaming ---
         "stream_tile_counts": q_stream_tile_counts,
         "user_sessions": q_user_sessions,
@@ -3033,6 +3132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_split": q_spatial_split,
         "tile_user_counts": q_tile_user_counts,
         "raster_windows_buffered": q_raster_windows_buffered,
+        "embedding_dups": q_embedding_dups,
+        "pq_codes": q_pq_codes,
         "neighbors_mt4_buffered": q_neighbors_mt4_buffered,
         "events_topk_window": q_events_topk_window,
         "children": q_children,
@@ -3104,6 +3205,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_user_counts": sql_tile_user_counts(),
         "cosine_topk": sql_cosine_topk(),
         "embedding_dups": sql_embedding_dups(),
+        "pq_topk": sql_pq_topk(),
+        "pq_codes": sql_pq_codes(),
         "phash_near_dup": sql_phash_near_dup(),
         "spatial_phash_pairs": sql_spatial_phash_pairs(),
         "geom_tiles_boxes": sql_geom_tiles_boxes(),

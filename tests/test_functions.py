@@ -335,6 +335,51 @@ def test_ivf_topk_recall(spark):
     assert len(e & a) >= 5
 
 
+def test_pq_codes_and_topk_match_numpy_mirror(spark):
+    """The whole PQ pipeline — deterministic codebooks, argmin encode with
+    smallest-id tie-break, ADC distance tables, (distance, id) ranking —
+    matches a numpy mirror value-for-value.  Integer-exact end to end, so
+    equality is exact, not approximate."""
+    m, k, sub = 8, 16, 8
+    corpus = _vec_df(spark, 160, dim=64)
+    books = similarity.pq_codebooks(corpus, m=m, k=k)
+
+    rows = sorted((r["vec_id"], r["embedding"]) for r in corpus.collect())
+    # FloatType truncates to f32 before the quantize — mirror that
+    x = np.asarray([v for _, v in rows], dtype=np.float32).astype(np.float64)
+    q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+    mbooks = np.stack([q[j * k : (j + 1) * k, j * sub : (j + 1) * sub] for j in range(m)])
+    assert np.array_equal(books, mbooks)
+
+    codes = np.empty((len(q), m), dtype=np.int64)
+    for j in range(m):
+        s = q[:, j * sub : (j + 1) * sub]
+        d = ((s[:, None, :] - mbooks[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d, axis=1)  # first minimum == lowest centroid id
+    got_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.with_pq_codes(corpus, books).collect()
+    }
+    assert len(got_codes) == len(q)
+    for i in range(len(q)):
+        assert got_codes[i] == list(codes[i]), i
+
+    queries = corpus.withColumnRenamed("vec_id", "qid").filter("qid < 6")
+    got = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in similarity.pq_topk(queries, corpus, books, k=3).collect()
+    }
+    assert len(got) == 18
+    for qi in range(6):
+        tab = np.stack(
+            [((q[qi, j * sub : (j + 1) * sub][None, :] - mbooks[j]) ** 2).sum(axis=1) for j in range(m)]
+        )  # (m, k) query ADC table
+        dist = np.array([tab[np.arange(m), codes[i]].sum() for i in range(len(q))])
+        order = sorted((int(dist[i]), i) for i in range(len(q)) if i != qi)[:3]
+        for rank, (_, i) in enumerate(order, 1):
+            assert got[(qi, rank)] == i, (qi, rank)
+
+
 def test_connected_components_chain_and_clusters(spark):
     """Transitive chain a-b-c closes into one component; disjoint clusters
     stay separate; survivors = component representatives + unpaired docs."""

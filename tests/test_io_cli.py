@@ -245,7 +245,9 @@ def test_driver_gate_window_holds_kernel_queries():
         "compose_tiles", "overview_coverage", "incremental_dirty",
         "incremental_propagate",  # r4: merged_level + propagate_level gate
         "verify_images", "phash_near_dup", "spatial_phash_pairs",
-        "ann_lsh_topk", "ann_ivf_topk", "cosine_topk", "embedding_dups",
+        "ann_lsh_topk", "ann_ivf_topk", "cosine_topk",
+        "pq_topk",  # r4: product-quantization ADC (embedding_dups demoted —
+        # its cosine kernel is gated via cosine_topk)
         "stream_tile_counts", "user_sessions", "tile_quantiles",
         "dedup_exact", "token_stats", "top_terms",
         "minhash_lsh_pairs", "ngram_jaccard", "simhash_near_pairs",

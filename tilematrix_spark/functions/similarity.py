@@ -12,6 +12,11 @@
   coarse quantizer trained on a deterministic sample, one cell per corpus
   vector, ``nprobe`` cells per query, exact re-rank inside the probed
   cells.  The second scale path; recall/cost tuned by (n_centroids, nprobe).
+* ``pq_codebooks`` / ``with_pq_codes`` / ``pq_topk``: product quantization
+  (Jégou et al. 2011) — m-byte codes instead of raw vectors, asymmetric
+  distance (ADC) top-k over a broadcast query table.  The third ANN scale
+  path; deterministic integer-exact codebooks make the whole pipeline
+  SQL-oracle-able.
 * ``cosine_dup_pairs``: embedding near-dup pairs above a cosine threshold.
 """
 
@@ -280,6 +285,154 @@ def ivf_topk(
     win = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.col(corpus_id).asc())
     return (
         cands.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(query_id), F.col(corpus_id), "rank")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks (Jégou et al., PQ for
+    nearest-neighbor search, TPAMI 2011): subspace ``j``'s ``k`` centroids
+    are the INTEGER-QUANTIZED (``floor(v*1000+0.5)``, the portable-LSH
+    discipline) j-th subvectors of corpus vectors ``j*k .. (j+1)*k - 1`` —
+    id-derived, no RNG, no k-means, so a SQL oracle reproduces them
+    bit-exactly and every PQ distance downstream is integer-exact across
+    engines.  (A Lloyd-refined codebook plugs into the same encode/ADC
+    path — `ivf_train_centroids` shows the sampled-k-means shape — at the
+    cost of the value oracle.)  Returns int64 (m, k, dim//m)."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(m * k).collect()
+    if len(rows) < m * k:
+        raise ValueError(f"corpus must have >= {m * k} vectors")
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    q = np.floor(x * PORTABLE_SCALE + 0.5).astype(np.int64)
+    dim = q.shape[1]
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    sub = dim // m
+    books = np.empty((m, k, sub), dtype=np.int64)
+    for j in range(m):
+        books[j] = q[j * k : (j + 1) * k, j * sub : (j + 1) * sub]
+    return books
+
+
+def _pq_sub_dists(q: np.ndarray, books: np.ndarray, j: int) -> np.ndarray:
+    """(n, k) int64 squared distances of every row's j-th quantized
+    subvector to subspace j's centroids — one integer matmul, exact."""
+    m, k, sub = books.shape
+    s = q[:, j * sub : (j + 1) * sub]
+    bj = books[j]
+    return (
+        (s * s).sum(axis=1, keepdims=True)
+        - 2 * (s @ bj.T)
+        + (bj * bj).sum(axis=1)[None, :]
+    )
+
+
+#: rows per numpy chunk inside the PQ kernels — keeps the (chunk, k)
+#: distance temporaries ~256 KB (the multi-worker mmap/TLB discipline)
+_PQ_CHUNK = 2048
+
+
+def with_pq_codes(
+    df: DataFrame,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode every vector to its PQ code array (m small ints): per
+    subspace, argmin squared distance over the k centroids with
+    deterministic smallest-id tie-break (np.argmin returns the FIRST
+    minimum — lowest centroid id).  One integer matmul per subspace per
+    Arrow batch (the ``with_lsh_buckets`` discipline — a native
+    k·m-aggregate expression tree was measured 34 µs/row interpreted; the
+    matmul is ~100x less), chunked so temporaries stay cache-sized.
+    At 10^12 rows this is the compression pass: m bytes/vector instead of
+    4·dim (64-dim float32 → 8 codes = 32x), and downstream ANN scans touch
+    codes, never raw vectors."""
+    m, k, sub = books.shape
+    bks = books  # closure snapshot
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        q = np.floor(mat * PORTABLE_SCALE + 0.5).astype(np.int64)
+        out = np.empty((len(q), m), dtype=np.int32)
+        for lo in range(0, len(q), _PQ_CHUNK):
+            chunk = q[lo : lo + _PQ_CHUNK]
+            for j in range(m):
+                out[lo : lo + _PQ_CHUNK, j] = np.argmin(
+                    _pq_sub_dists(chunk, bks, j), axis=1
+                )
+        return pd.Series(out.tolist())
+
+    return df.withColumn(out_col, codes_udf(F.col(vec_col)))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    books: np.ndarray,
+    k: int = 3,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): each query precomputes an m×k
+    table of exact squared distances to every centroid, a candidate's
+    approximate distance is m table lookups on its code — no raw corpus
+    vector is ever read after encoding.  The third ANN scale path next to
+    sign-LSH and IVF: the corpus-side scan is over m-byte codes
+    (compression ∝ 4·dim/m), per-candidate cost is m integer adds, and at
+    cluster scale the probe composes with IVF cells (encode residuals per
+    cell) exactly as in the IVF-ADC literature.  The per-query m×k table
+    is one integer matmul per subspace (Arrow kernel) and rides a
+    localCheckpoint barrier — inlined, Catalyst's projection collapse
+    would re-evaluate the table kernel once per CANDIDATE instead of once
+    per query (the CLAUDE.md element_at trap); the ADC sum itself is m
+    native element_at lookups, JVM-side.
+
+    Integer-exact end to end (deterministic codebooks + quantized inputs),
+    so a DuckDB oracle mirrors encode, table, ADC sums, and ranking
+    bit-for-bit.  Ties → smaller corpus id.  Returns (query_id, corpus_id,
+    rank)."""
+    m, kc, sub = books.shape
+    bks = books
+    cb = with_pq_codes(
+        corpus.select(F.col(corpus_id), F.col(c_vec).alias("_cv")), books, "_cv"
+    ).select(corpus_id, "codes")
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.LongType())))
+    def table_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        q = np.floor(mat * PORTABLE_SCALE + 0.5).astype(np.int64)
+        tabs = np.stack([_pq_sub_dists(q, bks, j) for j in range(m)], axis=1)
+        return pd.Series(tabs.tolist())  # (n, m, k)
+
+    qd = (
+        queries.select(F.col(query_id).alias("_qid"), F.col(q_vec).alias("_qv"))
+        .select("_qid", table_udf(F.col("_qv")).alias("_tab"))
+        .localCheckpoint(eager=False)
+    )
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_tab"), j + 1), F.element_at("codes", j + 1) + 1
+        )
+        dist = term if dist is None else dist + term
+    win = Window.partitionBy("_qid").orderBy(F.asc("_dist"), F.col(corpus_id).asc())
+    return (
+        F.broadcast(qd)
+        .crossJoin(cb)
+        .filter(F.col("_qid") != F.col(corpus_id))
+        .withColumn("_dist", dist)
         .withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select(F.col("_qid").alias(query_id), F.col(corpus_id), "rank")
