@@ -1470,6 +1470,20 @@ def sql_pq_topk() -> str:
     """
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC shape) at FULL probe: coarse quantizer, cell
+    equi-join, PQ-code ADC ranking all execute, and full probe makes the
+    candidate set provably the whole corpus — so the pure PQ-ADC SQL
+    mirror is an exact value oracle for the composed pipeline (the
+    sampled-k-means internals cancel out, same trick as ann_ivf_topk)."""
+    emb, books = _pq_books(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = simfns.ivf_pq_topk(queries, emb, books, k=3, n_centroids=16, nprobe=16)
+    return out.select("qid", "vec_id", F.col("rank").cast("int").alias("rank"))
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode surface (similarity.with_pq_codes): every corpus vector's
     8-code array, value-gated code by code (tail query: pq_topk in the gate
@@ -3134,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_windows_buffered": q_raster_windows_buffered,
         "embedding_dups": q_embedding_dups,
         "pq_codes": q_pq_codes,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "neighbors_mt4_buffered": q_neighbors_mt4_buffered,
         "events_topk_window": q_events_topk_window,
         "children": q_children,
@@ -3207,6 +3222,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": sql_embedding_dups(),
         "pq_topk": sql_pq_topk(),
         "pq_codes": sql_pq_codes(),
+        "ivf_pq_topk": sql_pq_topk(),  # full probe == pure PQ-ADC, provably
         "phash_near_dup": sql_phash_near_dup(),
         "spatial_phash_pairs": sql_spatial_phash_pairs(),
         "geom_tiles_boxes": sql_geom_tiles_boxes(),

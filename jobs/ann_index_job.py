@@ -1,0 +1,137 @@
+"""spark-submit entry: checkpointed, resumable IVF-PQ ANN index build +
+batch probe over an embeddings table — the billion-vector similarity-search
+chain as committed table artifacts.
+
+    tools/package.sh
+    spark-submit --py-files dist/tilematrix_spark.zip \
+        jobs/ann_index_job.py \
+        --input /root/testdata/sf0.01/embeddings.parquet \
+        --output /tmp/ann_index [--n-centroids 16 --nprobe 2 --topk 3]
+
+Stages (each committed atomically with row-count/latency lineage; rerunning
+resumes at the first uncommitted stage — a crashed index build never
+retrains or re-encodes committed work):
+  1. centroids — IVF coarse quantizer (sampled spherical k-means), persisted
+                 as rows so every later stage — and every later probe job —
+                 reads the SAME quantizer instead of retraining
+  2. codebooks — deterministic PQ codebooks (id-derived, integer-exact)
+  3. index     — one row per corpus vector: (vec_id, _cell, codes) — m-byte
+                 codes instead of raw vectors (the 32x compression pass);
+                 at cluster scale this is the only full-corpus job, and it
+                 is a single narrow projection + two Arrow matmul kernels
+  4. topk      — batch probe of the COMMITTED index for the first
+                 --n-queries ids: nprobe cells per query, ADC ranking
+
+Prints one JSON line of per-stage metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from tilematrix_spark.functions import similarity as sim
+from tilematrix_spark.io import StageJob
+
+
+def _centroids_np(df) -> np.ndarray:
+    rows = sorted((r["cell"], r["centroid"]) for r in df.collect())
+    return np.asarray([v for _, v in rows], dtype=np.float64)
+
+
+def _books_np(df) -> np.ndarray:
+    rows = df.collect()
+    m = 1 + max(r["j"] for r in rows)
+    k = 1 + max(r["c"] for r in rows)
+    sub = len(rows[0]["cent"])
+    books = np.empty((m, k, sub), dtype=np.int64)
+    for r in rows:
+        books[r["j"], r["c"]] = r["cent"]
+    return books
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--m", type=int, default=8)
+    p.add_argument("--k", type=int, default=16)
+    p.add_argument("--n-centroids", type=int, default=16)
+    p.add_argument("--nprobe", type=int, default=2)
+    p.add_argument("--topk", type=int, default=3)
+    p.add_argument("--n-queries", type=int, default=32)
+    args = p.parse_args()
+
+    spark = SparkSession.builder.appName("tmx_ann_index_job").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    emb = spark.read.parquet(args.input)
+
+    def build_centroids(s, read_stage):
+        cents = sim.ivf_train_centroids(
+            emb, args.n_centroids, id_col=args.id_col, vec_col=args.vec_col
+        )
+        rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+        return s.createDataFrame(rows, "cell int, centroid array<double>")
+
+    def build_codebooks(s, read_stage):
+        books = sim.pq_codebooks(
+            emb, m=args.m, k=args.k, id_col=args.id_col, vec_col=args.vec_col
+        )
+        rows = [
+            (j, c, [int(x) for x in books[j][c]])
+            for j in range(args.m)
+            for c in range(args.k)
+        ]
+        return s.createDataFrame(rows, "j int, c int, cent array<long>")
+
+    def build_index(s, read_stage):
+        cents = _centroids_np(read_stage("centroids"))
+        books = _books_np(read_stage("codebooks"))
+        cb = sim.with_ivf_cells(
+            emb.select(F.col(args.id_col), F.col(args.vec_col).alias("_cv")),
+            cents, 1, "_cv",
+        ).select(args.id_col, "_cv", F.element_at("_cells", 1).alias("_cell"))
+        return sim.with_pq_codes(cb, books, "_cv").select(
+            args.id_col, "_cell", "codes"
+        )
+
+    def build_topk(s, read_stage):
+        cents = _centroids_np(read_stage("centroids"))
+        books = _books_np(read_stage("codebooks"))
+        index = read_stage("index")
+        queries = emb.filter(F.col(args.id_col) < args.n_queries).select(
+            F.col(args.id_col).alias("qid"), F.col(args.vec_col)
+        )
+        return sim.ivf_pq_probe(
+            queries, index, books, cents,
+            k=args.topk, nprobe=args.nprobe,
+            query_id="qid", corpus_id=args.id_col, q_vec=args.vec_col,
+        )
+
+    job = StageJob(
+        spark,
+        args.output,
+        [
+            ("centroids", build_centroids),
+            ("codebooks", build_codebooks),
+            ("index", build_index),
+            ("topk", build_topk),
+        ],
+        config={
+            "m": args.m, "k": args.k,
+            "n_centroids": args.n_centroids, "nprobe": args.nprobe,
+        },
+    )
+    executed = job.run()
+    print(json.dumps({"executed": executed, "metrics": job.metrics()}, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -380,6 +380,34 @@ def test_pq_codes_and_topk_match_numpy_mirror(spark):
             assert got[(qi, rank)] == i, (qi, rank)
 
 
+def test_ivf_pq_full_probe_equals_pq_and_recall(spark):
+    """IVF-PQ at full probe must EQUAL pure PQ-ADC (candidates = whole
+    corpus by construction); at nprobe < n_centroids it's approximate but
+    the probed-cell top-1 should mostly agree on gaussian vectors."""
+    corpus = _vec_df(spark, 160, dim=64)
+    books = similarity.pq_codebooks(corpus, m=8, k=16)
+    queries = corpus.withColumnRenamed("vec_id", "qid").filter("qid < 8")
+    pure = {
+        (r["qid"], r["rank"], r["vec_id"])
+        for r in similarity.pq_topk(queries, corpus, books, k=3).collect()
+    }
+    full = {
+        (r["qid"], r["rank"], r["vec_id"])
+        for r in similarity.ivf_pq_topk(
+            queries, corpus, books, k=3, n_centroids=8, nprobe=8
+        ).collect()
+    }
+    assert pure == full and len(full) == 24
+    probed = {
+        (r["qid"], r["vec_id"])
+        for r in similarity.ivf_pq_topk(
+            queries, corpus, books, k=1, n_centroids=8, nprobe=3
+        ).collect()
+    }
+    top1 = {(q, v) for (q, r, v) in pure if r == 1}
+    assert len(probed & top1) >= 5  # 3/8 cells catches most PQ-NNs
+
+
 def test_connected_components_chain_and_clusters(spark):
     """Transitive chain a-b-c closes into one component; disjoint clusters
     stay separate; survivors = component representatives + unpaired docs."""

@@ -17,6 +17,9 @@
   distance (ADC) top-k over a broadcast query table.  The third ANN scale
   path; deterministic integer-exact codebooks make the whole pipeline
   SQL-oracle-able.
+* ``ivf_pq_topk``: IVF cells × PQ codes — the canonical billion-vector
+  FAISS IVFADC shape; full probe reduces to ``pq_topk`` exactly, which is
+  how the gate value-oracles it.
 * ``cosine_dup_pairs``: embedding near-dup pairs above a cosine threshold.
 """
 
@@ -403,11 +406,25 @@ def pq_topk(
     so a DuckDB oracle mirrors encode, table, ADC sums, and ranking
     bit-for-bit.  Ties → smaller corpus id.  Returns (query_id, corpus_id,
     rank)."""
-    m, kc, sub = books.shape
-    bks = books
     cb = with_pq_codes(
         corpus.select(F.col(corpus_id), F.col(c_vec).alias("_cv")), books, "_cv"
     ).select(corpus_id, "codes")
+    qd = pq_query_tables(queries, books, query_id, q_vec)
+    cands = F.broadcast(qd).crossJoin(cb)
+    return _adc_topk(cands, books.shape[0], k, query_id, corpus_id)
+
+
+def pq_query_tables(
+    queries: DataFrame,
+    books: np.ndarray,
+    query_id: str = "qid",
+    q_vec: str = "embedding",
+) -> DataFrame:
+    """(_qid, _tab): per-query m×k ADC distance table — one integer matmul
+    per subspace per Arrow batch, pinned by localCheckpoint so the kernel
+    runs once per query, never once per candidate (projection collapse)."""
+    m = books.shape[0]
+    bks = books
 
     @F.pandas_udf(T.ArrayType(T.ArrayType(T.LongType())))
     def table_udf(vecs: pd.Series) -> pd.Series:
@@ -416,11 +433,16 @@ def pq_topk(
         tabs = np.stack([_pq_sub_dists(q, bks, j) for j in range(m)], axis=1)
         return pd.Series(tabs.tolist())  # (n, m, k)
 
-    qd = (
+    return (
         queries.select(F.col(query_id).alias("_qid"), F.col(q_vec).alias("_qv"))
         .select("_qid", table_udf(F.col("_qv")).alias("_tab"))
         .localCheckpoint(eager=False)
     )
+
+
+def _adc_topk(cands: DataFrame, m: int, k: int, query_id: str, corpus_id: str) -> DataFrame:
+    """ADC distance (m native element_at lookups) + (distance, id) rank
+    over candidate rows carrying (_qid, _tab, codes, corpus_id)."""
     dist = None
     for j in range(m):
         term = F.element_at(
@@ -429,14 +451,75 @@ def pq_topk(
         dist = term if dist is None else dist + term
     win = Window.partitionBy("_qid").orderBy(F.asc("_dist"), F.col(corpus_id).asc())
     return (
-        F.broadcast(qd)
-        .crossJoin(cb)
-        .filter(F.col("_qid") != F.col(corpus_id))
+        cands.filter(F.col("_qid") != F.col(corpus_id))
         .withColumn("_dist", dist)
         .withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select(F.col("_qid").alias(query_id), F.col(corpus_id), "rank")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    books: np.ndarray,
+    k: int = 3,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-vector ANN shape (FAISS IVFADC,
+    Jégou et al. 2011) — corpus vectors live in one coarse IVF cell and
+    carry only their m-byte PQ code; queries probe ``nprobe`` cells and
+    rank candidates by asymmetric PQ distance.  Composition of the two
+    existing paths: candidate volume ∝ |corpus|·nprobe/n_centroids (IVF)
+    AND the per-candidate scan touches codes, never raw vectors (PQ) — at
+    10^12 rows the inner scan reads m bytes + does m integer adds per
+    candidate, the only full-vector work is one matmul per query.
+
+    With ``nprobe == n_centroids`` every cell is probed, so the result is
+    EXACTLY ``pq_topk`` — which is how the driver gate value-oracles this
+    pipeline end to end (the sampled-k-means quantizer cancels out by
+    construction, the same trick as ``ann_ivf_topk``).  Returns
+    (query_id, corpus_id, rank); ties → smaller corpus id."""
+    cents = ivf_train_centroids(corpus, n_centroids, iters, corpus_id, c_vec)
+    cb = with_ivf_cells(
+        corpus.select(F.col(corpus_id), F.col(c_vec).alias("_cv")), cents, 1, "_cv"
+    ).select(corpus_id, "_cv", F.element_at("_cells", 1).alias("_cell"))
+    cb = with_pq_codes(cb, books, "_cv").select(corpus_id, "_cell", "codes")
+    return ivf_pq_probe(queries, cb, books, cents, k, nprobe, query_id, corpus_id, q_vec)
+
+
+def ivf_pq_probe(
+    queries: DataFrame,
+    index: DataFrame,
+    books: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 3,
+    nprobe: int = 2,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    q_vec: str = "embedding",
+) -> DataFrame:
+    """Probe a PREBUILT IVF-PQ index (columns ``corpus_id, _cell, codes`` —
+    e.g. the committed output of ``jobs/ann_index_job.py``): queries get
+    their nprobe cells + ADC table, join the index on the cell key, rank
+    by asymmetric distance.  The serve-side half of the pipeline — the
+    index is built once, probes touch only matching cell partitions.
+    No dedup needed: each corpus vector lives in exactly one cell and a
+    query's probe list is distinct, so a pair joins at most once."""
+    qt = pq_query_tables(queries, books, query_id, q_vec)
+    qc = with_ivf_cells(
+        queries.select(F.col(query_id).alias("_qid"), F.col(q_vec).alias("_qv")),
+        centroids, nprobe, "_qv",
+    ).select("_qid", F.explode("_cells").alias("_cell"))
+    qd = qt.join(qc, "_qid").localCheckpoint(eager=False)
+    cands = F.broadcast(qd).join(index, "_cell").drop("_cell")
+    return _adc_topk(cands, books.shape[0], k, query_id, corpus_id)
 
 
 def cosine_dup_pairs(
