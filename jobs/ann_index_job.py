@@ -120,7 +120,8 @@ def main() -> None:
         [
             ("centroids", build_centroids),
             ("codebooks", build_codebooks),
-            ("index", build_index),
+            # partitioned by cell: probe jobs read only matching partitions
+            ("index", build_index, ["_cell"]),
             ("topk", build_topk),
         ],
         config={

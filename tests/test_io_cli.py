@@ -1,6 +1,7 @@
 """Checkpoint/lineage resume + CLI parity tests."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -191,6 +192,31 @@ def test_stage_job_resume_mid_pipeline(spark, tmp_path):
     m = job.metrics()
     assert set(m) == {"stage=evens", "stage=counts", "stage=totals"}
     assert all(rec["rows"] > 0 for rec in m.values())
+
+
+def test_stage_job_partitioned_stage(spark, tmp_path):
+    """A (name, build, partition_by) stage writes hive-partitioned output so
+    downstream equi-filtered reads prune at the directory layout level (the
+    ANN index job partitions its index stage by cell bucket)."""
+    import pyspark.sql.functions as F
+
+    from tilematrix_spark.io import StageJob
+
+    src = spark.createDataFrame([(i, i % 4) for i in range(40)], "id long, cell long")
+    out = str(tmp_path / "pstages")
+    job = StageJob(
+        spark, out, [("index", lambda s, rs: src, ["cell"]),
+                     ("probe", lambda s, rs: rs("index").filter(F.col("cell") == 2))]
+    )
+    assert job.run() == ["index", "probe"]
+    # the partition layout is on disk → partition pruning applies on read
+    assert sorted(
+        d for d in os.listdir(os.path.join(out, "stage=index")) if d.startswith("cell=")
+    ) == ["cell=0", "cell=1", "cell=2", "cell=3"]
+    assert job.read_stage("probe").count() == 10
+    plan = job.read_stage("index").filter(F.col("cell") == 2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "cell" in plan  # partition column survives the roundtrip
 
 
 def test_overview_pyramid_job_resumes_mid_pyramid(spark, geodetic, tmp_path):

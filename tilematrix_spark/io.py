@@ -135,14 +135,19 @@ class StageJob:
     def run(self) -> List[str]:
         done = self.lineage.committed()
         executed = []
-        for name, build in self.stages:
+        for stage in self.stages:
+            # (name, build) or (name, build, partition_by) — partitioned
+            # stages get layout-pruned reads downstream (e.g. an ANN index
+            # partitioned by cell bucket: probes scan only matching cells)
+            name, build = stage[0], stage[1]
+            partition_by = stage[2] if len(stage) > 2 else None
             unit = f"stage={name}"
             if unit in done:
                 continue
             t0 = time.time()
             df = build(self.spark, self.read_stage)
             path = os.path.join(self.out, unit)
-            rows = self.io.write_counted(df, path)
+            rows = self.io.write_counted(df, path, partition_by=partition_by)
             self.lineage.commit(
                 LineageRecord(
                     unit=unit,
