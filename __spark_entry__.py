@@ -1641,6 +1641,145 @@ def sql_spatial_phash_pairs() -> str:
     """
 
 
+def q_crossmodal_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal image+caption near-dup pairs over the input_hint table
+    shape (multimodal.crossmodal_dup_pairs): a pair is a duplicate only
+    when BOTH the image near-matches (phash Hamming ≤ 2, banded pigeonhole
+    blocking) AND the caption near-matches (word-trigram Jaccard ≥ 0.5) —
+    the web-corpus filter where a reused stock photo under unrelated
+    alt-text is NOT a duplicate.  The corpus plants both pair classes:
+    every 5th image gets a clone (1-2 phash sign-bit flips, SAME caption —
+    must be recovered) and every 7th gets a hard negative (same flips,
+    the NEXT document's caption — the image gate proposes it, the caption
+    gate must reject it unless the adjacent captions genuinely overlap;
+    the oracle recomputes the identical jaccard either way).  Kernels:
+    phash bands + exact bit_count refine + native array_intersect verify
+    on candidates only."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        mmfns.pack_sign_bits(F.col("embedding")).alias("phash"),
+    )
+    # flip masks in the hash domain (see q_phash_near_dup: XORing is
+    # bit-identical to re-packing the perturbed embedding and avoids the
+    # nested-lambda projection-collapse corruption)
+    k = (F.col("vec_id") % 63 + 1).cast("int")
+    k2 = ((F.col("vec_id") * 7) % 63 + 1).cast("int")
+
+    def _mask(pos, guard):
+        return F.when(guard, F.pow(F.lit(2.0), pos - 1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    m1 = _mask(k, F.element_at("embedding", k) != F.lit(0.0))
+    m2 = _mask(k2, (k2 != k) & (F.element_at("embedding", k2) != F.lit(0.0)))
+    withcap = base.join(docs, base.vec_id == docs.doc_id).select(
+        "vec_id", "phash",
+        F.col("phash").bitwiseXOR(m1).bitwiseXOR(m2).alias("_flipped"),
+        F.col("text").alias("caption"),
+    )
+    orig = withcap.select(
+        F.col("vec_id").alias("image_id"), "phash", "caption"
+    )
+    clones = withcap.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("image_id"),
+        F.col("_flipped").alias("phash"),
+        "caption",
+    )
+    nxt = docs.select(F.col("doc_id").alias("_d2"), F.col("text").alias("_t2"))
+    negs = (
+        withcap.filter(F.col("vec_id") % 7 == 0)
+        .join(nxt, withcap.vec_id + 1 == F.col("_d2"))
+        .select(
+            (F.col("vec_id") + 2000000).alias("image_id"),
+            F.col("_flipped").alias("phash"),
+            F.col("_t2").alias("caption"),
+        )
+    )
+    corpus = orig.unionByName(clones).unionByName(negs)
+    out = mmfns.crossmodal_dup_pairs(corpus, max_hamming=2, min_jaccard=0.5)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"), "jaccard"
+    )
+
+
+def sql_crossmodal_dups() -> str:
+    norm_cap = "lower(trim(regexp_replace(caption, '\\s+', ' ', 'g')))"
+    toks_cap = f"list_filter(string_split({norm_cap}, ' '), t -> t <> '')"
+    jac = "round(CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common), 6)"
+    return f"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      ),
+      h0 AS (
+        SELECT vec_id,
+          CAST(list_aggregate(list_transform(range(1, 64),
+            i -> CASE WHEN v[i] > {_d(0.0)} THEN (1::BIGINT << (i - 1))
+                 ELSE 0::BIGINT END), 'sum') AS BIGINT) AS phash
+        FROM base
+      ),
+      fl AS (
+        SELECT b.vec_id,
+          xor(xor(h.phash,
+            CASE WHEN b.v[(b.vec_id % 63) + 1] <> {_d(0.0)}
+                 THEN (1::BIGINT << (b.vec_id % 63)) ELSE 0::BIGINT END),
+            CASE WHEN ((b.vec_id * 7) % 63) + 1 <> (b.vec_id % 63) + 1
+                  AND b.v[((b.vec_id * 7) % 63) + 1] <> {_d(0.0)}
+                 THEN (1::BIGINT << ((b.vec_id * 7) % 63)) ELSE 0::BIGINT END
+          ) AS flipped
+        FROM base b JOIN h0 h ON h.vec_id = b.vec_id
+      ),
+      corpus AS (
+        SELECT h.vec_id AS image_id, h.phash, d.text AS caption
+        FROM h0 h JOIN documents d ON d.doc_id = h.vec_id
+        UNION ALL
+        SELECT f.vec_id + 1000000, f.flipped, d.text
+        FROM fl f JOIN documents d ON d.doc_id = f.vec_id
+        WHERE f.vec_id % 5 = 0
+        UNION ALL
+        SELECT f.vec_id + 2000000, f.flipped, d.text
+        FROM fl f JOIN documents d ON d.doc_id = f.vec_id + 1
+        WHERE f.vec_id % 7 = 0
+      ),
+      bands AS (
+        SELECT image_id, phash, b.band, (phash >> (16 * b.band)) & 65535 AS bucket
+        FROM corpus, (SELECT unnest([0, 1, 2, 3]) AS band) b
+      ),
+      cands AS (
+        SELECT DISTINCT a.image_id AS id_a, a.phash AS ph_a,
+                        b.image_id AS id_b, b.phash AS ph_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.image_id < b.image_id
+      ),
+      ph AS (
+        SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+        FROM cands WHERE bit_count(xor(ph_a, ph_b)) <= 2
+      ),
+      sh AS (
+        SELECT image_id, shingle FROM (
+          SELECT image_id,
+            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM (SELECT image_id, {toks_cap} AS toks FROM corpus),
+          unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+        ) GROUP BY image_id, shingle
+      ),
+      counts AS (SELECT image_id, count(*) AS n_sh FROM sh GROUP BY image_id),
+      common AS (
+        SELECT a.image_id AS id_a, b.image_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.image_id < b.image_id
+        GROUP BY 1, 2
+      )
+      SELECT p.id_a, p.id_b, p.hamming, {jac} AS jaccard
+      FROM ph p
+      JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+      JOIN counts ca ON ca.image_id = p.id_a
+      JOIN counts cb ON cb.image_id = p.id_b
+      WHERE {jac} >= {_d(0.5)}
+    """
+
+
 def q_point_tile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O18 on-edge tie-break semantics: points EXACTLY on z5 grid lines,
     all four on_edge_use variants — the reference's trickiest float rule
@@ -3145,6 +3284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shared with source_quota / dedup_exact) ----
         "spatial_split": q_spatial_split,
         "tile_user_counts": q_tile_user_counts,
+        # crossmodal composes two in-window-gated kernels (phash bands +
+        # trigram jaccard); its own full value oracle runs here in the tail
+        "crossmodal_dups": q_crossmodal_dups,
         "raster_windows_buffered": q_raster_windows_buffered,
         "embedding_dups": q_embedding_dups,
         "pq_codes": q_pq_codes,
@@ -3225,6 +3367,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_topk": sql_pq_topk(),  # full probe == pure PQ-ADC, provably
         "phash_near_dup": sql_phash_near_dup(),
         "spatial_phash_pairs": sql_spatial_phash_pairs(),
+        "crossmodal_dups": sql_crossmodal_dups(),
         "geom_tiles_boxes": sql_geom_tiles_boxes(),
         "geom_tiles_exact": sql_geom_tiles_exact(),
         "pip_join_regions": sql_pip_join_regions(),

@@ -195,6 +195,25 @@ def test_phash_dup_pairs(spark):
     assert ("img000000000005", "img000000009999") in got
 
 
+def test_crossmodal_dup_pairs(spark):
+    """Cross-modal gate: a pair survives only when BOTH phash (hamming <= 2)
+    and caption (trigram jaccard >= 0.5) near-match; image-only and
+    caption-only matches are rejected, zero-shingle captions drop out."""
+    cap = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, 0b10110100, cap),                       # base
+        (2, 0b10110101, cap),                       # 1 bit + same caption -> PAIR
+        (3, 0b10110110, "completely different words about mountain weather forecasts today"),  # image-only -> reject
+        (4, 0b01001011 << 40, cap),                 # caption-only (far hash) -> reject
+        (5, 0b10110100, "hi"),                      # identical hash, no shingles -> reject
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long, caption string")
+    out = multimodal.crossmodal_dup_pairs(df, max_hamming=2, min_jaccard=0.5)
+    got = {(r["id_a"], r["id_b"]): (r["hamming"], r["jaccard"]) for r in out.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == (1, 1.0)
+
+
 def test_pack_sign_bits(spark):
     """63-bit sign-phash matches a numpy mirror bit-for-bit, and hamming
     between a vector and its single-dim sign-flip is exactly 1."""

@@ -420,6 +420,75 @@ def spatial_phash_pairs(
     )
 
 
+def crossmodal_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 2,
+    min_jaccard: float = 0.5,
+    ngram: int = 3,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    max_ids_per_band: Optional[int] = 100_000,
+) -> DataFrame:
+    """Cross-modal near-duplicate pairs over an image+caption corpus (the
+    input_hint table shape): a pair is a duplicate only when BOTH the image
+    near-matches (phash Hamming ≤ ``max_hamming``) AND the caption
+    near-matches (word-``ngram`` Jaccard ≥ ``min_jaccard``) — the standard
+    web-corpus filter where a near-identical image with unrelated alt-text
+    (stock photo reused under a new caption) is NOT a duplicate, and an
+    identical caption on a different image isn't either.
+
+    Plan shape: the cheap exact image gate runs FIRST and produces the
+    candidate set (``phash_dup_pairs``: banded pigeonhole blocking with the
+    hot-band cap — the reference's filter-refine discipline,
+    _tilepyramid.py:256-269, on the hash domain); the caption verify then
+    touches ONLY candidate ids.  Caption shingle sets are bounded (captions
+    are short), so they ride as array columns through two equi-joins and
+    are intersected natively (``array_intersect`` — single flat expression,
+    no nested higher-order lambdas, no Python).  Cost is Θ(|corpus|) for
+    hashing/shingling + Θ(|candidates|) for the verify, never |corpus|².
+
+    Returns (id_a, id_b, hamming, jaccard), id_a < id_b.  Pairs where
+    either caption yields zero ``ngram``-shingles are dropped (no text
+    evidence — same inner-join semantics as the relational Jaccard).
+    """
+    from . import dedup as dedupfns
+
+    cands = phash_dup_pairs(
+        df.select(F.col(id_col), "phash"),
+        max_distance=max_hamming,
+        id_col=id_col,
+        max_ids_per_band=max_ids_per_band,
+    ).localCheckpoint(eager=False)  # feeds the id set AND the final join
+    # tokenize/shingle ONLY candidate rows: the caption pass is the dominant
+    # string cost at corpus scale and |candidate ids| << |corpus| (bounded
+    # by the banded blocking + hot-band cap); AQE turns the semi-join into
+    # a broadcast at runtime when the id set is small
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    slim = df.select(F.col(id_col), F.col(caption_col)).join(
+        cand_ids, id_col, "left_semi"
+    )
+    sh = dedupfns._shingle_table(slim, id_col, caption_col, ngram)
+    sets_df = sh.groupBy("_id").agg(F.collect_set("shingle").alias("_sh"))
+    a = sets_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sets_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.col("_sha")) + F.size(F.col("_shb")) - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "hamming", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # audio / video plumbing (deterministic fake + stubs)
 # ---------------------------------------------------------------------------
