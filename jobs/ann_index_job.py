@@ -23,6 +23,9 @@ retrains or re-encodes committed work):
                  --n-queries ids: nprobe cells per query, ADC ranking
 
 Prints one JSON line of per-stage metrics.
+
+New vectors are appended incrementally — Θ(|batch|), frozen quantizers,
+exactly-once replay — by jobs/ann_update_job.py against this job's output.
 """
 
 from __future__ import annotations
@@ -30,7 +33,6 @@ from __future__ import annotations
 import argparse
 import json
 
-import numpy as np
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -38,38 +40,9 @@ from tilematrix_spark.functions import similarity as sim
 from tilematrix_spark.io import StageJob
 
 
-def _centroids_np(df) -> np.ndarray:
-    rows = sorted((r["cell"], r["centroid"]) for r in df.collect())
-    return np.asarray([v for _, v in rows], dtype=np.float64)
-
-
-def _books_np(df) -> np.ndarray:
-    rows = df.collect()
-    m = 1 + max(r["j"] for r in rows)
-    k = 1 + max(r["c"] for r in rows)
-    sub = len(rows[0]["cent"])
-    books = np.empty((m, k, sub), dtype=np.int64)
-    for r in rows:
-        books[r["j"], r["c"]] = r["cent"]
-    return books
-
-
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True)
-    p.add_argument("--output", required=True)
-    p.add_argument("--id-col", default="vec_id")
-    p.add_argument("--vec-col", default="embedding")
-    p.add_argument("--m", type=int, default=8)
-    p.add_argument("--k", type=int, default=16)
-    p.add_argument("--n-centroids", type=int, default=16)
-    p.add_argument("--nprobe", type=int, default=2)
-    p.add_argument("--topk", type=int, default=3)
-    p.add_argument("--n-queries", type=int, default=32)
-    args = p.parse_args()
-
-    spark = SparkSession.builder.appName("tmx_ann_index_job").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+def run(spark: SparkSession, args) -> dict:
+    """Build (or resume) the index pipeline; importable for in-process tests
+    — ``args`` is any namespace with the CLI fields."""
     emb = spark.read.parquet(args.input)
 
     def build_centroids(s, read_stage):
@@ -91,8 +64,8 @@ def main() -> None:
         return s.createDataFrame(rows, "j int, c int, cent array<long>")
 
     def build_index(s, read_stage):
-        cents = _centroids_np(read_stage("centroids"))
-        books = _books_np(read_stage("codebooks"))
+        cents = sim.centroids_from_rows(read_stage("centroids"))
+        books = sim.codebooks_from_rows(read_stage("codebooks"))
         cb = sim.with_ivf_cells(
             emb.select(F.col(args.id_col), F.col(args.vec_col).alias("_cv")),
             cents, 1, "_cv",
@@ -102,8 +75,8 @@ def main() -> None:
         )
 
     def build_topk(s, read_stage):
-        cents = _centroids_np(read_stage("centroids"))
-        books = _books_np(read_stage("codebooks"))
+        cents = sim.centroids_from_rows(read_stage("centroids"))
+        books = sim.codebooks_from_rows(read_stage("codebooks"))
         index = read_stage("index")
         queries = emb.filter(F.col(args.id_col) < args.n_queries).select(
             F.col(args.id_col).alias("qid"), F.col(args.vec_col)
@@ -130,7 +103,26 @@ def main() -> None:
         },
     )
     executed = job.run()
-    print(json.dumps({"executed": executed, "metrics": job.metrics()}, sort_keys=True))
+    return {"executed": executed, "metrics": job.metrics()}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--m", type=int, default=8)
+    p.add_argument("--k", type=int, default=16)
+    p.add_argument("--n-centroids", type=int, default=16)
+    p.add_argument("--nprobe", type=int, default=2)
+    p.add_argument("--topk", type=int, default=3)
+    p.add_argument("--n-queries", type=int, default=32)
+    args = p.parse_args()
+
+    spark = SparkSession.builder.appName("tmx_ann_index_job").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    print(json.dumps(run(spark, args), sort_keys=True))
     spark.stop()
 
 

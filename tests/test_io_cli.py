@@ -219,6 +219,65 @@ def test_stage_job_partitioned_stage(spark, tmp_path):
     assert "cell" in plan  # partition column survives the roundtrip
 
 
+def test_ann_update_job_incremental_append(spark, tmp_path):
+    """Incremental ANN index maintenance: update batches are encoded against
+    the FROZEN quantizers and committed as per-batch delta partitions; the
+    probe-visible index (base ∪ committed deltas) is row-identical to a full
+    re-encode of the union corpus with the same quantizers; a replayed batch
+    is skipped (exactly-once) and an uncommitted orphan directory from a
+    crash between write and commit stays invisible."""
+    import argparse
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import ann_index_job
+    import ann_update_job
+
+    from tilematrix_spark.functions import similarity as sim
+    from tilematrix_spark.io import TableIO
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id < 300")
+    upd = emb.filter("vec_id >= 300 AND vec_id < 400")
+    basep = str(tmp_path / "base_vectors")
+    base.write.parquet(basep)
+    out = str(tmp_path / "annidx")
+    args = argparse.Namespace(
+        input=basep, output=out, id_col="vec_id", vec_col="embedding",
+        m=8, k=16, n_centroids=4, nprobe=2, topk=3, n_queries=8,
+    )
+    assert ann_index_job.run(spark, args)["executed"] == [
+        "centroids", "codebooks", "index", "topk",
+    ]
+
+    m1 = ann_update_job.append_batch(spark, out, upd, batch_id=1)
+    assert not m1["skipped"] and m1["rows"] == 100
+    # delta keeps the cell-partitioned layout (probe reads stay pruned)
+    delta_dir = _os.path.join(out, "delta=batch_1")
+    assert any(d.startswith("_cell=") for d in _os.listdir(delta_dir))
+    # replay of a committed batch is a no-op
+    assert ann_update_job.append_batch(spark, out, upd, batch_id=1)["skipped"]
+    # an orphan delta dir with NO lineage marker is invisible to probes
+    upd.limit(7).select("vec_id").withColumn("_cell", F.lit(0)).withColumn(
+        "codes", F.array(F.lit(0))
+    ).write.parquet(_os.path.join(out, "delta=batch_99"))
+    merged = ann_update_job.read_index(spark, out)
+    assert merged.count() == 400
+
+    # merged index == full re-encode of the union corpus, same quantizers
+    io = TableIO(spark)
+    cents = sim.centroids_from_rows(io.read(_os.path.join(out, "stage=centroids")))
+    books = sim.codebooks_from_rows(io.read(_os.path.join(out, "stage=codebooks")))
+    cb = sim.with_ivf_cells(
+        base.unionByName(upd).select("vec_id", F.col("embedding").alias("_cv")),
+        cents, 1, "_cv",
+    ).select("vec_id", "_cv", F.element_at("_cells", 1).alias("_cell"))
+    full = sim.with_pq_codes(cb, books, "_cv").select("vec_id", "_cell", "codes")
+    key = lambda r: (r["vec_id"], r["_cell"], tuple(r["codes"]))  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+
 def test_overview_pyramid_job_resumes_mid_pyramid(spark, geodetic, tmp_path):
     """Raster overview chain on PyramidJob: zoom z reads z+1's committed
     output, so a restart resumes at the first unbuilt level and never

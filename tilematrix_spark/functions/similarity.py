@@ -294,6 +294,28 @@ def ivf_topk(
     )
 
 
+def centroids_from_rows(df: DataFrame) -> np.ndarray:
+    """Rebuild the IVF coarse-quantizer array from its committed table form
+    (``cell int, centroid array<double>`` — the ``centroids`` stage of
+    jobs/ann_index_job.py).  Index/update/probe jobs all read the SAME
+    frozen quantizer through this instead of retraining."""
+    rows = sorted((r["cell"], r["centroid"]) for r in df.collect())
+    return np.asarray([v for _, v in rows], dtype=np.float64)
+
+
+def codebooks_from_rows(df: DataFrame) -> np.ndarray:
+    """Rebuild the PQ codebook tensor (m, k, sub) from its committed table
+    form (``j int, c int, cent array<long>`` — the ``codebooks`` stage)."""
+    rows = df.collect()
+    m = 1 + max(r["j"] for r in rows)
+    k = 1 + max(r["c"] for r in rows)
+    sub = len(rows[0]["cent"])
+    books = np.empty((m, k, sub), dtype=np.int64)
+    for r in rows:
+        books[r["j"], r["c"]] = r["cent"]
+    return books
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
