@@ -232,8 +232,8 @@ def test_ann_update_job_incremental_append(spark, tmp_path):
 
     _sys.path.insert(0, "/root/repo/jobs")
     import ann_index_job
-    import ann_update_job
 
+    from tilematrix_spark import annstore
     from tilematrix_spark.functions import similarity as sim
     from tilematrix_spark.io import TableIO
 
@@ -251,18 +251,18 @@ def test_ann_update_job_incremental_append(spark, tmp_path):
         "centroids", "codebooks", "index", "topk",
     ]
 
-    m1 = ann_update_job.append_batch(spark, out, upd, batch_id=1)
+    m1 = annstore.append_batch(spark, out, upd, batch_id=1)
     assert not m1["skipped"] and m1["rows"] == 100
     # delta keeps the cell-partitioned layout (probe reads stay pruned)
     delta_dir = _os.path.join(out, "delta=batch_1")
     assert any(d.startswith("_cell=") for d in _os.listdir(delta_dir))
     # replay of a committed batch is a no-op
-    assert ann_update_job.append_batch(spark, out, upd, batch_id=1)["skipped"]
+    assert annstore.append_batch(spark, out, upd, batch_id=1)["skipped"]
     # an orphan delta dir with NO lineage marker is invisible to probes
     upd.limit(7).select("vec_id").withColumn("_cell", F.lit(0)).withColumn(
         "codes", F.array(F.lit(0))
     ).write.parquet(_os.path.join(out, "delta=batch_99"))
-    merged = ann_update_job.read_index(spark, out)
+    merged = annstore.read_index(spark, out)
     assert merged.count() == 400
 
     # merged index == full re-encode of the union corpus, same quantizers

@@ -278,3 +278,54 @@ def test_incremental_tile_sink_matches_full_compose(spark, geodetic, tmp_path):
     sink(all_imgs.filter(F.col("image_id") >= split), int(last.split("=")[1]))
     assert canvases(spark.read.parquet(tiles)) == want
     assert spark.read.parquet(corpus).count() == 120
+
+
+def test_incremental_ann_sink_exactly_once(spark, tmp_path):
+    """Streamed vectors become probe-visible as committed index deltas; a
+    restart with the same checkpoint appends nothing (lineage marker =
+    idempotence token); new files appended to the source land as a new
+    delta; the stream namespace is separate from manual batches."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import ann_index_job
+
+    from tilematrix_spark import annstore
+    from tilematrix_spark.io import Lineage
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id < 300")
+    basep = str(tmp_path / "basevec")
+    base.write.parquet(basep)
+    out = str(tmp_path / "annidx")
+    ann_index_job.run(spark, argparse.Namespace(
+        input=basep, output=out, id_col="vec_id", vec_col="embedding",
+        m=8, k=16, n_centroids=4, nprobe=2, topk=3, n_queries=4,
+    ))
+
+    src = str(tmp_path / "vecstream")
+    emb.filter("vec_id >= 300 AND vec_id < 400").write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(emb.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(streaming.incremental_ann_sink(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert annstore.read_index(spark, out).count() == 400
+    run_once()  # restart, no new files: nothing appended
+    assert annstore.read_index(spark, out).count() == 400
+    emb.filter("vec_id >= 400").write.mode("append").parquet(src)
+    run_once()  # only the new files are processed, as a fresh delta
+    merged = annstore.read_index(spark, out)
+    assert merged.count() == 500
+    assert merged.select("vec_id").distinct().count() == 500
+    units = [u for u in Lineage(out).committed() if u.startswith("delta=stream_")]
+    assert len(units) == 2  # one per non-empty micro-batch

@@ -1,0 +1,93 @@
+"""Committed IVF-PQ index store: lineage-gated reads + incremental appends.
+
+The index layout is what ``jobs/ann_index_job.py`` builds — committed
+``stage=centroids`` / ``stage=codebooks`` / ``stage=index`` tables under one
+root — plus any number of ``delta=<namespace>_<id>`` directories appended
+here.  The ANN mirror of incremental pyramid maintenance (incremental.py):
+the full-corpus encode happened ONCE at build time; each append costs
+Θ(|batch|) — one cell assignment + one PQ encode over the new rows, never a
+re-encode of the committed corpus.  The coarse and product quantizers are
+read from the committed stages and NEVER retrained on append (the standard
+IVF discipline: retraining would silently re-map committed codes; quantizer
+drift is a monitored rebuild trigger, not an append-path side effect).
+
+Crash/replay discipline (same as streaming.incremental_tile_sink): each
+batch writes to its own delta directory (internally partitioned by
+``_cell`` like the base index, so probe reads stay layout-pruned) and is
+committed by an atomic lineage marker AFTER the write.  ``read_index``
+unions the base with committed deltas ONLY — a crash between write and
+commit leaves an orphan directory that is invisible to probes and simply
+overwritten on replay; a committed batch is skipped on replay.  Both replay
+paths are idempotent and exactly-once at the output level, which is exactly
+the idempotence token Structured Streaming's foreachBatch needs
+(streaming.incremental_ann_sink).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import similarity as sim
+from .io import Lineage, LineageRecord, TableIO
+
+
+def read_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The probe-visible index: base ``stage=index`` ∪ every COMMITTED
+    ``delta=*`` (lineage-gated — orphan directories from a crash between
+    write and commit are excluded, never half-read)."""
+    io = TableIO(spark)
+    df = io.read(os.path.join(index_path, "stage=index"))
+    for unit in sorted(Lineage(index_path).committed()):
+        if unit.startswith("delta="):
+            df = df.unionByName(io.read(os.path.join(index_path, unit)))
+    return df
+
+
+def append_batch(
+    spark: SparkSession,
+    index_path: str,
+    updates: DataFrame,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    namespace: str = "batch",
+) -> dict:
+    """Encode ``updates`` with the index's frozen quantizers and commit it
+    as ``delta=<namespace>_<batch_id>``.  Idempotent: an already-committed
+    batch is skipped (skipped=True); an uncommitted leftover from a crash
+    is overwritten before the marker lands.  ``namespace`` separates writer
+    lineages whose ids would otherwise collide (e.g. a manual backfill and
+    a stream both counting from 0)."""
+    lineage = Lineage(index_path)
+    unit = f"delta={namespace}_{batch_id}"
+    done = lineage.committed()
+    if unit in done:
+        return {"unit": unit, "rows": done[unit]["rows"], "skipped": True}
+    io = TableIO(spark)
+    cents = sim.centroids_from_rows(io.read(os.path.join(index_path, "stage=centroids")))
+    books = sim.codebooks_from_rows(io.read(os.path.join(index_path, "stage=codebooks")))
+    t0 = time.time()
+    cb = sim.with_ivf_cells(
+        updates.select(F.col(id_col), F.col(vec_col).alias("_cv")),
+        cents, 1, "_cv",
+    ).select(id_col, "_cv", F.element_at("_cells", 1).alias("_cell"))
+    encoded = sim.with_pq_codes(cb, books, "_cv").select(id_col, "_cell", "codes")
+    rows = io.write_counted(
+        encoded, os.path.join(index_path, unit), partition_by=["_cell"]
+    )
+    wall = round(time.time() - t0, 3)
+    lineage.commit(
+        LineageRecord(
+            unit=unit,
+            rows=rows,
+            wall_s=wall,
+            committed_at=time.time(),
+            config={"batch_id": int(batch_id), "namespace": namespace,
+                    "frozen_quantizers": True},
+        )
+    )
+    return {"unit": unit, "rows": rows, "wall_s": wall, "skipped": False}

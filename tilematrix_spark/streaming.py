@@ -338,3 +338,39 @@ def incremental_tile_sink(
         )
 
     return process
+
+
+def incremental_ann_sink(
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch sink keeping a committed IVF-PQ index fresh from a
+    stream of new vectors (the serving-side loop: ingested embeddings become
+    probe-visible one micro-batch later, Θ(|batch|) per batch, quantizers
+    frozen — see ``annstore``).
+
+    Exactly-once without any extra bookkeeping: ``annstore.append_batch``'s
+    atomic lineage marker IS the idempotence token.  A replay after a crash
+    between the delta commit and the stream checkpoint commit finds the
+    batch committed and skips it; a crash before the marker leaves an
+    orphan directory that is invisible to ``read_index`` and overwritten on
+    replay.  Micro-batch ids live in the ``stream`` namespace so a manual
+    backfill (``jobs/ann_update_job.py``, namespace ``batch``) can share
+    the index without id collisions.
+
+    Usage::
+
+        q = (stream.writeStream.foreachBatch(incremental_ann_sink(idx))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+    from . import annstore
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        annstore.append_batch(
+            batch_df.sparkSession, index_path, batch_df, int(batch_id),
+            id_col=id_col, vec_col=vec_col, namespace="stream",
+        )
+
+    return process
