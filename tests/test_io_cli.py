@@ -275,7 +275,21 @@ def test_ann_update_job_incremental_append(spark, tmp_path):
     ).select("vec_id", "_cv", F.element_at("_cells", 1).alias("_cell"))
     full = sim.with_pq_codes(cb, books, "_cv").select("vec_id", "_cell", "codes")
     key = lambda r: (r["vec_id"], r["_cell"], tuple(r["codes"]))  # noqa: E731
-    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+    expect = sorted(map(key, full.collect()))
+    assert sorted(map(key, merged.collect())) == expect
+
+    # compaction folds committed deltas into one generation; content and
+    # probe-visibility are unchanged, later deltas stack on top of it
+    c1 = annstore.compact(spark, out)
+    assert not c1["skipped"] and c1["absorbed"] == 1 and c1["rows"] == 400
+    assert sorted(map(key, annstore.read_index(spark, out).collect())) == expect
+    assert annstore.compact(spark, out)["skipped"]  # nothing new to absorb
+    upd2 = emb.filter("vec_id >= 400")
+    annstore.append_batch(spark, out, upd2, batch_id=2)
+    assert annstore.read_index(spark, out).count() == 500
+    c2 = annstore.compact(spark, out)
+    assert c2["unit"] == "compact=2" and c2["rows"] == 500
+    assert annstore.read_index(spark, out).count() == 500
 
 
 def test_overview_pyramid_job_resumes_mid_pyramid(spark, geodetic, tmp_path):

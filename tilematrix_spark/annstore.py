@@ -21,6 +21,11 @@ overwritten on replay; a committed batch is skipped on replay.  Both replay
 paths are idempotent and exactly-once at the output level, which is exactly
 the idempotence token Structured Streaming's foreachBatch needs
 (streaming.incremental_ann_sink).
+
+``compact`` folds committed deltas into a single cell-partitioned
+generation (the LSM discipline: appends bound per-batch cost, compactions
+bound the small-file/union fan probes pay), with the same
+write-then-commit crash safety.
 """
 
 from __future__ import annotations
@@ -35,16 +40,80 @@ from .functions import similarity as sim
 from .io import Lineage, LineageRecord, TableIO
 
 
+def _latest_compact(done: dict):
+    """(unit, record) of the newest committed compaction, or (None, None)."""
+    best = None
+    for unit, rec in done.items():
+        if unit.startswith("compact="):
+            gen = int(unit.split("=", 1)[1])
+            if best is None or gen > best[0]:
+                best = (gen, unit, rec)
+    return (best[1], best[2]) if best else (None, None)
+
+
 def read_index(spark: SparkSession, index_path: str) -> DataFrame:
-    """The probe-visible index: base ``stage=index`` ∪ every COMMITTED
-    ``delta=*`` (lineage-gated — orphan directories from a crash between
-    write and commit are excluded, never half-read)."""
+    """The probe-visible index: the newest committed compaction (or the
+    base ``stage=index`` if none) ∪ every COMMITTED ``delta=*`` the
+    compaction hasn't absorbed.  Lineage-gated throughout — orphan
+    directories from a crash between write and commit are excluded, never
+    half-read."""
     io = TableIO(spark)
-    df = io.read(os.path.join(index_path, "stage=index"))
-    for unit in sorted(Lineage(index_path).committed()):
-        if unit.startswith("delta="):
+    done = Lineage(index_path).committed()
+    compact_unit, compact_rec = _latest_compact(done)
+    if compact_unit:
+        df = io.read(os.path.join(index_path, compact_unit))
+        absorbed = set(compact_rec["config"]["absorbed"])
+    else:
+        df = io.read(os.path.join(index_path, "stage=index"))
+        absorbed = set()
+    for unit in sorted(done):
+        if unit.startswith("delta=") and unit not in absorbed:
             df = df.unionByName(io.read(os.path.join(index_path, unit)))
     return df
+
+
+def compact(spark: SparkSession, index_path: str) -> dict:
+    """Fold the committed deltas into one cell-partitioned generation —
+    the LSM half of the maintenance lifecycle (append bounds per-batch
+    cost; compaction bounds the small-file/union fan that probes pay).
+
+    Writes the CURRENT probe-visible index to ``compact=<gen>`` and
+    commits a marker whose config records exactly which delta units it
+    absorbed; ``read_index`` then serves the newest compaction plus only
+    deltas committed AFTER it.  Crash-safe like append: a crash before the
+    marker leaves an invisible orphan generation; replaying produces the
+    next generation with the same content.  Old generations/deltas become
+    garbage (never read) — physical deletion is a storage-side janitor
+    concern, not a correctness one."""
+    done = Lineage(index_path).committed()
+    prev_unit, prev_rec = _latest_compact(done)
+    gen = (int(prev_unit.split("=", 1)[1]) + 1) if prev_unit else 1
+    prev_absorbed = set(prev_rec["config"]["absorbed"]) if prev_rec else set()
+    absorbing = sorted(
+        u for u in done if u.startswith("delta=") and u not in prev_absorbed
+    )
+    if not absorbing:
+        return {"unit": prev_unit, "skipped": True, "absorbed": 0}
+    unit = f"compact={gen}"
+    t0 = time.time()
+    rows = TableIO(spark).write_counted(
+        read_index(spark, index_path),
+        os.path.join(index_path, unit),
+        partition_by=["_cell"],
+    )
+    wall = round(time.time() - t0, 3)
+    Lineage(index_path).commit(
+        LineageRecord(
+            unit=unit,
+            rows=rows,
+            wall_s=wall,
+            committed_at=time.time(),
+            config={"absorbed": sorted(prev_absorbed | set(absorbing)),
+                    "generation": gen},
+        )
+    )
+    return {"unit": unit, "rows": rows, "wall_s": wall,
+            "skipped": False, "absorbed": len(absorbing)}
 
 
 def append_batch(
