@@ -1134,6 +1134,100 @@ def sql_winnow_near_pairs() -> str:
     """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination scan (dedup.decontaminate): flag training
+    docs sharing winnowing fingerprints with a held-out test set (any
+    shared run of >= 6 tokens surfaces — contained test passages inside
+    long training docs are caught) or exactly matching a test doc's
+    normalized text.  The synthetic test set plants all three classes:
+    every 9th doc verbatim (exact + fp contamination), a 10-token passage
+    sliced from every 11th doc (contained contamination — fp only), and
+    md5-gibberish docs from every 13th id (clean — must flag nothing).
+    The test fingerprint/hash sets broadcast; the train corpus is never
+    shuffled on a text key."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = textfns.tokens(textfns.normalize("text"))
+    verbatim = docs.filter(F.col("doc_id") % 9 == 0).select(
+        F.col("doc_id").alias("test_id"), "text"
+    )
+    passages = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") >= 13)
+        .select(
+            (F.col("doc_id") + 1000000).alias("test_id"),
+            F.concat_ws(" ", F.slice("_t", 4, 10)).alias("text"),
+        )
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("g")))
+    gibberish = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 2000000).alias("test_id"),
+        F.concat_ws(
+            " ", *[F.substring(h, 1 + 4 * j, 4) for j in range(8)]
+        ).alias("text"),
+    )
+    test = verbatim.unionByName(passages).unionByName(gibberish)
+    out = dedupfns.decontaminate(docs, test, min_shared=1)
+    return out.select("doc_id", "n_shared", F.col("exact").cast("int").alias("exact"))
+
+
+def _winnow_fps_sql(src: str, id_col: str) -> str:
+    """The MOSS winnowing CTE body over an arbitrary source relation whose
+    text column is named ``text`` (n=3 trigram hashes, w=4 sliding min)."""
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    return f"""
+      SELECT DISTINCT {id_col}, fp FROM (
+        SELECT {id_col}, pos, m,
+          min(h) OVER (PARTITION BY {id_col} ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM (
+          SELECT {id_col}, i AS pos, len(toks) - 2 AS m,
+            substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8) AS h
+          FROM (SELECT {id_col}, list_filter(string_split({norm}, ' '), t -> t <> '') AS toks FROM {src}),
+           unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+        )
+      ) WHERE pos <= greatest(m - 3, 1)
+    """
+
+
+def sql_decontaminate() -> str:
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    gib = " || ' ' || ".join(
+        f"substr(md5(CAST(doc_id AS VARCHAR) || 'g'), {1 + 4 * j}, 4)"
+        for j in range(8)
+    )
+    return f"""
+      WITH test_docs AS (
+        SELECT doc_id AS test_id, text FROM documents WHERE doc_id % 9 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, array_to_string(toks[4:13], ' ')
+        FROM (
+          SELECT doc_id,
+            list_filter(string_split({norm}, ' '), t -> t <> '') AS toks
+          FROM documents WHERE doc_id % 11 = 0
+        ) WHERE len(toks) >= 13
+        UNION ALL
+        SELECT doc_id + 2000000, {gib} FROM documents WHERE doc_id % 13 = 0
+      ),
+      train_fps AS ({_winnow_fps_sql('documents', 'doc_id')}),
+      test_fps AS (
+        SELECT DISTINCT fp FROM ({_winnow_fps_sql('test_docs', 'test_id')})
+      ),
+      shared AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM train_fps JOIN test_fps USING (fp) GROUP BY doc_id
+      ),
+      tr AS (SELECT doc_id, md5({norm}) AS fh FROM documents),
+      te AS (SELECT DISTINCT md5({norm}) AS fh FROM test_docs),
+      ex AS (SELECT DISTINCT doc_id, 1 AS exact FROM tr JOIN te USING (fh))
+      SELECT COALESCE(s.doc_id, e.doc_id) AS doc_id,
+             COALESCE(s.n_shared, 0::BIGINT) AS n_shared,
+             CAST(COALESCE(e.exact, 0) AS INTEGER) AS exact
+      FROM shared s FULL OUTER JOIN ex e ON s.doc_id = e.doc_id
+      WHERE COALESCE(s.n_shared, 0::BIGINT) >= 1 OR COALESCE(e.exact, 0) = 1
+    """
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-distance-<=1 near-dup pairs via bit-flip explode: each
     doc probes 17 variants (identity + 16 single-bit flips) and joins on
@@ -3284,9 +3378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shared with source_quota / dedup_exact) ----
         "spatial_split": q_spatial_split,
         "tile_user_counts": q_tile_user_counts,
-        # crossmodal composes two in-window-gated kernels (phash bands +
-        # trigram jaccard); its own full value oracle runs here in the tail
+        # crossmodal/decontaminate compose in-window-gated kernels (phash
+        # bands, trigram jaccard, winnow fps); their own full value oracles
+        # run here in the tail
         "crossmodal_dups": q_crossmodal_dups,
+        "decontaminate": q_decontaminate,
         "raster_windows_buffered": q_raster_windows_buffered,
         "embedding_dups": q_embedding_dups,
         "pq_codes": q_pq_codes,
@@ -3368,6 +3464,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_near_dup": sql_phash_near_dup(),
         "spatial_phash_pairs": sql_spatial_phash_pairs(),
         "crossmodal_dups": sql_crossmodal_dups(),
+        "decontaminate": sql_decontaminate(),
         "geom_tiles_boxes": sql_geom_tiles_boxes(),
         "geom_tiles_exact": sql_geom_tiles_exact(),
         "pip_join_regions": sql_pip_join_regions(),

@@ -611,6 +611,34 @@ def test_winnow_short_doc_gets_one_fingerprint(spark):
     assert rows[0]["fp"] == min(_py_winnow("just four small tokens", w=1))
 
 
+def test_decontaminate_flags_and_clean(spark):
+    """Decontamination: a contained >= n+w-1-token test passage flags the
+    containing train doc (fp path), an exact short match flags via the
+    hash path even below the fingerprinting floor, clean docs flag
+    nothing."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+            (2, "totally unrelated words nothing in common over here at all"),
+            (3, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "charlie delta echo foxtrot golf hotel"),  # 6-token run of doc 1
+            (11, "Short   TEXT"),  # normalizes to doc 3's text (2 tokens, no fps)
+            (12, "zzz yyy xxx www vvv uuu ttt sss"),  # clean
+        ],
+        "test_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_shared"], r["exact"])
+           for r in dedup.decontaminate(train, test, min_shared=1).collect()}
+    assert set(out) == {1, 3}
+    assert out[1][0] >= 1 and out[1][1] == 0
+    assert out[3] == (0, 1)
+
+
 def test_winnow_shared_run_guarantee(spark):
     """Any shared token run of >= n+w-1 tokens yields a shared fingerprint
     (the winnowing coverage guarantee), surfaced by winnow_near_pairs with

@@ -504,3 +504,62 @@ def winnow_near_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_id_col: str = "test_id",
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Training-corpus decontamination against a held-out test/benchmark
+    set: flag every TRAINING doc that (a) shares ≥ ``min_shared`` winnowing
+    fingerprints with the test set's fingerprint union — the winnowing
+    guarantee makes any shared passage of ≥ n+w-1 tokens surface, so a test
+    question quoted INSIDE a long training doc is caught, not just
+    whole-doc near-identity — or (b) normalizes to the exact text of some
+    test doc (catches docs too short to fingerprint).  The standard
+    train/test-overlap scrub for LLM corpora.
+
+    Scale shape: test sets are small (10³–10⁵ benchmark docs) while the
+    train corpus is the 100 TB side, so the test fingerprint set and the
+    test exact-hash set BROADCAST; the scan costs one fingerprint pass over
+    train plus map-side joins — the corpus is never shuffled on a text key.
+
+    Returns (id, n_shared, exact∈{0,1}); a row per flagged training doc.
+    """
+    train_fps = winnow_fingerprints(train, id_col, text_col, n, w)
+    test_fps = (
+        winnow_fingerprints(test, test_id_col, text_col, n, w)
+        .select("fp")
+        .distinct()
+    )
+    # train_fps is distinct per (id, fp), so count(*) == distinct shared fps
+    shared = (
+        train_fps.join(F.broadcast(test_fps), "fp")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    tr_hash = train.select(
+        F.col(id_col), F.md5(textfns.normalize(text_col)).alias("_fh")
+    )
+    te_hash = test.select(F.md5(textfns.normalize(text_col)).alias("_fh")).distinct()
+    exact = (
+        tr_hash.join(F.broadcast(te_hash), "_fh")
+        .select(id_col)
+        .distinct()
+        .withColumn("_ex", F.lit(1))
+    )
+    return (
+        shared.join(exact, id_col, "full_outer")
+        .select(
+            id_col,
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+            F.coalesce("_ex", F.lit(0)).alias("exact"),
+        )
+        .filter((F.col("n_shared") >= min_shared) | (F.col("exact") == 1))
+    )
