@@ -1228,6 +1228,40 @@ def sql_decontaminate() -> str:
     """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing layout (text.pack_token_stream): docs
+    concatenate into 8 md5-bucketed token streams chopped into 256-token
+    sequences (docs may straddle boundaries — the GPT-pretraining shape).
+    Pure native running window sums, one shuffle on the bucket key,
+    bit-deterministic at any cluster size; the oracle mirrors the hex
+    bucket hash, the running sum, and the floor divisions exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textfns.pack_token_stream(docs, budget=256, n_buckets=8)
+
+
+def sql_pack_sequences() -> str:
+    return f"""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 8 AS INTEGER) AS bucket,
+          CAST(len(list_filter({_TOKENS_SQL}, t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+      ),
+      c AS (
+        SELECT doc_id, bucket, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t WHERE n_tokens > 0
+      )
+      SELECT doc_id, bucket, n_tokens,
+        CAST((cum - n_tokens) // 256 AS BIGINT) AS start_seq,
+        CAST((cum - n_tokens) % 256 AS BIGINT) AS start_off,
+        CAST((cum - 1) // 256 AS BIGINT) AS end_seq
+      FROM c
+    """
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-distance-<=1 near-dup pairs via bit-flip explode: each
     doc probes 17 variants (identity + 16 single-bit flips) and joins on
@@ -3383,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # run here in the tail
         "crossmodal_dups": q_crossmodal_dups,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "raster_windows_buffered": q_raster_windows_buffered,
         "embedding_dups": q_embedding_dups,
         "pq_codes": q_pq_codes,
@@ -3465,6 +3500,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_phash_pairs": sql_spatial_phash_pairs(),
         "crossmodal_dups": sql_crossmodal_dups(),
         "decontaminate": sql_decontaminate(),
+        "pack_sequences": sql_pack_sequences(),
         "geom_tiles_boxes": sql_geom_tiles_boxes(),
         "geom_tiles_exact": sql_geom_tiles_exact(),
         "pip_join_regions": sql_pip_join_regions(),

@@ -611,6 +611,32 @@ def test_winnow_short_doc_gets_one_fingerprint(spark):
     assert rows[0]["fp"] == min(_py_winnow("just four small tokens", w=1))
 
 
+def test_pack_token_stream_mirror(spark):
+    """Packing layout == a sequential python mirror of the per-bucket token
+    stream: running offsets, straddled boundaries, zero-token docs dropped."""
+    import hashlib
+
+    budget, n_buckets = 10, 4
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 17))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["bucket"], r["n_tokens"], r["start_seq"], r["start_off"], r["end_seq"])
+        for r in text.pack_token_stream(df, budget, n_buckets).collect()
+    }
+    streams = {}
+    expect = {}
+    for i, t in rows:
+        n = len(t.split()) if t.strip() else 0
+        if n == 0:
+            continue
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n_buckets
+        start = streams.get(b, 0)
+        streams[b] = start + n
+        expect[i] = (b, n, start // budget, start % budget, (start + n - 1) // budget)
+    assert got == expect
+    assert any(v[2] != v[4] for v in expect.values())  # some doc straddles
+
+
 def test_decontaminate_flags_and_clean(spark):
     """Decontamination: a contained >= n+w-1-token test passage flags the
     containing train doc (fp path), an exact short match flags via the

@@ -202,3 +202,57 @@ def top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("_id").alias(id_col), "term", "rank")
     )
+
+
+def pack_token_stream(
+    df,
+    budget: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Training-sequence packing layout: concatenate documents into
+    ``n_buckets`` independent token streams (bucket = md5(id) — stable,
+    engine-portable) and chop each stream into fixed-``budget`` sequences
+    — the standard LLM-pretraining shape where documents may straddle
+    sequence boundaries.  Returns one row per doc:
+
+    - ``bucket``        — which stream the doc concatenates into
+    - ``n_tokens``      — whitespace token count contributed
+    - ``start_seq``     — sequence index holding the doc's first token
+    - ``start_off``     — offset of that token within ``start_seq``
+    - ``end_seq``       — sequence index holding the doc's last token
+
+    Everything is a running window sum in (bucket, id) order — pure native
+    expressions, ONE shuffle on the bucket key, no sequential driver pass:
+    at corpus scale each bucket's cumulative sums are independent, so the
+    layout parallelizes by bucket while staying bit-deterministic (same
+    ids → same packing on any cluster size).  Zero-token docs are dropped
+    (they contribute nothing to the stream).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(n_buckets),
+        ).cast("int").alias("bucket"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return toks.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        (start / budget).cast("long").alias("start_seq"),
+        F.pmod(start, F.lit(budget).cast("long")).alias("start_off"),
+        ((cum - 1) / budget).cast("long").alias("end_seq"),
+    )
