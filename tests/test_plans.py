@@ -254,3 +254,31 @@ def test_spatial_phash_guard_broadcasts_hot_set(spark, geodetic):
     ]
     # cold anti + probe/base hot semi restrictions
     assert len(semi) >= 3, plan
+
+
+def test_pack_token_stream_single_exchange_native(spark):
+    """Sequence packing: ONE exchange (the bucket key), everything else
+    projection + window — no Python nodes, no extra shuffle."""
+    from tilematrix_spark.functions import text as textfns
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textfns.pack_token_stream(docs, 256, 8))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert sum(1 for line in plan.splitlines() if line.startswith("(") and ") Exchange" in line) == 1
+    # pruning: only doc_id and text leave the scan
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = [line for line in scan.splitlines() if "ReadSchema" in line][0]
+    assert "doc_id" in read_schema and "text" in read_schema and "lang" not in read_schema
+
+
+def test_decontaminate_broadcasts_test_side(spark):
+    """Decontamination: both test-side joins (fingerprints, exact hashes)
+    are broadcast — the training corpus is never shuffled on a text key."""
+    from tilematrix_spark.functions import dedup as dedupfns
+
+    train = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    test = train.filter("doc_id % 50 = 0").selectExpr("doc_id AS test_id", "text")
+    plan = _plan(dedupfns.decontaminate(train, test))
+    # the fp equi-join and the hash equi-join build on the broadcast side
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin Inner" not in plan  # no corpus-wide text-key SMJ
