@@ -3334,11 +3334,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the mercator / custom-grid / mt4 variants ride the tagged-union queries
     point_tile_grids and cover_bbox_grids rather than burning one slot each.
 
-    Positions 51+ hold redundant-kernel variants only: each one exercises a
-    kernel that an in-window query already value-gates (same tile_from_xy /
+    Positions 51+ hold (a) redundant-kernel variants — each exercises a
+    kernel an in-window query already value-gates (same tile_from_xy /
     cover / packing / hash expressions with different grid or filter
-    parameters), plus pytest goldens.  `tools/check_oracle.py` still runs
-    ALL of them locally — the tail is de-prioritized, not unchecked.
+    parameters) — and (b) round-4 pipeline compositions of in-window-gated
+    kernels (crossmodal_dups, decontaminate, pack_sequences: phash bands,
+    trigram jaccard, winnow fps, native window sums), each with its own
+    full value oracle.  `tools/check_oracle.py` still runs ALL of them
+    locally — the tail is de-prioritized, not unchecked.
     """
     return {
         # --- tile math & assignment (in-window) ---
