@@ -1554,11 +1554,15 @@ def _pq_base_sql() -> str:
                          x -> CAST(floor(x * {s} + {h}) AS BIGINT)) AS qv
         FROM embeddings
       ),
+      -- positional like similarity.pq_codebooks (orderBy(id).limit(m*k)):
+      -- rank rows by vec_id ORDER, not vec_id VALUE, so id gaps / nonzero
+      -- starts can't silently diverge the oracle from the engine.
       books AS (
-        SELECT js.j, b.vec_id - js.j * {k} AS c,
+        SELECT js.j, b.pos - js.j * {k} AS c,
                b.qv[js.j * {sub} + 1 : js.j * {sub} + {sub}] AS cent
-        FROM q b CROSS JOIN (SELECT unnest(range({m})) AS j) js
-        WHERE b.vec_id >= js.j * {k} AND b.vec_id < (js.j + 1) * {k}
+        FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS pos FROM q) b
+        CROSS JOIN (SELECT unnest(range({m})) AS j) js
+        WHERE b.pos >= js.j * {k} AND b.pos < (js.j + 1) * {k}
       ),
       dists AS (
         SELECT v.vec_id, b.j, b.c,
@@ -3326,6 +3330,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return rolled
 
 
+def q_knn_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O30 kNN, BOTH termination regimes in one gate slot (tagged union,
+    the point_tile_grids trick): the dense z4 ring-1 path and the sparse
+    z6 ring-DOUBLING path (disc radius doubles across driver rounds before
+    the k-th-distance guarantee fires).  A regression in either regime
+    flips rows under its tag in-window."""
+    dense = q_knn(spark, sf_dir).select(
+        F.lit("dense").alias("mode"), "qid", "pid", "rank"
+    )
+    sparse = q_knn_sparse(spark, sf_dir).select(
+        F.lit("sparse").alias("mode"), "qid", "pid", "rank"
+    )
+    return dense.unionByName(sparse)
+
+
+def sql_knn_modes() -> str:
+    return f"""
+      SELECT 'dense' AS mode, qid, pid, rank FROM ({sql_knn()})
+      UNION ALL
+      SELECT 'sparse' AS mode, qid, pid, rank
+      FROM ({sql_knn(pts_filter="event_id % 53 = 0", q_filter="pid % 265 = 0")})
+    """
+
+
+def q_cover_bbox_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25-O27 geodetic bbox cover, plain z4 (antimeridian split included)
+    AND the max_cover_tiles=48 row-band AUTO-SPLIT at z6, one gate slot
+    (tagged union).  The split path must equal the uncapped cover exactly —
+    the oracle computes the uncapped cover for both tags."""
+    z4 = q_cover_bbox(spark, sf_dir).select(
+        F.lit("z4").alias("mode"), "event_id", "tile_row", "tile_col"
+    )
+    split = q_cover_bbox_split(spark, sf_dir).select(
+        F.lit("z6_split").alias("mode"), "event_id", "tile_row", "tile_col"
+    )
+    return z4.unionByName(split)
+
+
+def sql_cover_bbox_modes() -> str:
+    return f"""
+      SELECT 'z4' AS mode, event_id, tile_row, tile_col FROM ({sql_cover_bbox()})
+      UNION ALL
+      SELECT 'z6_split' AS mode, event_id, tile_row, tile_col FROM ({sql_cover_bbox_split()})
+    """
+
+
+def q_geom_tiles_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29 tiles_from_geom, intersects AND exact=True semantics in one gate
+    slot (tagged union): box polygons through the full filter-refine path
+    (= pure bbox cover), plus the exact-mode area>0 filter with its
+    zero-area LineString degenerate case (lines dropped entirely)."""
+    boxes = q_geom_tiles_boxes(spark, sf_dir).select(
+        F.lit("boxes").alias("mode"), "event_id", "tile_row", "tile_col"
+    )
+    exact = q_geom_tiles_exact(spark, sf_dir).select(
+        F.lit("exact").alias("mode"), "event_id", "tile_row", "tile_col"
+    )
+    return boxes.unionByName(exact)
+
+
+def sql_geom_tiles_modes() -> str:
+    return f"""
+      SELECT 'boxes' AS mode, event_id, tile_row, tile_col FROM ({sql_geom_tiles_boxes()})
+      UNION ALL
+      SELECT 'exact' AS mode, event_id, tile_row, tile_col FROM ({sql_geom_tiles_exact()})
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver queries, ordered so every kernel-bearing query sits inside the
     driver's 50-query CORRECTNESS check window (VERDICT r2 item #1).
@@ -3334,14 +3406,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the mercator / custom-grid / mt4 variants ride the tagged-union queries
     point_tile_grids and cover_bbox_grids rather than burning one slot each.
 
-    Positions 51+ hold (a) redundant-kernel variants — each exercises a
-    kernel an in-window query already value-gates (same tile_from_xy /
-    cover / packing / hash expressions with different grid or filter
-    parameters) — and (b) round-4 pipeline compositions of in-window-gated
-    kernels (crossmodal_dups, decontaminate, pack_sequences: phash bands,
-    trigram jaccard, winnow fps, native window sums), each with its own
-    full value oracle.  `tools/check_oracle.py` still runs ALL of them
-    locally — the tail is de-prioritized, not unchecked.
+    Positions 51+ hold redundant-kernel variants — each exercises a kernel
+    an in-window query already value-gates (same tile_from_xy / cover /
+    kNN / packing / hash expressions with different grid or filter
+    parameters, or an untagged half of an in-window tagged union).
+    `tools/check_oracle.py` still runs ALL of them locally — the tail is
+    de-prioritized, not unchecked.
+
+    Round-5 window surgery (VERDICT r4 item #1): knn+knn_sparse,
+    cover_bbox+cover_bbox_split, and geom_tiles_boxes+geom_tiles_exact
+    each became one tagged union (knn_modes / cover_bbox_modes /
+    geom_tiles_modes — no kernel or constant left the window), and the
+    freed slots promoted the round-4 compositions crossmodal_dups,
+    decontaminate, and pack_sequences into the hard gate.
     """
     return {
         # --- tile math & assignment (in-window) ---
@@ -3358,19 +3435,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_rollup": q_parent_rollup,
         "neighbors": q_neighbors,
         # --- covers (every grid family's constants in-window: the default
-        # geodetic covers plus the tagged mt4/mercator/custom union) ---
-        "cover_bbox": q_cover_bbox,
-        "cover_bbox_split": q_cover_bbox_split,
+        # geodetic covers plus the tagged mt4/mercator/custom union; the
+        # z4 + auto-split geodetic covers ride one tagged union) ---
+        "cover_bbox_modes": q_cover_bbox_modes,
         "cover_bbox_grids": q_cover_bbox_grids,
         "cover_multizoom": q_cover_multizoom,
         "snap_bounds": q_snap_bounds,
         "intersecting": q_intersecting,
-        # --- spatial joins ---
-        "knn": q_knn,
-        "knn_sparse": q_knn_sparse,
-        "geom_tiles_boxes": q_geom_tiles_boxes,
-        "geom_tiles_exact": q_geom_tiles_exact,
+        # --- spatial joins (dense+sparse kNN and intersects+exact
+        # tiles_from_geom are tagged unions) ---
+        "knn_modes": q_knn_modes,
+        "geom_tiles_modes": q_geom_tiles_modes,
         "pip_join_regions": q_pip_join_regions,
+        # --- round-4 pipeline compositions, promoted in-window r5 ---
+        "crossmodal_dups": q_crossmodal_dups,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         # --- raster / image kernels ---
         "raster_windows": q_raster_windows,
         "rasterize_bins": q_rasterize_bins,
@@ -3407,20 +3487,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: redundant-kernel variants (same exprs as an in-window
         # query; pytest-pinned; still run by tools/check_oracle.py).
         # The grid-constant variants were MERGED into the in-window tagged
-        # unions point_tile_grids / cover_bbox_grids; demoted here are
-        # queries whose kernels are shared with in-window rows
+        # unions point_tile_grids / cover_bbox_grids, and the r5 unions
+        # knn_modes / cover_bbox_modes / geom_tiles_modes carry the
+        # formerly separate pairs below (kept here individually
+        # addressable for debugging — each is one tag of an in-window
+        # union, so no coverage rides on the tail).  Also demoted: queries
+        # whose kernels are shared with in-window rows
         # (raster_windows_buffered = raster_windows + the pixelbuffer
         # shape gated by tile_shape_pixelbuffer; spatial_split /
         # tile_user_counts = md5-projection and two-stage-distinct shapes
         # shared with source_quota / dedup_exact) ----
+        "knn": q_knn,
+        "knn_sparse": q_knn_sparse,
+        "cover_bbox": q_cover_bbox,
+        "cover_bbox_split": q_cover_bbox_split,
+        "geom_tiles_boxes": q_geom_tiles_boxes,
+        "geom_tiles_exact": q_geom_tiles_exact,
         "spatial_split": q_spatial_split,
         "tile_user_counts": q_tile_user_counts,
-        # crossmodal/decontaminate compose in-window-gated kernels (phash
-        # bands, trigram jaccard, winnow fps); their own full value oracles
-        # run here in the tail
-        "crossmodal_dups": q_crossmodal_dups,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
         "raster_windows_buffered": q_raster_windows_buffered,
         "embedding_dups": q_embedding_dups,
         "pq_codes": q_pq_codes,
@@ -3463,6 +3547,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbors_mt4_buffered": sql_neighbors_mt4_buffered(),
         "cover_bbox": sql_cover_bbox(),
         "cover_bbox_split": sql_cover_bbox_split(),
+        "cover_bbox_modes": sql_cover_bbox_modes(),
         "cover_bbox_grids": sql_cover_bbox_grids(),
         "cover_multizoom": sql_cover_multizoom(),
         "snap_bounds": sql_snap_bounds(),
@@ -3470,6 +3555,7 @@ def oracle_sql() -> dict[str, str]:
         "intersecting_down": sql_intersecting_down(),
         "knn": sql_knn(),
         "knn_sparse": sql_knn(pts_filter="event_id % 53 = 0", q_filter="pid % 265 = 0"),
+        "knn_modes": sql_knn_modes(),
         "events_topk_window": sql_events_topk_window(),
         "stream_tile_counts": sql_stream_tile_counts(),
         "user_sessions": sql_user_sessions(),
@@ -3506,6 +3592,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": sql_pack_sequences(),
         "geom_tiles_boxes": sql_geom_tiles_boxes(),
         "geom_tiles_exact": sql_geom_tiles_exact(),
+        "geom_tiles_modes": sql_geom_tiles_modes(),
         "pip_join_regions": sql_pip_join_regions(),
         "verify_images": sql_verify_images(),
         "raster_windows": sql_raster_windows(),

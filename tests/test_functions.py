@@ -637,6 +637,44 @@ def test_pack_token_stream_mirror(spark):
     assert any(v[2] != v[4] for v in expect.values())  # some doc straddles
 
 
+def test_pack_token_stream_many_buckets_layout_invariants(spark):
+    """n_buckets=256 (the cluster-sized default regime, VERDICT r4 item #5):
+    the layout invariants hold per bucket — offsets are gapless in (bucket,
+    doc_id) order, every index is non-negative, start/end sequence indices
+    agree with integer floor division of the running offsets."""
+    budget, n_buckets = 7, 256
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + i % 13))) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (
+            (r["bucket"], r["doc_id"], r["n_tokens"], r["start_seq"],
+             r["start_off"], r["end_seq"])
+            for r in text.pack_token_stream(df, budget, n_buckets).collect()
+        )
+    )
+    assert len(out) == 600 and len({b for b, *_ in out}) > 100
+    streams = {}
+    for b, _doc, n, s_seq, s_off, e_seq in out:
+        start = streams.get(b, 0)  # gapless: each doc starts where the
+        streams[b] = start + n     # previous one in its bucket ended
+        assert (s_seq, s_off, e_seq) == (
+            start // budget, start % budget, (start + n - 1) // budget
+        )
+
+
+def test_pack_token_stream_default_buckets_scale_with_cluster(spark):
+    """The default stream count derives from the cluster's parallelism
+    (floored at 64) instead of a fixed 64 — n_buckets IS the packing
+    stage's max parallelism, so a fixed count would cap large clusters."""
+    expect = max(64, 2 * spark.sparkContext.defaultParallelism)
+    assert text.default_pack_buckets(spark) == expect
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(2000)], "doc_id long, text string"
+    )
+    buckets = {r["bucket"] for r in text.pack_token_stream(df, budget=4).collect()}
+    assert max(buckets) < expect and len(buckets) > expect // 2
+
+
 def test_decontaminate_flags_and_clean(spark):
     """Decontamination: a contained >= n+w-1-token test passage flags the
     containing train doc (fp path), an exact short match flags via the
@@ -753,6 +791,38 @@ def test_spatial_phash_pairs_matches_bruteforce(spark, geodetic):
         ).collect()
     }
     assert guarded == want
+
+
+def test_spatial_phash_pairs_hamming0_single_band_guard(spark, geodetic):
+    """max_hamming=0 with the hot-tile guard forced on re-blocks by
+    max_hamming+1 = ONE band of width 64, whose (1<<64)-1 mask would
+    overflow LongType (ADVICE r4) — the single-band path must emit the
+    unmasked hash instead and still find exactly the co-located exact
+    duplicates, including hashes with bit 63 set (negative int64)."""
+    rows = [
+        # co-located exact dups, bit 63 set (negative long)
+        (1, 10.0, 10.0, -0x7FEDCBA987654321 - 1),
+        (2, 10.01, 10.01, -0x7FEDCBA987654321 - 1),
+        # co-located exact dups, positive hash
+        (3, 10.02, 10.02, 0x0123456789ABCDEF),
+        (4, 10.03, 10.03, 0x0123456789ABCDEF),
+        # co-located but hamming 1 -> excluded at radius 0
+        (5, 10.04, 10.04, 0x0123456789ABCDEE),
+        # same hash as 1/2 but far away -> excluded by spatial block
+        (6, -120.0, -40.0, -0x7FEDCBA987654321 - 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, lon double, lat double, phash long"
+    )
+    want = {(1, 2, 0), (3, 4, 0)}
+    for cap in (None, 1):  # plain path and forced single-band hot path
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in multimodal.spatial_phash_pairs(
+                df, geodetic, 4, max_hamming=0, max_tile_contributors=cap
+            ).collect()
+        }
+        assert got == want, cap
 
 
 def test_phash_dup_pairs_hot_band_cap(spark):

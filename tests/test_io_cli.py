@@ -292,6 +292,62 @@ def test_ann_update_job_incremental_append(spark, tmp_path):
     assert annstore.read_index(spark, out).count() == 500
 
 
+def test_ann_compact_concurrent_append_exactly_once(spark, tmp_path, monkeypatch):
+    """A delta committed by a CONCURRENT appender between compact()'s
+    lineage snapshot and its marker must be neither folded into the new
+    generation nor recorded as absorbed — it keeps serving exactly once
+    afterwards (ADVICE r4: compact used to re-list lineage mid-write via
+    read_index, double-serving such a delta)."""
+    import argparse
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import ann_index_job
+
+    from tilematrix_spark import annstore
+    from tilematrix_spark.io import TableIO
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    basep = str(tmp_path / "base_vectors")
+    emb.filter("vec_id < 300").write.parquet(basep)
+    out = str(tmp_path / "annidx")
+    args = argparse.Namespace(
+        input=basep, output=out, id_col="vec_id", vec_col="embedding",
+        m=8, k=16, n_centroids=4, nprobe=2, topk=3, n_queries=8,
+    )
+    ann_index_job.run(spark, args)
+    annstore.append_batch(
+        spark, out, emb.filter("vec_id >= 300 AND vec_id < 350"), batch_id=1
+    )
+
+    upd2 = emb.filter("vec_id >= 350 AND vec_id < 400")
+    orig = TableIO.write_counted
+    state = {"fired": False}
+
+    def racing_write(self, df, path, mode="overwrite", partition_by=None):
+        # first generation write -> inject a concurrent committed append
+        if not state["fired"] and "compact=" in _os.path.basename(path):
+            state["fired"] = True
+            annstore.append_batch(spark, out, upd2, batch_id=2)
+        return orig(self, df, path, mode=mode, partition_by=partition_by)
+
+    monkeypatch.setattr(TableIO, "write_counted", racing_write)
+    c = annstore.compact(spark, out)
+    monkeypatch.setattr(TableIO, "write_counted", orig)
+    assert state["fired"] and not c["skipped"]
+    # the racing delta is NOT in the generation and NOT marked absorbed...
+    assert c["rows"] == 350 and c["absorbed"] == 1
+    # ...so probes see every row exactly once (dup ids would mean twice)
+    merged = annstore.read_index(spark, out)
+    assert merged.count() == 400
+    assert merged.select("vec_id").distinct().count() == 400
+    # the next compaction folds the racing delta in, still exactly once
+    c2 = annstore.compact(spark, out)
+    assert c2["rows"] == 400 and c2["absorbed"] == 1
+    assert annstore.read_index(spark, out).count() == 400
+
+
 def test_overview_pyramid_job_resumes_mid_pyramid(spark, geodetic, tmp_path):
     """Raster overview chain on PyramidJob: zoom z reads z+1's committed
     output, so a restart resumes at the first unbuilt level and never

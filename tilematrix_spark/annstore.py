@@ -51,14 +51,15 @@ def _latest_compact(done: dict):
     return (best[1], best[2]) if best else (None, None)
 
 
-def read_index(spark: SparkSession, index_path: str) -> DataFrame:
-    """The probe-visible index: the newest committed compaction (or the
-    base ``stage=index`` if none) ∪ every COMMITTED ``delta=*`` the
-    compaction hasn't absorbed.  Lineage-gated throughout — orphan
-    directories from a crash between write and commit are excluded, never
-    half-read."""
+def _index_from_snapshot(spark: SparkSession, index_path: str, done: dict) -> DataFrame:
+    """Probe-visible index as of ONE lineage listing ``done``: the newest
+    committed compaction (or the base ``stage=index`` if none) ∪ every
+    delta in ``done`` the compaction hasn't absorbed.  Taking the listing
+    as an argument lets ``compact`` build the generation it writes and the
+    ``absorbed`` set it records from the same snapshot — a delta committed
+    by a concurrent appender after the snapshot is neither folded in nor
+    marked absorbed, so it keeps serving exactly once."""
     io = TableIO(spark)
-    done = Lineage(index_path).committed()
     compact_unit, compact_rec = _latest_compact(done)
     if compact_unit:
         df = io.read(os.path.join(index_path, compact_unit))
@@ -70,6 +71,15 @@ def read_index(spark: SparkSession, index_path: str) -> DataFrame:
         if unit.startswith("delta=") and unit not in absorbed:
             df = df.unionByName(io.read(os.path.join(index_path, unit)))
     return df
+
+
+def read_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The probe-visible index: the newest committed compaction (or the
+    base ``stage=index`` if none) ∪ every COMMITTED ``delta=*`` the
+    compaction hasn't absorbed.  Lineage-gated throughout — orphan
+    directories from a crash between write and commit are excluded, never
+    half-read."""
+    return _index_from_snapshot(spark, index_path, Lineage(index_path).committed())
 
 
 def compact(spark: SparkSession, index_path: str) -> dict:
@@ -97,7 +107,7 @@ def compact(spark: SparkSession, index_path: str) -> dict:
     unit = f"compact={gen}"
     t0 = time.time()
     rows = TableIO(spark).write_counted(
-        read_index(spark, index_path),
+        _index_from_snapshot(spark, index_path, done),
         os.path.join(index_path, unit),
         partition_by=["_cell"],
     )

@@ -251,17 +251,19 @@ def _phash_band_structs(phash_col, n_bands: int):
     least one band, so joining on any-band-equal keeps recall exact for
     that radius.  shiftright sign-extends on int64; the mask clears the
     extended bits, so band values are correct unsigned ints for any band
-    position including the one holding bit 63."""
+    position including the one holding bit 63.  n_bands=1 (w=64, whose
+    mask would overflow LongType) degenerates to the unmasked hash — the
+    band IS the full word, so no mask is needed."""
     base, rem = divmod(64, n_bands)
     out, off = [], 0
     for b in range(n_bands):
         w = base + (1 if b < rem else 0)
-        out.append(
-            F.struct(
-                F.lit(b).alias("bi"),
-                F.shiftright(phash_col, off).bitwiseAND(F.lit((1 << w) - 1)).alias("bv"),
-            )
+        bv = (
+            phash_col
+            if w == 64
+            else F.shiftright(phash_col, off).bitwiseAND(F.lit((1 << w) - 1))
         )
+        out.append(F.struct(F.lit(b).alias("bi"), bv.alias("bv")))
         off += w
     return out
 

@@ -204,10 +204,21 @@ def top_terms(
     )
 
 
+def default_pack_buckets(spark) -> int:
+    """Default stream count for ``pack_token_stream``: 2× the cluster's
+    default parallelism, floored at 64.  The window sum inside each bucket
+    is sequential, so ``n_buckets`` IS the packing stage's max parallelism —
+    a fixed count would cap a 1000-executor cluster at 64 concurrent
+    streams.  2× leaves slack for skewed bucket sizes; the md5 bucket
+    function keeps any EXPLICIT ``n_buckets`` bit-deterministic across
+    cluster sizes (pass one when the layout must be reproducible)."""
+    return max(64, 2 * spark.sparkContext.defaultParallelism)
+
+
 def pack_token_stream(
     df,
     budget: int,
-    n_buckets: int = 64,
+    n_buckets: int = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
@@ -226,12 +237,19 @@ def pack_token_stream(
     Everything is a running window sum in (bucket, id) order — pure native
     expressions, ONE shuffle on the bucket key, no sequential driver pass:
     at corpus scale each bucket's cumulative sums are independent, so the
-    layout parallelizes by bucket while staying bit-deterministic (same
-    ids → same packing on any cluster size).  Zero-token docs are dropped
-    (they contribute nothing to the stream).
+    layout parallelizes by bucket while staying bit-deterministic for a
+    FIXED ``n_buckets`` (same ids + same n_buckets → same packing on any
+    cluster size).  ``n_buckets=None`` sizes the stream count to the
+    cluster (``default_pack_buckets``) — parallelism over cross-cluster
+    layout reproducibility; pass an explicit count when the layout must be
+    portable.  Zero-token docs are dropped (they contribute nothing to the
+    stream).  Sequence indices are pure int64 arithmetic (``div``) — no
+    double rounding near 2^53 per the ANSI-mode truncation discipline.
     """
     from pyspark.sql import Window
 
+    if n_buckets is None:
+        n_buckets = default_pack_buckets(df.sparkSession)
     toks = df.select(
         F.col(id_col),
         F.pmod(
@@ -246,13 +264,16 @@ def pack_token_stream(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
-    start = cum - F.col("n_tokens")
-    return toks.select(
-        id_col,
-        "bucket",
-        "n_tokens",
-        (start / budget).cast("long").alias("start_seq"),
-        F.pmod(start, F.lit(budget).cast("long")).alias("start_off"),
-        ((cum - 1) / budget).cast("long").alias("end_seq"),
+    b = F.lit(int(budget)).cast("long")
+    return (
+        toks.withColumn("_cum", F.sum("n_tokens").over(w))
+        .withColumn("_start", F.col("_cum") - F.col("n_tokens"))
+        .select(
+            id_col,
+            "bucket",
+            "n_tokens",
+            F.expr(f"_start div {int(budget)}").alias("start_seq"),
+            F.pmod(F.col("_start"), b).alias("start_off"),
+            F.expr(f"(_cum - 1) div {int(budget)}").alias("end_seq"),
+        )
     )
