@@ -348,6 +348,82 @@ def test_ann_compact_concurrent_append_exactly_once(spark, tmp_path, monkeypatch
     assert annstore.read_index(spark, out).count() == 400
 
 
+def test_ann_gc_and_drift_monitor(spark, tmp_path):
+    """gc(): absorbed deltas and superseded generations are physically
+    deleted once the newest compaction outlives the grace period, and
+    read_index is row-identical before/after (lineage proves the victims
+    unreadable); within the grace window nothing is touched; orphan dirs
+    are never touched.  Drift: each append records its mean
+    assigned-centroid similarity against the first batch's baseline — the
+    documented rebuild trigger."""
+    import argparse
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import ann_index_job
+
+    from tilematrix_spark import annstore
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    basep = str(tmp_path / "base_vectors")
+    emb.filter("vec_id < 300").write.parquet(basep)
+    out = str(tmp_path / "annidx")
+    args = argparse.Namespace(
+        input=basep, output=out, id_col="vec_id", vec_col="embedding",
+        m=8, k=16, n_centroids=4, nprobe=2, topk=3, n_queries=8,
+    )
+    ann_index_job.run(spark, args)
+
+    m1 = annstore.append_batch(
+        spark, out, emb.filter("vec_id >= 300 AND vec_id < 350"), batch_id=1
+    )
+    # drift recorded: first batch IS the baseline (ratio 1.0), visible in
+    # both the return value and the committed lineage config
+    assert m1["drift"]["ratio"] == 1.0 and 0.0 < m1["drift"]["mean_sim"] <= 1.0
+    rec1 = annstore.Lineage(out).committed()["delta=batch_1"]
+    assert rec1["config"]["drift"] == m1["drift"]
+    m2 = annstore.append_batch(
+        spark, out, emb.filter("vec_id >= 350 AND vec_id < 400"), batch_id=2
+    )
+    # second batch compares against the FIRST batch's baseline
+    assert m2["drift"]["baseline_sim"] == m1["drift"]["mean_sim"]
+
+    # no compaction yet -> nothing deletable
+    assert annstore.gc(spark, out, grace_s=0.0)["deleted"] == []
+    annstore.compact(spark, out)
+    key = lambda r: (r["vec_id"], r["_cell"], tuple(r["codes"]))  # noqa: E731
+    before = sorted(map(key, annstore.read_index(spark, out).collect()))
+
+    # inside the grace window: nothing deleted
+    g = annstore.gc(spark, out, grace_s=3600.0)
+    assert g["deleted"] == [] and "grace" in g["skipped"]
+    # orphan dir (no marker): must survive gc
+    _os.makedirs(_os.path.join(out, "delta=orphan_7"), exist_ok=True)
+
+    g = annstore.gc(spark, out, grace_s=0.0)
+    assert g["deleted"] == ["delta=batch_1", "delta=batch_2"]
+    assert not _os.path.exists(_os.path.join(out, "delta=batch_1"))
+    assert _os.path.exists(_os.path.join(out, "delta=orphan_7"))
+    assert sorted(map(key, annstore.read_index(spark, out).collect())) == before
+    # the gc'd batch's MARKER survives: a replay stays a no-op — its rows
+    # live in the compaction, a re-append would duplicate them
+    assert annstore.append_batch(
+        spark, out, emb.filter("vec_id >= 300 AND vec_id < 350"), batch_id=1
+    )["skipped"]
+    # a genuinely new batch + second compaction: gen 1 becomes garbage
+    annstore.append_batch(
+        spark, out, emb.filter("vec_id >= 400 AND vec_id < 450"), batch_id=3
+    )
+    after = sorted(map(key, annstore.read_index(spark, out).collect()))
+    assert len(after) == len(before) + 50
+    annstore.compact(spark, out)
+    g2 = annstore.gc(spark, out, grace_s=0.0)
+    assert set(g2["deleted"]) == {"compact=1", "delta=batch_3"}
+    assert g2["kept"] == "compact=2"
+    assert sorted(map(key, annstore.read_index(spark, out).collect())) == after
+
+
 def test_overview_pyramid_job_resumes_mid_pyramid(spark, geodetic, tmp_path):
     """Raster overview chain on PyramidJob: zoom z reads z+1's committed
     output, so a restart resumes at the first unbuilt level and never

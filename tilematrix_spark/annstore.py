@@ -31,10 +31,14 @@ write-then-commit crash safety.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .functions import similarity as sim
 from .io import Lineage, LineageRecord, TableIO
@@ -126,6 +130,64 @@ def compact(spark: SparkSession, index_path: str) -> dict:
             "skipped": False, "absorbed": len(absorbing)}
 
 
+def gc(spark: SparkSession, index_path: str, grace_s: float = 3600.0) -> dict:
+    """Physically delete units the lineage proves unreadable: deltas
+    absorbed by the newest committed compaction, and compaction
+    generations older than the newest.  ``read_index`` never touches
+    either, so deletion cannot change probe results — the only hazard is
+    a reader that listed lineage BEFORE the newest compaction committed
+    and is still scanning the old units, which the grace period covers:
+    nothing is deleted until the newest compaction is at least
+    ``grace_s`` old (bound it by your longest probe job).  Orphan
+    directories (no marker) are never touched — they may be an in-flight
+    writer's.
+
+    Only the DATA directories are deleted; lineage markers stay.  A
+    delta's marker is the exactly-once replay token — deleting it would
+    make a replayed batch re-append rows that already live inside the
+    compaction (duplicates).  Markers are O(100 bytes) each; the
+    compaction's ``absorbed`` list plus the surviving markers remain the
+    audit trail."""
+    done = Lineage(index_path).committed()
+    compact_unit, compact_rec = _latest_compact(done)
+    if not compact_unit:
+        return {"deleted": [], "skipped": "no compaction"}
+    age = time.time() - compact_rec["committed_at"]
+    if age < grace_s:
+        return {"deleted": [], "skipped": f"grace ({age:.0f}s < {grace_s:.0f}s)"}
+    absorbed = set(compact_rec["config"]["absorbed"])
+    victims = [
+        u for u in done
+        if (u.startswith("delta=") and u in absorbed)
+        or (u.startswith("compact=") and u != compact_unit)
+    ]
+    deleted = []
+    for unit in sorted(victims):
+        path = os.path.join(index_path, unit)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+            deleted.append(unit)
+    return {"deleted": deleted, "kept": compact_unit}
+
+
+def _mean_centroid_sim(
+    spark: SparkSession, df: DataFrame, cents, vec_col: str
+) -> float:
+    """Mean cosine similarity of vectors to their ASSIGNED (nearest)
+    centroid — the quantizer-fit statistic.  One Arrow kernel + one
+    aggregate over Θ(|df|) rows."""
+    cq = cents
+
+    @F.pandas_udf(T.DoubleType())
+    def best_sim(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ cq.T).max(axis=1))
+
+    row = df.select(F.avg(best_sim(F.col(vec_col))).alias("s")).collect()[0]
+    return float(row["s"] or 0.0)
+
+
 def append_batch(
     spark: SparkSession,
     index_path: str,
@@ -140,7 +202,16 @@ def append_batch(
     batch is skipped (skipped=True); an uncommitted leftover from a crash
     is overwritten before the marker lands.  ``namespace`` separates writer
     lineages whose ids would otherwise collide (e.g. a manual backfill and
-    a stream both counting from 0)."""
+    a stream both counting from 0).
+
+    Quantizer DRIFT is monitored per batch: the batch's mean cosine
+    similarity to its assigned centroid is recorded in the delta's
+    lineage config next to the baseline (the earliest recorded batch —
+    the distribution the frozen quantizer was judged good for) and their
+    ratio.  A ratio persistently below ~0.9 means new vectors no longer
+    fit the frozen cells (recall decays at fixed nprobe) — that is the
+    REBUILD trigger: retrain + full re-encode via jobs/ann_index_job.py,
+    never a silent retrain on the append path."""
     lineage = Lineage(index_path)
     unit = f"delta={namespace}_{batch_id}"
     done = lineage.committed()
@@ -150,15 +221,27 @@ def append_batch(
     cents = sim.centroids_from_rows(io.read(os.path.join(index_path, "stage=centroids")))
     books = sim.codebooks_from_rows(io.read(os.path.join(index_path, "stage=codebooks")))
     t0 = time.time()
-    cb = sim.with_ivf_cells(
-        updates.select(F.col(id_col), F.col(vec_col).alias("_cv")),
-        cents, 1, "_cv",
-    ).select(id_col, "_cv", F.element_at("_cells", 1).alias("_cell"))
+    slim = updates.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    mean_sim = round(_mean_centroid_sim(spark, slim, cents, "_cv"), 6)
+    baseline = mean_sim
+    for rec in sorted(done.values(), key=lambda r: r["committed_at"]):
+        drift = rec["config"].get("drift")
+        if drift:
+            baseline = drift["baseline_sim"]
+            break
+    cb = sim.with_ivf_cells(slim, cents, 1, "_cv").select(
+        id_col, "_cv", F.element_at("_cells", 1).alias("_cell")
+    )
     encoded = sim.with_pq_codes(cb, books, "_cv").select(id_col, "_cell", "codes")
     rows = io.write_counted(
         encoded, os.path.join(index_path, unit), partition_by=["_cell"]
     )
     wall = round(time.time() - t0, 3)
+    drift = {
+        "mean_sim": mean_sim,
+        "baseline_sim": baseline,
+        "ratio": round(mean_sim / baseline, 4) if baseline else None,
+    }
     lineage.commit(
         LineageRecord(
             unit=unit,
@@ -166,7 +249,8 @@ def append_batch(
             wall_s=wall,
             committed_at=time.time(),
             config={"batch_id": int(batch_id), "namespace": namespace,
-                    "frozen_quantizers": True},
+                    "frozen_quantizers": True, "drift": drift},
         )
     )
-    return {"unit": unit, "rows": rows, "wall_s": wall, "skipped": False}
+    return {"unit": unit, "rows": rows, "wall_s": wall, "skipped": False,
+            "drift": drift}

@@ -544,6 +544,210 @@ def ivf_pq_probe(
     return _adc_topk(cands, books.shape[0], k, query_id, corpus_id)
 
 
+def det_coarse_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic INTEGER coarse quantizer for the value-oracled
+    residual pipeline: the quantized (``floor(v*1000+0.5)``) vectors of the
+    first ``n_centroids`` corpus rows in id order — positional like
+    ``pq_codebooks``, no RNG, no k-means, so a SQL oracle reproduces cell
+    assignment bit-for-bit and the PRUNED (nprobe < n_centroids) regime is
+    value-gateable, which the sampled-k-means quantizer never is.  (A
+    Lloyd-trained quantizer plugs into the same residual encode/probe path
+    — quantize its centroids with the same floor rule — at the cost of the
+    oracle.)  Returns int64 (n_centroids, dim)."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    if len(rows) < n_centroids:
+        raise ValueError(f"corpus must have >= {n_centroids} vectors")
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    return np.floor(x * PORTABLE_SCALE + 0.5).astype(np.int64)
+
+
+def _int_cell_dists(q: np.ndarray, cents_q: np.ndarray) -> np.ndarray:
+    """(n, C) exact int64 squared L2 distances of quantized rows to the
+    integer coarse centroids — one integer matmul (|v| ≤ ~2·10³ quantized,
+    dim ≤ 10³ ⇒ every term ≪ 2⁶³, exact in int64)."""
+    return (
+        (q * q).sum(axis=1, keepdims=True)
+        - 2 * (q @ cents_q.T)
+        + (cents_q * cents_q).sum(axis=1)[None, :]
+    )
+
+
+def pq_residual_codebooks(
+    corpus: DataFrame,
+    cents_q: np.ndarray,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Residual PQ codebooks (the IVFADC refinement, Jégou et al. 2011
+    §IV): subspace ``j``'s ``k`` centroids are the j-th subvectors of the
+    RESIDUALS ``quantize(x) − coarse_centroid(cell(x))`` of the first
+    ``m·k`` corpus rows in id order.  Residuals concentrate around 0 once
+    the coarse term is subtracted, so the same code budget quantizes a
+    much smaller-variance signal — this is why IVFADC beats raw-vector
+    codes at nprobe < n_centroids.  Integer end to end (quantized inputs,
+    integer centroids), positional row selection — SQL-mirrorable.
+    Returns int64 (m, k, dim//m)."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(m * k).collect()
+    if len(rows) < m * k:
+        raise ValueError(f"corpus must have >= {m * k} vectors")
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    q = np.floor(x * PORTABLE_SCALE + 0.5).astype(np.int64)
+    dim = q.shape[1]
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    # stable argmin == (distance, cell-id) tie order, same as the SQL mirror
+    cell = np.argmin(_int_cell_dists(q, cents_q), axis=1)
+    r = q - cents_q[cell]
+    sub = dim // m
+    books = np.empty((m, k, sub), dtype=np.int64)
+    for j in range(m):
+        books[j] = r[j * k : (j + 1) * k, j * sub : (j + 1) * sub]
+    return books
+
+
+def with_ivf_pq_residual(
+    df: DataFrame,
+    books: np.ndarray,
+    cents_q: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-side IVFADC encode in ONE Arrow pass: assign the nearest
+    integer coarse cell (ties → smaller cell id, matching the SQL
+    ``row_number`` order) and PQ-encode the RESIDUAL against ``books``.
+    Adds ``_cell`` (int) and ``codes`` (array<int>); the raw vector never
+    leaves the kernel — downstream scans touch m-byte codes only."""
+    m, k, sub = books.shape
+    bks, cq = books, cents_q
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+    def encode_udf(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        q = np.floor(mat * PORTABLE_SCALE + 0.5).astype(np.int64)
+        cells = np.empty(len(q), dtype=np.int32)
+        codes = np.empty((len(q), m), dtype=np.int32)
+        for lo in range(0, len(q), _PQ_CHUNK):
+            chunk = q[lo : lo + _PQ_CHUNK]
+            cell = np.argmin(_int_cell_dists(chunk, cq), axis=1)
+            cells[lo : lo + _PQ_CHUNK] = cell
+            r = chunk - cq[cell]
+            for j in range(m):
+                codes[lo : lo + _PQ_CHUNK, j] = np.argmin(
+                    _pq_sub_dists(r, bks, j), axis=1
+                )
+        return pd.DataFrame({"cell": cells, "codes": list(codes)})
+
+    enc = df.withColumn("_enc", encode_udf(F.col(vec_col)))
+    return enc.select(
+        *[c for c in df.columns if c != vec_col],
+        F.col("_enc.cell").alias("_cell"),
+        F.col("_enc.codes").alias("codes"),
+    )
+
+
+def pq_residual_query_tables(
+    queries: DataFrame,
+    books: np.ndarray,
+    cents_q: np.ndarray,
+    nprobe: int,
+    query_id: str = "qid",
+    q_vec: str = "embedding",
+) -> DataFrame:
+    """Query-side IVFADC probe prep: one row per (query, probed cell) with
+    the m×k ADC table of the query's RESIDUAL against that cell — the
+    per-cell table is what makes residual ADC asymmetric-exact on the
+    coarse term.  Probed cells = nprobe nearest integer cells, ties →
+    smaller cell id.  Pinned by localCheckpoint (projection-collapse
+    barrier, the pq_query_tables discipline)."""
+    m, k, sub = books.shape
+    bks, cq = books, cents_q
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("cell", T.IntegerType()),
+                    T.StructField("tab", T.ArrayType(T.ArrayType(T.LongType()))),
+                ]
+            )
+        )
+    )
+    def tables_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        q = np.floor(mat * PORTABLE_SCALE + 0.5).astype(np.int64)
+        d = _int_cell_dists(q, cq)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]  # tie→small id
+        out = []
+        for i in range(len(q)):
+            per_cell = []
+            for cell in order[i]:
+                r = (q[i] - cq[cell])[None, :]
+                tab = np.stack([_pq_sub_dists(r, bks, j)[0] for j in range(m)])
+                per_cell.append({"cell": int(cell), "tab": tab.tolist()})
+            out.append(per_cell)
+        return pd.Series(out)
+
+    return (
+        queries.select(F.col(query_id).alias("_qid"), F.col(q_vec).alias("_qv"))
+        .select("_qid", F.explode(tables_udf(F.col("_qv"))).alias("_pc"))
+        .select("_qid", F.col("_pc.cell").alias("_cell"), F.col("_pc.tab").alias("_tab"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def ivf_pq_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int = 8,
+    k_cb: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 3,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding (Jégou et al. 2011 §IV — the canonical
+    FAISS IVF-PQ shape): corpus vectors carry (cell, residual PQ code);
+    queries probe ``nprobe`` cells, each probe using the ADC table of the
+    query's residual vs THAT cell, rank by table-lookup distance.  The
+    refinement ``ivf_pq_topk`` lacks: encoding x − centroid(cell) instead
+    of x lets the same m-byte code budget quantize the small-variance
+    residual, so recall at nprobe < n_centroids is strictly better than
+    raw-vector codes (pytest-pinned).
+
+    With the deterministic integer coarse quantizer
+    (``det_coarse_centroids``) the ENTIRE pipeline — assignment,
+    residuals, codebooks, codes, per-cell tables, ADC sums, ranking — is
+    integer arithmetic both engines compute bit-identically, so the PRUNED
+    regime itself has a full DuckDB value oracle (sql_ivf_pq_residual_topk),
+    not just the full-probe degenerate case.  Scale shape: candidate
+    volume ∝ nprobe/n_centroids, scan touches codes only, per-query work =
+    nprobe small matmuls.  Returns (query_id, corpus_id, rank)."""
+    cents_q = det_coarse_centroids(corpus, n_centroids, corpus_id, c_vec)
+    books = pq_residual_codebooks(corpus, cents_q, m, k_cb, corpus_id, c_vec)
+    index = with_ivf_pq_residual(
+        corpus.select(F.col(corpus_id), F.col(c_vec).alias("_cv")), books, cents_q, "_cv"
+    )
+    qd = pq_residual_query_tables(queries, books, cents_q, nprobe, query_id, q_vec)
+    cands = F.broadcast(qd).join(index, "_cell").drop("_cell")
+    return _adc_topk(cands, m, k, query_id, corpus_id)
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

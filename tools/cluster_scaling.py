@@ -1,16 +1,20 @@
-"""Multi-JVM scaling isolation experiment (VERDICT round-1 #8): run the
-tile-assign scaling job on ``local-cluster[1,8,...]`` vs
-``local-cluster[4,8,...]`` — real executor JVMs with separate heaps and
+"""Multi-JVM scaling isolation experiment (VERDICT round-1 #8, round-4 #4):
+run scaling jobs on ``local-cluster[1,8,...]`` vs ``local-cluster[4,8,...]``
+— real separate executor JVMs with their own heaps, python worker pools and
 Arrow pipes, the closest one-box proxy to N vs 4N executors — and report
-throughputs + efficiency next to the simultaneously measured spin control.
+throughputs + efficiency, each measurement carrying the spin-control host
+envelope taken immediately before it (the CLAUDE.md drift discipline: this
+box swings ±30% under sustained load, so a ratio is only interpretable
+against the simultaneously measured hardware ceiling).
 
 On one box both configurations share the same DRAM controllers, so a ratio
 below the spin envelope isolates memory bandwidth (the resource a real 4x
 cluster step multiplies) rather than engine structure; the per-round record
 keeps that caveat evidence-based.
 
-Usage: python tools/cluster_scaling.py [--job tile|pip|verify] [--rounds 2]
-Prints one JSON line.
+Usage: python tools/cluster_scaling.py [--jobs tile,pip] [--rounds 2]
+Prints one JSON line.  ``bench.py`` imports ``run`` and attaches the result
+as the ``scaling.cluster`` block of its per-round JSON.
 """
 
 from __future__ import annotations
@@ -22,6 +26,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MASTERS = {
+    "1x8": "local-cluster[1,8,6144]",
+    "4x8": "local-cluster[4,8,6144]",
+}
 
 
 def _worker(master: str, job: str, sf_dir: str) -> None:
@@ -43,6 +52,7 @@ def _worker(master: str, job: str, sf_dir: str) -> None:
         .config("spark.sql.shuffle.partitions", str(8 * n_exec))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-bench"))
         .config("spark.executor.memory", "6g")
         .config("spark.driver.memory", "8g")
@@ -55,6 +65,8 @@ def _worker(master: str, job: str, sf_dir: str) -> None:
         bench.scaling_job(spark, sf_dir)  # JIT warm-up
         rate = max(bench.scaling_job(spark, sf_dir)[0] for _ in range(2))
     elif job == "verify":
+        # generation staged to parquet OUTSIDE the timed region (bench.py
+        # verify_scaling_job) — the timed kernel is scan + Arrow verify
         bench.verify_scaling_job(spark, 20_000)
         rate = max(bench.verify_scaling_job(spark, 200_000) for _ in range(2))
     else:
@@ -64,41 +76,55 @@ def _worker(master: str, job: str, sf_dir: str) -> None:
     print(rate)
 
 
+def run(jobs=("tile", "pip"), rounds: int = 2, sf_dir: str | None = None) -> dict:
+    """Best-of-``rounds`` interleaved 1x8/4x8 measurements per job, each
+    with the spin control taken immediately before the winning run.  Per
+    job: r1x8/r4x8 (throughput), eff (r4x8 / 4·r1x8), env (the spin
+    envelope at the two winning measurements — the ceiling ANY sustained
+    job could reach between those windows)."""
+    import bench
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out: dict = {}
+    for job in jobs:
+        rates: dict[str, float] = {}
+        spins: dict[str, float] = {}
+        for _ in range(rounds):
+            for key, master in MASTERS.items():
+                time.sleep(5)  # cooldown: turbo drift penalizes the last runner
+                env = bench.spin_control(8 if key == "1x8" else 32, dur=3.0)
+                rate = float(
+                    subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--worker", master, job, sf_dir],
+                        capture_output=True, text=True, check=True,
+                    ).stdout.strip().splitlines()[-1]
+                )
+                if rate > rates.get(key, 0.0):
+                    rates[key] = rate
+                    spins[key] = env
+        out[job] = {
+            "r1x8": round(rates["1x8"]),
+            "r4x8": round(rates["4x8"]),
+            "eff": round(rates["4x8"] / (4 * rates["1x8"]), 3),
+            "env": round(spins["4x8"] / (4 * spins["1x8"]), 3),
+        }
+    return out
+
+
 def main() -> None:
     if "--worker" in sys.argv:
         i = sys.argv.index("--worker")
         _worker(sys.argv[i + 1], sys.argv[i + 2], sys.argv[i + 3])
         return
-    job = sys.argv[sys.argv.index("--job") + 1] if "--job" in sys.argv else "tile"
+    if "--job" in sys.argv:  # legacy single-job spelling
+        jobs = [sys.argv[sys.argv.index("--job") + 1]]
+    elif "--jobs" in sys.argv:
+        jobs = sys.argv[sys.argv.index("--jobs") + 1].split(",")
+    else:
+        jobs = ["tile", "pip"]
     rounds = int(sys.argv[sys.argv.index("--rounds") + 1]) if "--rounds" in sys.argv else 2
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-    import bench
-
-    # local-cluster[N, cores-per-executor, mem-MiB]: real separate executor
-    # JVMs + python worker pools per executor, unlike local[K]'s single JVM
-    masters = {
-        "1x8": "local-cluster[1,8,6144]",
-        "4x8": "local-cluster[4,8,6144]",
-    }
-    rates: dict[str, float] = {}
-    for _ in range(rounds):
-        for key, master in masters.items():
-            time.sleep(5)
-            out = subprocess.run(
-                [sys.executable, __file__, "--worker", master, job, sf_dir],
-                capture_output=True, text=True, check=True,
-            ).stdout.strip().splitlines()[-1]
-            rates[key] = max(rates.get(key, 0.0), float(out))
-    env8 = bench.spin_control(8)
-    env32 = bench.spin_control(32)
-    print(json.dumps({
-        "job": job,
-        "rate_1x8": round(rates["1x8"]),
-        "rate_4x8": round(rates["4x8"]),
-        "efficiency_1x8_to_4x8": round(rates["4x8"] / (4 * rates["1x8"]), 3),
-        "spin_control_efficiency_8_to_32": round(env32 / (4 * env8), 3),
-    }))
+    print(json.dumps({"cluster": run(tuple(jobs), rounds)}))
 
 
 if __name__ == "__main__":
