@@ -42,10 +42,25 @@ from tilematrix_spark.io import StageJob
 
 def run(spark: SparkSession, args) -> dict:
     """Build (or resume) the index pipeline; importable for in-process tests
-    — ``args`` is any namespace with the CLI fields."""
+    — ``args`` is any namespace with the CLI fields.
+
+    ``--residual`` builds the IVFADC layout (Jégou et al. 2011 §IV):
+    deterministic INTEGER coarse centroids, codebooks trained on residuals,
+    index codes = residual PQ codes, probe = per-(query, cell) residual ADC
+    tables.  The flag is recorded in every stage's lineage config, so
+    ``annstore.append_batch`` (and the streaming sink through it) picks the
+    matching encoder automatically — a raw append into a residual index
+    would silently corrupt distances."""
     emb = spark.read.parquet(args.input)
+    residual = bool(getattr(args, "residual", False))
 
     def build_centroids(s, read_stage):
+        if residual:
+            cq = sim.det_coarse_centroids(
+                emb, args.n_centroids, id_col=args.id_col, vec_col=args.vec_col
+            )
+            rows = [(i, [int(x) for x in cq[i]]) for i in range(len(cq))]
+            return s.createDataFrame(rows, "cell int, centroid array<long>")
         cents = sim.ivf_train_centroids(
             emb, args.n_centroids, id_col=args.id_col, vec_col=args.vec_col
         )
@@ -53,9 +68,15 @@ def run(spark: SparkSession, args) -> dict:
         return s.createDataFrame(rows, "cell int, centroid array<double>")
 
     def build_codebooks(s, read_stage):
-        books = sim.pq_codebooks(
-            emb, m=args.m, k=args.k, id_col=args.id_col, vec_col=args.vec_col
-        )
+        if residual:
+            books = sim.pq_residual_codebooks(
+                emb, sim.int_centroids_from_rows(read_stage("centroids")),
+                m=args.m, k=args.k, id_col=args.id_col, vec_col=args.vec_col,
+            )
+        else:
+            books = sim.pq_codebooks(
+                emb, m=args.m, k=args.k, id_col=args.id_col, vec_col=args.vec_col
+            )
         rows = [
             (j, c, [int(x) for x in books[j][c]])
             for j in range(args.m)
@@ -64,23 +85,33 @@ def run(spark: SparkSession, args) -> dict:
         return s.createDataFrame(rows, "j int, c int, cent array<long>")
 
     def build_index(s, read_stage):
-        cents = sim.centroids_from_rows(read_stage("centroids"))
         books = sim.codebooks_from_rows(read_stage("codebooks"))
-        cb = sim.with_ivf_cells(
-            emb.select(F.col(args.id_col), F.col(args.vec_col).alias("_cv")),
-            cents, 1, "_cv",
-        ).select(args.id_col, "_cv", F.element_at("_cells", 1).alias("_cell"))
+        slim = emb.select(F.col(args.id_col), F.col(args.vec_col).alias("_cv"))
+        if residual:
+            cq = sim.int_centroids_from_rows(read_stage("centroids"))
+            return sim.with_ivf_pq_residual(slim, books, cq, "_cv")
+        cents = sim.centroids_from_rows(read_stage("centroids"))
+        cb = sim.with_ivf_cells(slim, cents, 1, "_cv").select(
+            args.id_col, "_cv", F.element_at("_cells", 1).alias("_cell")
+        )
         return sim.with_pq_codes(cb, books, "_cv").select(
             args.id_col, "_cell", "codes"
         )
 
     def build_topk(s, read_stage):
-        cents = sim.centroids_from_rows(read_stage("centroids"))
         books = sim.codebooks_from_rows(read_stage("codebooks"))
         index = read_stage("index")
         queries = emb.filter(F.col(args.id_col) < args.n_queries).select(
             F.col(args.id_col).alias("qid"), F.col(args.vec_col)
         )
+        if residual:
+            cq = sim.int_centroids_from_rows(read_stage("centroids"))
+            return sim.ivf_pq_residual_probe(
+                queries, index, books, cq,
+                k=args.topk, nprobe=args.nprobe,
+                query_id="qid", corpus_id=args.id_col, q_vec=args.vec_col,
+            )
+        cents = sim.centroids_from_rows(read_stage("centroids"))
         return sim.ivf_pq_probe(
             queries, index, books, cents,
             k=args.topk, nprobe=args.nprobe,
@@ -100,6 +131,7 @@ def run(spark: SparkSession, args) -> dict:
         config={
             "m": args.m, "k": args.k,
             "n_centroids": args.n_centroids, "nprobe": args.nprobe,
+            "residual": residual,
         },
     )
     executed = job.run()
@@ -118,6 +150,8 @@ def main() -> None:
     p.add_argument("--nprobe", type=int, default=2)
     p.add_argument("--topk", type=int, default=3)
     p.add_argument("--n-queries", type=int, default=32)
+    p.add_argument("--residual", action="store_true",
+                   help="IVFADC layout: integer coarse quantizer + residual codes")
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("tmx_ann_index_job").getOrCreate()

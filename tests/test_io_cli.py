@@ -348,6 +348,58 @@ def test_ann_compact_concurrent_append_exactly_once(spark, tmp_path, monkeypatch
     assert annstore.read_index(spark, out).count() == 400
 
 
+def test_ann_residual_index_build_and_append(spark, tmp_path):
+    """--residual index lifecycle (IVFADC layout): the build job records
+    the layout in lineage, the probe stage runs against residual codes,
+    and append_batch AUTO-DETECTS the layout — the merged index is
+    row-identical to a full residual re-encode of the union corpus with
+    the frozen integer quantizer (a raw-code append would corrupt every
+    ADC distance; the config flag prevents that class of bug)."""
+    import argparse
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import ann_index_job
+
+    from tilematrix_spark import annstore
+    from tilematrix_spark.functions import similarity as sim
+    from tilematrix_spark.io import TableIO
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id < 300")
+    upd = emb.filter("vec_id >= 300 AND vec_id < 400")
+    basep = str(tmp_path / "base_vectors")
+    base.write.parquet(basep)
+    out = str(tmp_path / "annidx_res")
+    args = argparse.Namespace(
+        input=basep, output=out, id_col="vec_id", vec_col="embedding",
+        m=8, k=16, n_centroids=4, nprobe=2, topk=3, n_queries=8,
+        residual=True,
+    )
+    r = ann_index_job.run(spark, args)
+    assert r["executed"] == ["centroids", "codebooks", "index", "topk"]
+    assert r["metrics"]["stage=centroids"]["config"]["residual"] is True
+    # probe stage produced k rows per query against residual codes
+    topk = TableIO(spark).read(_os.path.join(out, "stage=topk"))
+    assert topk.count() == 8 * 3
+
+    m1 = annstore.append_batch(spark, out, upd, batch_id=1)
+    assert not m1["skipped"] and m1["rows"] == 100
+
+    io = TableIO(spark)
+    cq = sim.int_centroids_from_rows(io.read(_os.path.join(out, "stage=centroids")))
+    books = sim.codebooks_from_rows(io.read(_os.path.join(out, "stage=codebooks")))
+    full = sim.with_ivf_pq_residual(
+        base.unionByName(upd).select("vec_id", F.col("embedding").alias("_cv")),
+        books, cq, "_cv",
+    )
+    key = lambda r: (r["vec_id"], r["_cell"], tuple(r["codes"]))  # noqa: E731
+    assert sorted(map(key, annstore.read_index(spark, out).collect())) == sorted(
+        map(key, full.collect())
+    )
+
+
 def test_ann_gc_and_drift_monitor(spark, tmp_path):
     """gc(): absorbed deltas and superseded generations are physically
     deleted once the newest compaction outlives the grace period, and
@@ -468,27 +520,36 @@ def test_driver_gate_window_holds_kernel_queries():
     kernel_bearing = {
         "point_tile_counts", "tile_bounds", "tile_affine", "matrix_dims",
         "point_tile_grids",  # r4: mercator + custom-grid constants (tagged union)
-        "parent_rollup", "neighbors", "cover_bbox", "cover_bbox_split",
+        "parent_rollup", "neighbors",
+        "cover_bbox_modes",  # r5: z4 + auto-split covers (tagged union)
         "cover_bbox_grids",  # r4: mt4 + mercator + custom cover constants
-        "cover_multizoom", "snap_bounds", "intersecting", "knn", "knn_sparse",
-        "geom_tiles_boxes", "geom_tiles_exact", "pip_join_regions",
+        "cover_multizoom", "snap_bounds", "intersecting",
+        "knn_modes",  # r5: dense ring-1 + sparse ring-doubling (tagged union)
+        "geom_tiles_modes",  # r5: intersects + exact semantics (tagged union)
+        "pip_join_regions",
         "raster_windows", "rasterize_bins",
         "compose_tiles", "overview_coverage", "incremental_dirty",
         "incremental_propagate",  # r4: merged_level + propagate_level gate
         "verify_images", "phash_near_dup", "spatial_phash_pairs",
-        "ann_lsh_topk", "ann_ivf_topk", "cosine_topk",
-        "pq_topk",  # r4: product-quantization ADC (embedding_dups demoted —
-        # its cosine kernel is gated via cosine_topk)
+        "ann_modes",  # r5: lsh + ivf + pq full-probe pipelines (tagged union)
+        "ivf_pq_residual_topk",  # r5: pruned-regime IVFADC, full value oracle
+        "pq_codes", "cosine_topk",
+        # r5: round-4 compositions promoted into the freed slots
+        "crossmodal_dups", "decontaminate", "pack_sequences",
         "stream_tile_counts", "user_sessions", "tile_quantiles",
         "dedup_exact", "token_stats", "top_terms",
         "minhash_lsh_pairs", "ngram_jaccard", "simhash_near_pairs",
         "winnow_fingerprints", "winnow_near_pairs", "dedup_clusters",
         "source_quota", "zorder_scan",
     }
-    # demoted to the tail (r4): raster_windows_buffered (pixelbuffer shape
-    # gated via tile_shape_pixelbuffer + raster_windows), spatial_split /
-    # tile_user_counts / sample_hash (md5-projection and two-stage-distinct
-    # shapes shared with source_quota / dedup_exact)
+    # demoted to the tail (r4/r5): raster_windows_buffered (pixelbuffer
+    # shape gated via tile_shape_pixelbuffer + raster_windows),
+    # spatial_split / tile_user_counts / sample_hash (md5-projection and
+    # two-stage-distinct shapes shared with source_quota / dedup_exact),
+    # and the untagged halves of the r5 unions (knn, knn_sparse,
+    # cover_bbox, cover_bbox_split, geom_tiles_boxes, geom_tiles_exact,
+    # ann_lsh_topk, ann_ivf_topk, pq_topk — individually addressable for
+    # debugging, coverage rides the in-window unions)
     missing = kernel_bearing - window
     assert not missing, f"kernel queries outside the 50-gate window: {missing}"
     # every query has an oracle except the documented rows-only entry

@@ -282,3 +282,26 @@ def test_decontaminate_broadcasts_test_side(spark):
     # the fp equi-join and the hash equi-join build on the broadcast side
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin Inner" not in plan  # no corpus-wide text-key SMJ
+
+
+def test_ivf_pq_residual_probe_broadcast_native_adc(spark):
+    """Residual IVFADC probe: the per-(query, probed-cell) table side is
+    BROADCAST onto the cell equi-join (never a corpus-wide sort-merge),
+    and the ADC ranking after the join is pure native element_at adds —
+    the only Python in the pipeline is the two Arrow encode kernels,
+    upstream of the join."""
+    from tilematrix_spark.functions import similarity as simfns
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = simfns.ivf_pq_residual_topk(queries, emb, n_centroids=8, nprobe=2, k=3)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly the two Arrow encode kernels (index-side cell+codes, query-
+    # side per-cell tables) and nothing row-at-a-time: the ADC distance and
+    # ranking above the join are therefore pure JVM expressions
+    assert plan.count("ArrowEvalPython") == 2
+    assert "BatchEvalPython" not in plan

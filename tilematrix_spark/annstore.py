@@ -175,8 +175,11 @@ def _mean_centroid_sim(
 ) -> float:
     """Mean cosine similarity of vectors to their ASSIGNED (nearest)
     centroid — the quantizer-fit statistic.  One Arrow kernel + one
-    aggregate over Θ(|df|) rows."""
-    cq = cents
+    aggregate over Θ(|df|) rows.  Both sides unit-normalized so the value
+    is a true cosine for float (already unit-norm) AND integer (residual
+    layout) quantizers alike."""
+    cq = np.asarray(cents, dtype=np.float64)
+    cq = cq / np.maximum(np.linalg.norm(cq, axis=1, keepdims=True), 1e-12)
 
     @F.pandas_udf(T.DoubleType())
     def best_sim(vecs: pd.Series) -> pd.Series:
@@ -218,10 +221,21 @@ def append_batch(
     if unit in done:
         return {"unit": unit, "rows": done[unit]["rows"], "skipped": True}
     io = TableIO(spark)
-    cents = sim.centroids_from_rows(io.read(os.path.join(index_path, "stage=centroids")))
+    # the build job records its layout in every stage marker: a residual
+    # (IVFADC) index MUST be appended with the residual encoder — raw codes
+    # mixed into residual cells would silently corrupt every ADC distance
+    residual = bool(
+        done.get("stage=centroids", {}).get("config", {}).get("residual", False)
+    )
+    cents_df = io.read(os.path.join(index_path, "stage=centroids"))
     books = sim.codebooks_from_rows(io.read(os.path.join(index_path, "stage=codebooks")))
     t0 = time.time()
     slim = updates.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    if residual:
+        cents_q = sim.int_centroids_from_rows(cents_df)
+        cents = cents_q.astype("float64")
+    else:
+        cents = sim.centroids_from_rows(cents_df)
     mean_sim = round(_mean_centroid_sim(spark, slim, cents, "_cv"), 6)
     baseline = mean_sim
     for rec in sorted(done.values(), key=lambda r: r["committed_at"]):
@@ -229,10 +243,13 @@ def append_batch(
         if drift:
             baseline = drift["baseline_sim"]
             break
-    cb = sim.with_ivf_cells(slim, cents, 1, "_cv").select(
-        id_col, "_cv", F.element_at("_cells", 1).alias("_cell")
-    )
-    encoded = sim.with_pq_codes(cb, books, "_cv").select(id_col, "_cell", "codes")
+    if residual:
+        encoded = sim.with_ivf_pq_residual(slim, books, cents_q, "_cv")
+    else:
+        cb = sim.with_ivf_cells(slim, cents, 1, "_cv").select(
+            id_col, "_cv", F.element_at("_cells", 1).alias("_cell")
+        )
+        encoded = sim.with_pq_codes(cb, books, "_cv").select(id_col, "_cell", "codes")
     rows = io.write_counted(
         encoded, os.path.join(index_path, unit), partition_by=["_cell"]
     )

@@ -113,6 +113,7 @@ def with_lsh_buckets(
     vec_col: str = "embedding",
     seed: int = 1234,
     portable: bool = False,
+    keep_bands_array: bool = False,
 ) -> DataFrame:
     """Add ``bucket_0..bucket_{bands-1}`` sign-LSH band keys — one Arrow
     matmul + one reshape-matmul per batch (fully vectorized; no per-row
@@ -123,6 +124,12 @@ def with_lsh_buckets(
     oracle can mirror bucket assignment exactly: every projection is a sum
     of ≤2^26-magnitude integers, exact in IEEE double regardless of
     summation order.
+
+    ``keep_bands_array=True`` returns the raw ``_bands`` array column
+    instead of the per-band ``bucket_b`` columns — the input to the
+    explode-once blocking shape (one kernel pass + one posexplode + ONE
+    join on (band index, key), vs a union of per-band joins that re-scans
+    and re-hashes the corpus once per band).
     """
     if num_bits % bands:
         raise ValueError("num_bits must be divisible by bands")
@@ -143,7 +150,12 @@ def with_lsh_buckets(
         keys = signs.reshape(-1, bands, bits_per_band).astype(np.int64) @ weights
         return pd.Series(keys.astype(np.int32).tolist())
 
-    out = df.withColumn("_bands", band_keys(F.col(vec_col)))
+    # asNondeterministic: bucket values become equi-join keys — Catalyst's
+    # inserted isnotnull(key) filter would otherwise re-run the hashing
+    # matmul a second time per side (the with_ivf_cells disease)
+    out = df.withColumn("_bands", band_keys.asNondeterministic()(F.col(vec_col)))
+    if keep_bands_array:
+        return out
     for b in range(bands):
         out = out.withColumn(f"bucket_{b}", F.element_at("_bands", b + 1))
     return out.drop("_bands")
@@ -166,24 +178,30 @@ def lsh_topk(
     """Approximate cosine top-k: candidates share ≥1 LSH band bucket, then
     exact re-rank.  Recall grows with bands; verify against cosine_topk.
     ``portable=True`` uses the md5-derived integer-exact planes (see
-    with_lsh_buckets) so a SQL oracle can mirror the whole pipeline."""
+    with_lsh_buckets) so a SQL oracle can mirror the whole pipeline.
+
+    Blocking is explode-once: each side hashes ONCE, posexplodes its band
+    keys, and candidates come from a single equi-join on (band index,
+    key).  The earlier union-of-per-band-joins shape re-scanned and
+    re-hashed the corpus once per band (measured 32 Arrow kernel nodes at
+    bands=8 vs 2 now)."""
     qb = with_lsh_buckets(
         queries.select(F.col(query_id).alias("_qid"), F.col(q_vec).alias("_qv")),
-        dim, num_bits, bands, "_qv", seed, portable,
+        dim, num_bits, bands, "_qv", seed, portable, keep_bands_array=True,
     )
     cb = with_lsh_buckets(
         corpus.select(F.col(corpus_id), F.col(c_vec).alias("_cv")),
-        dim, num_bits, bands, "_cv", seed, portable,
+        dim, num_bits, bands, "_cv", seed, portable, keep_bands_array=True,
     )
-    cands = None
-    for b in range(bands):
-        pair = F.broadcast(
-            qb.select("_qid", "_qv", F.col(f"bucket_{b}").alias("_bk"))
-        ).join(
-            cb.select(F.col(corpus_id), "_cv", F.col(f"bucket_{b}").alias("_bk")), "_bk"
-        ).drop("_bk")
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.dropDuplicates(["_qid", corpus_id]).filter(F.col("_qid") != F.col(corpus_id))
+    qe = qb.select("_qid", "_qv", F.posexplode("_bands").alias("_bi", "_bk"))
+    ce = cb.select(F.col(corpus_id), "_cv", F.posexplode("_bands").alias("_bi", "_bk"))
+    cands = (
+        F.broadcast(qe)
+        .join(ce, ["_bi", "_bk"])
+        .drop("_bi", "_bk")
+        .dropDuplicates(["_qid", corpus_id])
+        .filter(F.col("_qid") != F.col(corpus_id))
+    )
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
     win = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.col(corpus_id).asc())
     return (
@@ -246,7 +264,12 @@ def with_ivf_cells(
         # rows of the int32 matrix go to Arrow as-is — no per-element loop
         return pd.Series(list(top.astype(np.int32)))
 
-    return df.withColumn(out_col, cells(F.col(vec_col)))
+    # asNondeterministic: the cell id becomes an equi-join key downstream,
+    # and Catalyst's inserted isnotnull(key) filter otherwise re-evaluates
+    # the whole quantizer matmul a SECOND time per side (measured: 4 Arrow
+    # nodes instead of 2 in ivf_topk).  The kernel IS deterministic; the
+    # flag only forbids Catalyst from duplicating it.
+    return df.withColumn(out_col, cells.asNondeterministic()(F.col(vec_col)))
 
 
 def ivf_topk(
@@ -650,7 +673,10 @@ def with_ivf_pq_residual(
                 )
         return pd.DataFrame({"cell": cells, "codes": list(codes)})
 
-    enc = df.withColumn("_enc", encode_udf(F.col(vec_col)))
+    # asNondeterministic: _cell becomes the probe equi-join key — without
+    # the flag Catalyst's isnotnull(key) filter re-runs the whole encode
+    # kernel a second time over the corpus (same disease as with_ivf_cells)
+    enc = df.withColumn("_enc", encode_udf.asNondeterministic()(F.col(vec_col)))
     return enc.select(
         *[c for c in df.columns if c != vec_col],
         F.col("_enc.cell").alias("_cell"),
@@ -743,9 +769,40 @@ def ivf_pq_residual_topk(
     index = with_ivf_pq_residual(
         corpus.select(F.col(corpus_id), F.col(c_vec).alias("_cv")), books, cents_q, "_cv"
     )
+    return ivf_pq_residual_probe(
+        queries, index, books, cents_q, k, nprobe, query_id, corpus_id, q_vec
+    )
+
+
+def ivf_pq_residual_probe(
+    queries: DataFrame,
+    index: DataFrame,
+    books: np.ndarray,
+    cents_q: np.ndarray,
+    k: int = 3,
+    nprobe: int = 4,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    q_vec: str = "embedding",
+) -> DataFrame:
+    """Probe a PREBUILT residual IVFADC index (columns ``corpus_id, _cell,
+    codes`` — e.g. the committed output of ``jobs/ann_index_job.py
+    --residual``, plus any ``annstore`` deltas): per probed cell the query
+    carries the ADC table of ITS residual vs that cell, so the join on the
+    cell key delivers table/candidate pairs that are residual-consistent
+    by construction.  The serve-side half — mirror of ``ivf_pq_probe`` for
+    the residual layout."""
     qd = pq_residual_query_tables(queries, books, cents_q, nprobe, query_id, q_vec)
     cands = F.broadcast(qd).join(index, "_cell").drop("_cell")
-    return _adc_topk(cands, m, k, query_id, corpus_id)
+    return _adc_topk(cands, books.shape[0], k, query_id, corpus_id)
+
+
+def int_centroids_from_rows(df: DataFrame) -> np.ndarray:
+    """Rebuild the INTEGER coarse quantizer from its committed table form
+    (``cell int, centroid array<long>`` — the ``centroids`` stage of a
+    ``--residual`` index build)."""
+    rows = sorted((r["cell"], r["centroid"]) for r in df.collect())
+    return np.asarray([v for _, v in rows], dtype=np.int64)
 
 
 def cosine_dup_pairs(
@@ -768,16 +825,27 @@ def cosine_dup_pairs(
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
+        # explode-once blocking (see lsh_topk): hash once, ONE self-join on
+        # (band index, key) — not a union of per-band joins re-hashing the
+        # corpus once per band
         ab = with_lsh_buckets(
-            df.select(F.col(id_col), F.col(vec_col)), dim, num_bits, bands, vec_col
+            df.select(F.col(id_col), F.col(vec_col)),
+            dim, num_bits, bands, vec_col, keep_bands_array=True,
         )
-        cands = None
-        for band in range(bands):
-            left = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col(f"bucket_{band}").alias("_bk"))
-            right = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col(f"bucket_{band}").alias("_bk"))
-            p = left.join(right, "_bk").filter(F.col("id_a") < F.col("id_b")).drop("_bk")
-            cands = p if cands is None else cands.unionByName(p)
-        pairs = cands.dropDuplicates(["id_a", "id_b"])
+        left = ab.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+            F.posexplode("_bands").alias("_bi", "_bk"),
+        )
+        right = ab.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+            F.posexplode("_bands").alias("_bi", "_bk"),
+        )
+        pairs = (
+            left.join(right, ["_bi", "_bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("_bi", "_bk")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
     return (
         pairs.withColumn("sim", sim)

@@ -406,7 +406,9 @@ def overview_level(tiles: DataFrame) -> DataFrame:
                 continue
             out_rows = pdf["_pr"].to_numpy()
             out_cols = pdf["_pc"].to_numpy()
-            # flatten (parent, children≤4) into parallel child arrays
+            # flatten (parent, children≤4) into parallel child arrays;
+            # pidx is non-decreasing (row order), so parent blocks map to
+            # contiguous child ranges via searchsorted
             pidx, qr, qc, bufs = [], [], [], []
             for i, kids in enumerate(pdf["_kids"]):
                 for k in kids:
@@ -417,40 +419,49 @@ def overview_level(tiles: DataFrame) -> DataFrame:
             dims = {(len(b)) for b in bufs}
             tw = int(pdf["_kids"].iat[0][0]["tile_w"])
             th = int(pdf["_kids"].iat[0][0]["tile_h"])
-            if len(dims) != 1 or next(iter(dims)) != th * tw * 3 or tw % 2 or th % 2:
+            tile_bytes = th * tw * 3
+            if len(dims) != 1 or next(iter(dims)) != tile_bytes or tw % 2 or th % 2:
                 raise ValueError(
                     "overview_level requires uniform even tile dims (mt=1 grid)"
                 )
             hw, hh = tw // 2, th // 2
-            canvases = np.zeros((n, 2, hh, 2, hw, 3), dtype=np.uint8)
             n_children = np.zeros(n, dtype=np.int32)
             np.add.at(n_children, pidx, 1)
-            # chunk: keep the uint16 stack temporaries cache-sized (CLAUDE.md
-            # numpy-temporary gotcha) — 256 children x 64x64x3 x 2B ≈ 6 MB max
             pidx_a = np.asarray(pidx, dtype=np.int64)
             qr_a = np.asarray(qr, dtype=np.int64)
             qc_a = np.asarray(qc, dtype=np.int64)
-            step = max(1, (1 << 22) // (th * tw * 3 * 2))
-            for s in range(0, len(bufs), step):
-                e = min(s + step, len(bufs))
-                stack = np.frombuffer(b"".join(bufs[s:e]), dtype=np.uint8).reshape(
-                    e - s, hh, 2, hw, 2, 3
+            # two-level chunking (the CLAUDE.md multi-worker mmap/TLB
+            # discipline, r4 item #8): parent canvas blocks ≤ ~512 KB so no
+            # multi-MB zeros allocation ever mmaps, child-step uint16
+            # temporaries ≤ ~128 KB so sums stay cache-resident; one output
+            # frame per block frees each canvas chunk as soon as its bytes
+            # are materialized instead of holding batch-sized peaks
+            pblock = max(1, (1 << 19) // tile_bytes)
+            cstep = max(1, (1 << 17) // (tile_bytes * 2))
+            for ps in range(0, n, pblock):
+                pe = min(ps + pblock, n)
+                cs0, ce0 = np.searchsorted(pidx_a, [ps, pe])
+                canvases = np.zeros((pe - ps, 2, hh, 2, hw, 3), dtype=np.uint8)
+                for s in range(int(cs0), int(ce0), cstep):
+                    e = min(s + cstep, int(ce0))
+                    stack = np.frombuffer(b"".join(bufs[s:e]), dtype=np.uint8).reshape(
+                        e - s, hh, 2, hw, 2, 3
+                    )
+                    # pairwise sums fit uint16 (max 4*255); //4 == the exact
+                    # integer box-filter mean
+                    ds = (stack.astype(np.uint16).sum(axis=(2, 4)) // 4).astype(np.uint8)
+                    canvases[pidx_a[s:e] - ps, qr_a[s:e], :, qc_a[s:e], :, :] = ds
+                flat = canvases.reshape(pe - ps, tile_bytes)
+                yield pd.DataFrame(
+                    {
+                        "row": out_rows[ps:pe],
+                        "col": out_cols[ps:pe],
+                        "n_children": n_children[ps:pe],
+                        "tile_w": np.full(pe - ps, tw, dtype=np.int32),
+                        "tile_h": np.full(pe - ps, th, dtype=np.int32),
+                        "bytes": [flat[i].tobytes() for i in range(pe - ps)],
+                    }
                 )
-                # pairwise sums fit uint16 (max 4*255); //4 == the exact
-                # integer box-filter mean
-                ds = (stack.astype(np.uint16).sum(axis=(2, 4)) // 4).astype(np.uint8)
-                canvases[pidx_a[s:e], qr_a[s:e], :, qc_a[s:e], :, :] = ds
-            flat = canvases.reshape(n, th * tw * 3)
-            yield pd.DataFrame(
-                {
-                    "row": out_rows,
-                    "col": out_cols,
-                    "n_children": n_children,
-                    "tile_w": np.full(n, tw, dtype=np.int32),
-                    "tile_h": np.full(n, th, dtype=np.int32),
-                    "bytes": [flat[i].tobytes() for i in range(n)],
-                }
-            )
 
     grouped = (
         tiles.select("row", "col", "tile_w", "tile_h", "bytes")
