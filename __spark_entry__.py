@@ -149,11 +149,13 @@ def q_tile_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat DOUBLE columns for the distinct z5 tiles hit by events."""
     tiles = q_point_tile_counts(spark, sf_dir).select("tile_row", "tile_col")
     a = exprs.tile_affine(GEODETIC, 5, "tile_row", "tile_col", 4)
+    # getItem (GetArrayItem), not element_at: Catalyst fully simplifies
+    # GetArrayItem(CreateArray, lit) so the agg result projection stays in
+    # whole-stage codegen; element_at's nullable wrapper survives into the
+    # HashAggregate and trips a janino scope bug (interpreted fallback).
     return tiles.select(
         "tile_row", "tile_col",
-        F.element_at(a, 1).alias("a"), F.element_at(a, 2).alias("b"),
-        F.element_at(a, 3).alias("c"), F.element_at(a, 4).alias("d"),
-        F.element_at(a, 5).alias("e"), F.element_at(a, 6).alias("f"),
+        *[a.getItem(i).alias(c) for i, c in enumerate("abcdef")],
     )
 
 
