@@ -1330,6 +1330,65 @@ def sql_sample_hash() -> str:
     """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-token fraction,
+    top-token fraction, top-bigram fraction — Rae 2021 §A1.1 token-count
+    variants) per document.  Zero shuffles: one narrow per-row projection
+    chain (sorted-array run scans); every fraction is a single double
+    division of exact longs, so DuckDB mirrors it bit-for-bit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textfns.repetition_stats(docs)
+
+
+def sql_repetition_stats() -> str:
+    z = _d(0.0)
+    return f"""
+      WITH docs AS (
+        SELECT doc_id, list_filter({_TOKENS_SQL}, x -> x <> '') AS t
+        FROM documents
+      ),
+      uni AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM docs)
+        GROUP BY doc_id, tok
+      ),
+      ustats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_token_count
+        FROM uni GROUP BY doc_id
+      ),
+      bi AS (
+        SELECT doc_id, bg, count(*) AS c
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || chr(31) || t[i+1])) AS bg
+          FROM docs WHERE len(t) >= 2
+        )
+        GROUP BY doc_id, bg
+      ),
+      bstats AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM bi GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(u.n_tokens, 0) AS n_tokens,
+             COALESCE(u.n_distinct, 0) AS n_distinct,
+             COALESCE(u.top_token_count, 0) AS top_token_count,
+             COALESCE(b.top_bigram_count, 0) AS top_bigram_count,
+             CASE WHEN u.n_tokens > 0
+                  THEN CAST(u.n_tokens - u.n_distinct AS DOUBLE) / u.n_tokens
+                  ELSE {z} END AS dup_token_frac,
+             CASE WHEN u.n_tokens > 0
+                  THEN CAST(u.top_token_count AS DOUBLE) / u.n_tokens
+                  ELSE {z} END AS top_token_frac,
+             CASE WHEN u.n_tokens >= 2
+                  THEN CAST(b.top_bigram_count AS DOUBLE) / (u.n_tokens - 1)
+                  ELSE {z} END AS top_bigram_frac
+      FROM (SELECT doc_id FROM docs) d
+      LEFT JOIN ustats u USING (doc_id)
+      LEFT JOIN bstats b USING (doc_id)
+    """
+
+
 def q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalancing stratified sample: downsample the dominant
     language (en 0.3) while keeping the rest at 0.8/1.0 — per-stratum
@@ -3666,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "sample_hash": q_sample_hash,
+        "repetition_stats": q_repetition_stats,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -3719,6 +3779,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_pairs": sql_winnow_near_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
         "sample_hash": sql_sample_hash(),
+        "repetition_stats": sql_repetition_stats(),
         "lang_stratified": sql_lang_stratified(),
         "source_quota": sql_source_quota(),
         "spatial_split": sql_spatial_split(),

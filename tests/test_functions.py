@@ -1011,3 +1011,58 @@ def test_winnow_fingerprints_randomized_corpus(spark):
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     for doc_id, body in docs:
         assert got.get(doc_id, set()) == _py_winnow(body), doc_id
+
+
+def _py_repetition(body: str) -> dict:
+    """Pure-Python mirror of text.repetition_stats (Gopher token-count
+    repetition signals)."""
+    from collections import Counter
+
+    toks = [w for w in body.strip().lower().split() if w]
+    n = len(toks)
+    uc = Counter(toks)
+    bc = Counter(zip(toks, toks[1:]))
+    nd = len(uc)
+    tt = max(uc.values()) if uc else 0
+    tb = max(bc.values()) if bc else 0
+    return {
+        "n_tokens": n,
+        "n_distinct": nd,
+        "top_token_count": tt,
+        "top_bigram_count": tb,
+        "dup_token_frac": (n - nd) / n if n else 0.0,
+        "top_token_frac": tt / n if n else 0.0,
+        "top_bigram_frac": tb / (n - 1) if n >= 2 else 0.0,
+    }
+
+
+def test_repetition_stats_randomized_mirror(spark):
+    """repetition_stats vs the Counter mirror over a seeded 80-doc corpus
+    covering empty docs, single tokens, all-same-token docs (run scan on a
+    fully-duplicated sorted array), alternating bigram loops, and mixed
+    whitespace/case — exact equality incl. the double fractions (each is
+    one division of exact ints, correctly rounded in both runtimes)."""
+    import random
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(1000, ""), (1001, "solo"), (1002, "x x x x x"), (1003, "a b a b a b a")]
+    for i in range(80):
+        n_tok = rng.choice([0, 1, 2, 3, 7, 25, 120])
+        words = [rng.choice(vocab) for _ in range(n_tok)]
+        sep = rng.choice([" ", "  ", "\t", "\n "])
+        docs.append((i, sep.join(w.upper() if rng.random() < 0.3 else w for w in words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text.repetition_stats(df).collect()}
+    import re
+
+    for doc_id, body in docs:
+        exp = _py_repetition(re.sub(r"\s+", " ", body))
+        assert {k: got[doc_id][k] for k in exp} == exp, doc_id
+
+
+def test_repetition_stats_no_shuffle(spark):
+    """The plan is one narrow projection chain: no Exchange anywhere."""
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = text.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

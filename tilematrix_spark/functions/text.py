@@ -204,6 +204,82 @@ def top_terms(
     )
 
 
+def _run_scan(arr: Column, n_keys: int, key) -> Column:
+    """struct(top, ndist) — max run length and distinct count of a SORTED
+    array, in ONE sequential ``aggregate`` pass (equal elements are
+    adjacent after ``sort_array``, so max frequency == max run).  ``key``
+    maps an element to its ``n_keys`` comparable string parts (1 for a
+    string array, 2 for an arrays_zip pair); the accumulator carries them
+    flat so no struct-typed sentinel is needed (tokens are non-empty, so
+    '' never matches a real part).  No nested higher-order lambdas: the
+    input is built from sort_array/arrays_zip/slice only (the CLAUDE.md
+    lambda-collision trap cannot apply)."""
+    prev = [F.lit("").alias(f"p{i}") for i in range(n_keys)]
+    zero = F.lit(0).cast("long")
+    init = F.struct(*prev, zero.alias("run"), zero.alias("best"), zero.alias("ndist"))
+
+    def step(acc, t):
+        parts = key(t)
+        same = parts[0] == acc["p0"]
+        for i in range(1, n_keys):
+            same = same & (parts[i] == acc[f"p{i}"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            *[parts[i].alias(f"p{i}") for i in range(n_keys)],
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["ndist"] + F.when(same, zero).otherwise(F.lit(1).cast("long"))).alias("ndist"),
+        )
+
+    return F.aggregate(
+        arr, init, step,
+        lambda acc: F.struct(acc["best"].alias("top"), acc["ndist"].alias("ndist")),
+    )
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    token-count variants: per document the duplicate-token fraction, the
+    most-frequent-token fraction, and the most-frequent-bigram fraction —
+    the standard LLM-corpus filters for boilerplate/keyword-stuffed pages.
+
+    Plan: ZERO shuffles — one narrow projection chain per row.  Tokens are
+    materialized as a bound column first (the shingle inlining trap), the
+    bigram array is built natively with ``arrays_zip(slice, slice)`` (no
+    transform lambda feeding another lambda — the documented projection-
+    collapse corruption), and each frequency scan is one O(n) ``aggregate``
+    over a ``sort_array`` (max frequency == max run of a sorted array).
+    All counts are exact longs; each fraction is ONE double division of
+    exact integers, so any engine reproduces it bit-for-bit."""
+    toksed = df.select(F.col(id_col), tokens(normalize(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    m = F.greatest(F.size(t) - 1, F.lit(0))
+    staged = toksed.select(
+        id_col,
+        F.size(t).cast("long").alias("n_tokens"),
+        F.sort_array(t).alias("_uni"),
+        F.sort_array(F.arrays_zip(F.slice(t, 1, m), F.slice(t, 2, m))).alias("_bi"),
+    )
+    scanned = staged.select(
+        id_col,
+        "n_tokens",
+        _run_scan(F.col("_uni"), 1, lambda e: [e]).alias("_u"),
+        _run_scan(F.col("_bi"), 2, lambda e: [e["0"], e["1"]]).alias("_b"),
+    )
+    n = F.col("n_tokens")
+    zero_d = F.lit(0.0)
+    return scanned.select(
+        id_col,
+        "n_tokens",
+        F.col("_u")["ndist"].alias("n_distinct"),
+        F.col("_u")["top"].alias("top_token_count"),
+        F.col("_b")["top"].alias("top_bigram_count"),
+        F.when(n > 0, (n - F.col("_u")["ndist"]).cast("double") / n).otherwise(zero_d).alias("dup_token_frac"),
+        F.when(n > 0, F.col("_u")["top"].cast("double") / n).otherwise(zero_d).alias("top_token_frac"),
+        F.when(n >= 2, F.col("_b")["top"].cast("double") / (n - 1)).otherwise(zero_d).alias("top_bigram_frac"),
+    )
+
+
 def default_pack_buckets(spark) -> int:
     """Default stream count for ``pack_token_stream``: 2× the cluster's
     default parallelism, floored at 64.  The window sum inside each bucket
