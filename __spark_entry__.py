@@ -1389,6 +1389,58 @@ def sql_repetition_stats() -> str:
     """
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-class counts over the documents corpus plus a
+    deterministically PII-laden copy of every 11th doc (ids +2·10⁶):
+    emails → <EMAIL>, IPv4 → <IP>, phone-like digit runs → <PHONE>, all
+    native regexp (alternation-free patterns chosen to match identically
+    under Java regex and RE2)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ds = F.col("doc_id").cast("string")
+    planted = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" contact user"), ds,
+            F.lit("@mail.example.org or call +1 555 "), ds,
+            F.lit(" 99 from 10.0."), (F.col("doc_id") % 200).cast("string"), F.lit(".7"),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    c = textfns.pii_counts("text")
+    return corpus.select(
+        "doc_id",
+        textfns.scrub_pii("text").alias("scrubbed"),
+        c["n_emails"].alias("n_emails"),
+        c["n_phones"].alias("n_phones"),
+        c["n_ips"].alias("n_ips"),
+    )
+
+
+def sql_scrub_pii() -> str:
+    from tilematrix_spark.functions.text import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    return f"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.org or call +1 555 ' || CAST(doc_id AS VARCHAR)
+                    || ' 99 from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7' AS text
+        FROM documents WHERE doc_id % 11 = 0
+      )
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_IPV4_RE}', '<IP>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+             CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips
+      FROM corpus
+    """
+
+
 def q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalancing stratified sample: downsample the dominant
     language (en 0.3) while keeping the rest at 0.8/1.0 — per-stratum
@@ -3726,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "sample_hash": q_sample_hash,
         "repetition_stats": q_repetition_stats,
+        "scrub_pii": q_scrub_pii,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -3780,6 +3833,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": sql_dedup_clusters(),
         "sample_hash": sql_sample_hash(),
         "repetition_stats": sql_repetition_stats(),
+        "scrub_pii": sql_scrub_pii(),
         "lang_stratified": sql_lang_stratified(),
         "source_quota": sql_source_quota(),
         "spatial_split": sql_spatial_split(),

@@ -1066,3 +1066,45 @@ def test_repetition_stats_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
     plan = text.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_scrub_pii_mirror(spark):
+    """scrub_pii / pii_counts vs a Python `re` mirror (all three patterns
+    are alternation/lookaround-free, so Java regex == RE2 == Python re),
+    over adversarial cases: dotted/plus-addressed emails, IPs at string
+    boundaries, phone runs with dashes/spaces, digits inside emails/IPs
+    that must NOT count as phones, and PII-free text."""
+    import re
+
+    cases = [
+        "plain text no pii at all",
+        "reach alice.smith+spam@sub.example.co.uk today",
+        "server at 10.0.0.1 and 192.168.255.254",
+        "call +1 555-123-4567 now",
+        "call 555 123 4567 or +44 20 7946 0958 twice",
+        "user123@example.com has digits but is one email",
+        "ip 10.0.200.7 digits never form a phone",
+        "mixed bob@x.org then 172.16.0.9 then +1 555 0100 99 end",
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "id long, text string")
+    got = {
+        r["id"]: r.asDict()
+        for r in df.select(
+            "id",
+            text.scrub_pii("text").alias("scrubbed"),
+            text.pii_counts("text").alias("c"),
+        ).collect()
+    }
+    for i, s in enumerate(cases):
+        scrub = re.sub(text.PII_EMAIL_RE, "<EMAIL>", s)
+        scrub = re.sub(text.PII_IPV4_RE, "<IP>", scrub)
+        scrub = re.sub(text.PII_PHONE_RE, "<PHONE>", scrub)
+        assert got[i]["scrubbed"] == scrub, (i, got[i]["scrubbed"], scrub)
+        exp = (
+            len(re.findall(text.PII_EMAIL_RE, s)),
+            len(re.findall(text.PII_PHONE_RE, s)),
+            len(re.findall(text.PII_IPV4_RE, s)),
+        )
+        c = got[i]["c"]
+        assert (c["n_emails"], c["n_phones"], c["n_ips"]) == exp, (i, c, exp)

@@ -204,6 +204,39 @@ def top_terms(
     )
 
 
+# PII patterns: alternation-free, backreference-free, lookaround-free so
+# Java regex (Spark), RE2 (DuckDB), and Python `re` all produce identical
+# leftmost-greedy matches.  Email before phone (an email's local part can
+# contain digits); IPs use dots, which the phone charset excludes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def pii_counts(text: ColumnOrName) -> Column:
+    """struct(n_emails, n_phones, n_ips) — per-row PII hit counts (longs).
+    Counted on the RAW text independently per class (an email's digits are
+    not long enough to double-count as a phone under the ≥9-char rule,
+    and the phone charset excludes '.', so classes don't overlap on
+    realistic text)."""
+    t = _col(text)
+    return F.struct(
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+    )
+
+
+def scrub_pii(text: ColumnOrName) -> Column:
+    """Redact emails → ``<EMAIL>``, IPv4s → ``<IP>``, then phone-like digit
+    runs → ``<PHONE>`` (that order: scrubbing an email first protects its
+    digit runs; IPs next because the phone charset has no '.').  Pure
+    native ``regexp_replace`` — JVM-side, codegen, zero Python."""
+    out = F.regexp_replace(_col(text), PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
 def _run_scan(arr: Column, n_keys: int, key) -> Column:
     """struct(top, ndist) — max run length and distinct count of a SORTED
     array, in ONE sequential ``aggregate`` pass (equal elements are
