@@ -1441,6 +1441,84 @@ def sql_scrub_pii() -> str:
     """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas 2023) embedding near-dup pairs: deterministic
+    integer cells (det_coarse_centroids), within-cell pairs only, float-
+    free cos ≥ 0.95 test (qdot²·10⁶ ≥ 950²·‖a‖²·‖b‖² in exact integers).
+    Corpus = embeddings plus planted exact copies (every 13th, ids +5·10⁶)
+    and one-coordinate +0.05 perturbations (every 17th, ids +6·10⁶)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 5000000).alias("vec_id"), "embedding"
+    )
+    pert = emb.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 6000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(exact).unionByName(pert)
+    out = simfns.semantic_dedup(corpus, threshold=0.95, n_centroids=16)
+    return out.select(
+        "keep_id", "dup_id", F.col("cell").cast("long").alias("cell"), "qdot"
+    )
+
+
+def sql_semantic_dedup() -> str:
+    s, h, p = _d(simfns.PORTABLE_SCALE), _d(0.5), _d(0.05)
+    dim, C, t2 = 64, 16, 950 * 950
+    return f"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      corpus AS (
+        SELECT vec_id, ev FROM base
+        UNION ALL
+        SELECT vec_id + 5000000 AS vec_id, ev FROM base WHERE vec_id % 13 = 0
+        UNION ALL
+        SELECT vec_id + 6000000 AS vec_id,
+               list_transform(range(1, {dim + 1}),
+                              i -> CASE WHEN i = 1 THEN ev[1] + {p} ELSE ev[i] END) AS ev
+        FROM base WHERE vec_id % 17 = 0
+      ),
+      q AS (
+        SELECT vec_id,
+               list_transform(ev, x -> CAST(floor(x * {s} + {h}) AS BIGINT)) AS qv
+        FROM corpus
+      ),
+      pos AS (SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) - 1 AS pos FROM q),
+      cents AS (SELECT pos AS cid, qv AS cent FROM pos WHERE pos < {C}),
+      celld AS (
+        SELECT v.vec_id, c.cid,
+          CAST(list_aggregate(list_transform(range(1, {dim + 1}), i ->
+            (v.qv[i] - c.cent[i]) * (v.qv[i] - c.cent[i])), 'sum') AS BIGINT) AS d
+        FROM q v CROSS JOIN cents c
+      ),
+      cells AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM celld) WHERE rn = 1
+      ),
+      enc AS (
+        SELECT v.vec_id, s.cell, v.qv,
+          CAST(list_aggregate(list_transform(v.qv, x -> x * x), 'sum') AS BIGINT) AS n2
+        FROM q v JOIN cells s USING (vec_id)
+      ),
+      pairs AS (
+        SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, a.cell,
+          CAST(list_aggregate(list_transform(range(1, {dim + 1}), i ->
+            a.qv[i] * b.qv[i]), 'sum') AS BIGINT) AS qdot,
+          a.n2 AS na, b.n2 AS nb
+        FROM enc a JOIN enc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      )
+      SELECT keep_id, dup_id, CAST(cell AS BIGINT) AS cell, qdot
+      FROM pairs
+      WHERE qdot > 0
+        AND CAST(qdot AS HUGEINT) * qdot * 1000000 >= CAST({t2} AS HUGEINT) * na * nb
+    """
+
+
 def q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalancing stratified sample: downsample the dominant
     language (en 0.3) while keeping the rest at 0.8/1.0 — per-stratum
@@ -3779,6 +3857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "repetition_stats": q_repetition_stats,
         "scrub_pii": q_scrub_pii,
+        "semantic_dedup": q_semantic_dedup,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -3834,6 +3913,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": sql_sample_hash(),
         "repetition_stats": sql_repetition_stats(),
         "scrub_pii": sql_scrub_pii(),
+        "semantic_dedup": sql_semantic_dedup(),
         "lang_stratified": sql_lang_stratified(),
         "source_quota": sql_source_quota(),
         "spatial_split": sql_spatial_split(),

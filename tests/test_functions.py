@@ -1108,3 +1108,50 @@ def test_scrub_pii_mirror(spark):
         )
         c = got[i]["c"]
         assert (c["n_emails"], c["n_phones"], c["n_ips"]) == exp, (i, c, exp)
+
+
+def test_semantic_dedup_mirror_and_recovery(spark):
+    """semantic_dedup vs a numpy mirror of the whole integer pipeline
+    (quantize → deterministic cells → within-cell pairs → exact integer
+    cosine test) on a seeded corpus with planted exact copies and small
+    perturbations; also asserts every planted duplicate is recovered and
+    sits in the same cell as its source."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    base = rng.normal(size=(120, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(120)]
+    planted = []
+    for i in range(0, 120, 9):  # exact copies
+        rows.append((1000 + i, base[i].tolist()))
+        planted.append((i, 1000 + i))
+    for i in range(0, 120, 13):  # tiny perturbation, cos ~ 0.9988
+        v = base[i].copy()
+        v[0] += 0.05
+        rows.append((2000 + i, v.tolist()))
+        planted.append((i, 2000 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["keep_id"], r["dup_id"])
+        for r in similarity.semantic_dedup(df, threshold=0.95, n_centroids=8).collect()
+    }
+    # numpy mirror
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows])
+    q = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+    order = np.argsort(ids)
+    cents = q[order[:8]]
+    d = (q * q).sum(1)[:, None] - 2 * q @ cents.T + (cents * cents).sum(1)[None, :]
+    cell = np.argmin(d, 1)  # np.argmin = first min = smallest cid tie-break
+    n2 = (q * q).sum(1)
+    exp = set()
+    for x in range(len(ids)):
+        for y in range(len(ids)):
+            if ids[x] < ids[y] and cell[x] == cell[y]:
+                qd = int(q[x] @ q[y])
+                if qd > 0 and qd * qd * 1000000 >= 950 * 950 * int(n2[x]) * int(n2[y]):
+                    exp.add((int(ids[x]), int(ids[y])))
+    assert got == exp
+    for a, b in planted:
+        assert (a, b) in got, (a, b)

@@ -852,3 +852,91 @@ def cosine_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate pairs
+    found by clustering the corpus and comparing ONLY within a cluster —
+    the candidate set is Θ(Σ cell²) instead of Θ(corpus²), and at scale
+    ``n_centroids`` grows ∝ corpus (SemDeDup uses ~10⁵ clusters at 10⁸
+    docs) so mean cell size — and per-cell quadratic work — stays constant.
+
+    Integer-exact end to end so a SQL oracle reproduces every pair:
+    vectors quantize via ``floor(v·1000 + 0.5)``, cells come from the
+    deterministic integer coarse quantizer (``det_coarse_centroids``, ties
+    → smaller cell id), and ``cos ≥ threshold`` is decided WITHOUT floats:
+    with t = round(threshold·1000),   cos ≥ t/1000
+      ⟺  qdot > 0  AND  qdot²·10⁶ ≥ t²·‖a‖²·‖b‖²   (exact integers; the
+    final products exceed int64 so both sides compare as DECIMAL /
+    HUGEINT — never surfaced in the output schema).
+
+    Plan: one Arrow encode pass (quantize + cell + norm), localCheckpoint
+    (self-joins re-run kernels once PER SIDE otherwise — the minhash
+    discipline; at cluster scale, persist the encoded table instead, e.g.
+    via the annstore layout), then ONE equi-join on the cell key.
+    Returns (keep_id, dup_id, cell, qdot) with keep_id < dup_id."""
+    cents_q = det_coarse_centroids(corpus, n_centroids, id_col, vec_col)
+    cq = cents_q
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("qv", T.ArrayType(T.LongType())),
+                T.StructField("n2", T.LongType()),
+            ]
+        )
+    )
+    def enc_udf(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        q = np.floor(mat * PORTABLE_SCALE + 0.5).astype(np.int64)
+        cells = np.empty(len(q), dtype=np.int32)
+        for lo in range(0, len(q), _PQ_CHUNK):
+            chunk = q[lo : lo + _PQ_CHUNK]
+            cells[lo : lo + _PQ_CHUNK] = np.argmin(_int_cell_dists(chunk, cq), axis=1)
+        return pd.DataFrame({"cell": cells, "qv": list(q), "n2": (q * q).sum(axis=1)})
+
+    # asNondeterministic: _cell is the self-join key (the isnotnull
+    # re-evaluation disease, see with_ivf_cells)
+    enc = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .withColumn("_e", enc_udf.asNondeterministic()(F.col("_v")))
+        .select(
+            F.col(id_col),
+            F.col("_e.cell").alias("_cell"),
+            F.col("_e.qv").alias("_qv"),
+            F.col("_e.n2").alias("_n2"),
+        )
+        .localCheckpoint()
+    )
+    a = enc.select(
+        F.col(id_col).alias("keep_id"), F.col("_cell"),
+        F.col("_qv").alias("_qa"), F.col("_n2").alias("_na"),
+    )
+    b = enc.select(
+        F.col(id_col).alias("dup_id"), F.col("_cell"),
+        F.col("_qv").alias("_qb"), F.col("_n2").alias("_nb"),
+    )
+    t = int(round(threshold * 1000))
+    qdot = F.aggregate(
+        F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, "_cell")
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .withColumn("qdot", qdot)
+    )
+    lhs = (F.col("qdot") * F.col("qdot")).cast("decimal(22,0)") * F.lit(1000000)
+    rhs = (F.col("_na") * F.col("_nb")).cast("decimal(22,0)") * F.lit(t * t)
+    return (
+        pairs.filter((F.col("qdot") > 0) & (lhs >= rhs))
+        .select("keep_id", "dup_id", F.col("_cell").alias("cell"), "qdot")
+    )
