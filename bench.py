@@ -728,7 +728,13 @@ def verify_scaling_job(spark: SparkSession, n: int) -> float:
         # warm the page cache so the first timed run isn't a cold read
         spark.read.parquet(path).agg(F.sum(F.length("bytes"))).collect()
         _VERIFY_STAGED[n] = path
-    df = spark.read.parquet(path).repartition(par)
+    # NO repartition: the stage wrote 2x-cores files, so the scan is already
+    # parallel — a repartition here shuffles every image's bytes, which is
+    # JVM-local noise at local[N] but a full cross-JVM byte shuffle at
+    # local-cluster[4,...] (measured NEGATIVE 4-executor scaling, 24.1k ->
+    # 19.2k imgs/s, entirely from shuffling the bytes the kernel was about
+    # to read anyway).  Production shape: scan -> verify, bytes never move.
+    df = spark.read.parquet(path)
     v = raster.verify_images(df)
     t0 = _t.time()
     ok = v.agg(F.sum(F.col("ok").cast("int"))).collect()[0][0]
