@@ -77,8 +77,9 @@ def _worker(master: str, job: str, sf_dir: str) -> None:
         bench.verify_scaling_job(spark, 20_000)
         rate = max(bench.verify_scaling_job(spark, 200_000) for _ in range(2))
     else:
+        n_pts = int(os.environ.get("TMX_PIP_POINTS", "24000000"))
         bench.pip_scaling_job(spark, 1_000_000)
-        rate = max(bench.pip_scaling_job(spark, 24_000_000) for _ in range(2))
+        rate = max(bench.pip_scaling_job(spark, n_pts) for _ in range(2))
     spark.stop()
     print(rate)
 
