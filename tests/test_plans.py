@@ -305,3 +305,50 @@ def test_ivf_pq_residual_probe_broadcast_native_adc(spark):
     # ranking above the join are therefore pure JVM expressions
     assert plan.count("ArrowEvalPython") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_scrub_pii_pure_projection(spark):
+    """PII redaction: one narrow projection over the scan — no Exchange,
+    no Python nodes, regexps entirely JVM-side."""
+    from tilematrix_spark.functions import text as textfns
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    c = textfns.pii_counts("text")
+    out = docs.select(
+        "doc_id",
+        textfns.scrub_pii("text").alias("scrubbed"),
+        c["n_emails"].alias("n_emails"),
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_one_exchange_per_side(spark):
+    """SemDeDup: ONE Arrow encode kernel (quantize + cell + norm) behind a
+    localCheckpoint, then a single equi-join on the cell key — the integer
+    cosine filter above the join is pure JVM expressions (no Python above
+    the encode, no row-at-a-time nodes anywhere)."""
+    from tilematrix_spark.functions import similarity as simfns
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    plan = _plan(simfns.semantic_dedup(emb, threshold=0.95, n_centroids=8))
+    # encode ran once, inside the checkpoint: the visible plan re-reads the
+    # checkpointed RDD and has NO Python nodes at all
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan  # both sides read the ONE encode pass
+    # exactly one join NODE (formatted plans list each node in both the
+    # tree outline and the detail section — count detail headers only)
+    join_nodes = [
+        line for line in plan.splitlines()
+        if line.startswith("(") and any(
+            f") {j}" in line
+            for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        )
+    ]
+    assert len(join_nodes) == 1, join_nodes
+    # the explode barrier holds: the 64-wide dot product appears exactly
+    # once (pushdown would inline it 3x into the join condition)
+    assert plan.count("zip_with(_qa") == 1

@@ -924,19 +924,30 @@ def semantic_dedup(
         F.col("_qv").alias("_qb"), F.col("_n2").alias("_nb"),
     )
     t = int(round(threshold * 1000))
-    qdot = F.aggregate(
+    qdot_expr = F.aggregate(
         F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    # explode(array(struct(qdot))) is a GENERATE BARRIER: a filter that
+    # references a generator output cannot be pushed below the Generate,
+    # so the 64-wide dot product is evaluated exactly ONCE per pair.
+    # Filtering on a plain aliased column instead lets PushPredicateThroughJoin
+    # fold the whole cosine test into the join condition with the aggregate
+    # inlined 3x + once more in the output projection — measured 2.3x slower
+    # on 139k pairs (1.08 s vs 0.47 s), with plan.count("zip_with") == 4 vs 1.
     pairs = (
         a.join(b, "_cell")
         .filter(F.col("keep_id") < F.col("dup_id"))
-        .withColumn("qdot", qdot)
+        .select(
+            "keep_id", "dup_id", F.col("_cell"), "_na", "_nb",
+            F.explode(F.array(F.struct(qdot_expr.alias("qdot")))).alias("_q"),
+        )
     )
-    lhs = (F.col("qdot") * F.col("qdot")).cast("decimal(22,0)") * F.lit(1000000)
+    qdot = F.col("_q.qdot")
+    lhs = (qdot * qdot).cast("decimal(22,0)") * F.lit(1000000)
     rhs = (F.col("_na") * F.col("_nb")).cast("decimal(22,0)") * F.lit(t * t)
     return (
-        pairs.filter((F.col("qdot") > 0) & (lhs >= rhs))
-        .select("keep_id", "dup_id", F.col("_cell").alias("cell"), "qdot")
+        pairs.filter((qdot > 0) & (lhs >= rhs))
+        .select("keep_id", "dup_id", F.col("_cell").alias("cell"), qdot.alias("qdot"))
     )
