@@ -623,9 +623,16 @@ def main() -> None:
             sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
             import cluster_scaling
 
-            result["scaling"]["cluster"] = cluster_scaling.run(
-                ("tile", "pip"), rounds=2, sf_dir=sf_dir
-            )
+            cluster = cluster_scaling.run(("tile", "pip"), rounds=2, sf_dir=sf_dir)
+            # the same 1-vs-4-executor step at 4 threads/executor: the 4N
+            # leg stays under this box's memory-bus knee (spin envelope
+            # 0.95+ vs ~0.78 at 8 threads), so the executor-count lever is
+            # measured with the shared-DRAM term mostly removed — the
+            # cleanest N->4N exhibit this box can produce
+            cluster["pip_t4"] = cluster_scaling.run(
+                ("pip",), rounds=2, sf_dir=sf_dir, threads=4
+            )["pip"]
+            result["scaling"]["cluster"] = cluster
 
     print(json.dumps(_compact(result)))
     try:
