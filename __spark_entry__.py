@@ -3726,6 +3726,51 @@ def sql_ann_modes() -> str:
     """
 
 
+def q_neardup_pair_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four text near-dup pair generators in one gate slot (tagged union,
+    the knn_modes trick): MinHash-LSH band candidates, exact word-trigram
+    Jaccard (τ=0.5), SimHash Hamming-≤1 bit-flip probes, and winnowing
+    shared-fingerprint pairs.  Each tag exercises a DIFFERENT blocking
+    kernel stack (banded min-hash sub-signatures / shingle equi-join /
+    sketch bit-flip probes / MOSS window minima); a regression in any
+    flips rows under its tag in-window.  `score` carries the tag's native
+    pair evidence (jaccard, shared-fp count) as one double column; the
+    membership-only tags emit -1.0."""
+    none_score = F.lit(-1.0).alias("score")
+    lsh = q_minhash_lsh_pairs(spark, sf_dir).select(
+        F.lit("minhash_lsh").alias("mode"), "id_a", "id_b", none_score
+    )
+    jac = q_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram_jaccard").alias("mode"), "id_a", "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    sim = q_simhash_near_pairs(spark, sf_dir).select(
+        F.lit("simhash").alias("mode"), "id_a", "id_b", none_score
+    )
+    win = q_winnow_near_pairs(spark, sf_dir).select(
+        F.lit("winnow").alias("mode"), "id_a", "id_b",
+        F.col("n_shared").cast("double").alias("score"),
+    )
+    return lsh.unionByName(jac).unionByName(sim).unionByName(win)
+
+
+def sql_neardup_pair_modes() -> str:
+    none_score = _d(-1.0)
+    return f"""
+      SELECT 'minhash_lsh' AS mode, id_a, id_b, {none_score} AS score
+      FROM ({sql_minhash_lsh_pairs()})
+      UNION ALL
+      SELECT 'ngram_jaccard' AS mode, id_a, id_b, jaccard AS score
+      FROM ({sql_ngram_jaccard()})
+      UNION ALL
+      SELECT 'simhash' AS mode, id_a, id_b, {none_score} AS score
+      FROM ({sql_simhash_near_pairs()})
+      UNION ALL
+      SELECT 'winnow' AS mode, id_a, id_b, CAST(n_shared AS DOUBLE) AS score
+      FROM ({sql_winnow_near_pairs()})
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver queries, ordered so every kernel-bearing query sits inside the
     driver's 50-query CORRECTNESS check window (VERDICT r2 item #1).
@@ -3746,7 +3791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each became one tagged union (knn_modes / cover_bbox_modes /
     geom_tiles_modes — no kernel or constant left the window), and the
     freed slots promoted the round-4 compositions crossmodal_dups,
-    decontaminate, and pack_sequences into the hard gate.
+    decontaminate, and pack_sequences into the hard gate.  A second pass
+    merged the four text near-dup pair generators into
+    neardup_pair_modes, promoting the round-5 additions
+    repetition_stats / scrub_pii / semantic_dedup in-window too.
     """
     return {
         # --- tile math & assignment (in-window) ---
@@ -3800,16 +3848,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tile_counts": q_stream_tile_counts,
         "user_sessions": q_user_sessions,
         "tile_quantiles": q_tile_quantiles,
-        # --- dedup / text pipeline ---
+        # --- dedup / text pipeline (the four pair generators ride one
+        # tagged union — r5 window surgery that freed the slots for the
+        # round-5 text/similarity queries below) ---
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "top_terms": q_top_terms,
         "lang_id_counts": q_lang_id_counts,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash_near_pairs": q_simhash_near_pairs,
+        "neardup_pair_modes": q_neardup_pair_modes,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_near_pairs": q_winnow_near_pairs,
+        "repetition_stats": q_repetition_stats,
+        "scrub_pii": q_scrub_pii,
+        "semantic_dedup": q_semantic_dedup,
         "dedup_clusters": q_dedup_clusters,
         "source_quota": q_source_quota,
         # --- Z-order sink write/read roundtrip gate ---
@@ -3855,9 +3905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "sample_hash": q_sample_hash,
-        "repetition_stats": q_repetition_stats,
-        "scrub_pii": q_scrub_pii,
-        "semantic_dedup": q_semantic_dedup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "winnow_near_pairs": q_winnow_near_pairs,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -3904,6 +3955,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": sql_minhash_signatures(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+        "neardup_pair_modes": sql_neardup_pair_modes(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
