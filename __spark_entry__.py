@@ -1519,6 +1519,101 @@ def sql_semantic_dedup() -> str:
     """
 
 
+def q_c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page-cleaning decisions (text.c4_line_stats — Raffel 2020 §2.2
+    minus the external blocklist) over a deterministically planted
+    multi-line corpus: every doc gets a proper first sentence, an
+    unpunctuated word-soup line (line-dropped), evens a second kept
+    sentence, every 23rd a javascript boilerplate line (line-dropped
+    despite punctuation), every 31st a lorem-ipsum line (page-dropped),
+    every 37th a curly-brace config line (page-dropped), everyone a
+    two-word line (too short), and all but every 5th a multi-sentence
+    closer — so %5==0 docs fail the fewer-than-5-sentences page gate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ds = F.col("doc_id").cast("string")
+    text2 = F.concat_ws(
+        "\n",
+        F.concat(F.lit("document "), ds, F.lit(" begins with a proper sentence.")),
+        F.substring("text", 1, 40),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.substring("text", 1, 30), F.lit(" tail words here.")),
+        ),
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.lit("please enable javascript to view this page."),
+        ),
+        F.when(
+            F.col("doc_id") % 31 == 0,
+            F.lit("standard lorem ipsum filler text here."),
+        ),
+        F.when(F.col("doc_id") % 37 == 0, F.lit("var config = { mode: 1 };")),
+        F.lit("too short."),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(
+                F.lit("it ends with a question? yes! and more words. "),
+                ds,
+                F.lit(" ok."),
+            ),
+        ),
+    )
+    corpus = docs.select("doc_id", text2.alias("text"))
+    return textfns.c4_line_stats(corpus)
+
+
+def sql_c4_page_filter() -> str:
+    from tilematrix_spark.functions.text import (
+        C4_JS_RE,
+        C4_MIN_SENTENCES,
+        C4_MIN_WORDS_PER_LINE,
+    )
+
+    return f"""
+      WITH base AS (
+        SELECT doc_id, concat_ws(chr(10),
+          'document ' || CAST(doc_id AS VARCHAR) || ' begins with a proper sentence.',
+          substr(text, 1, 40),
+          CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 30) || ' tail words here.' END,
+          CASE WHEN doc_id % 23 = 0 THEN 'please enable javascript to view this page.' END,
+          CASE WHEN doc_id % 31 = 0 THEN 'standard lorem ipsum filler text here.' END,
+          CASE WHEN doc_id % 37 = 0 THEN 'var config = {{ mode: 1 }};' END,
+          'too short.',
+          CASE WHEN doc_id % 5 <> 0
+               THEN 'it ends with a question? yes! and more words. '
+                    || CAST(doc_id AS VARCHAR) || ' ok.' END
+        ) AS text FROM documents
+      ),
+      l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM base),
+      k AS (
+        SELECT doc_id, text, lines,
+          list_filter(lines, ln ->
+            regexp_matches(trim(ln), '[.!?"]$')
+            AND len(list_filter(regexp_split_to_array(trim(ln), '\\s+'),
+                                w -> w <> '')) >= {C4_MIN_WORDS_PER_LINE}
+            AND NOT regexp_matches(lower(trim(ln)), '{C4_JS_RE}')
+          ) AS kept_lines
+        FROM l
+      ),
+      s AS (
+        SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(kept_lines) AS BIGINT) AS n_kept_lines,
+          array_to_string(list_transform(kept_lines, ln -> trim(ln)), chr(10)) AS cleaned,
+          (NOT contains(lower(text), 'lorem ipsum')
+           AND NOT contains(text, '{{')) AS page_clean
+        FROM k
+      )
+      SELECT doc_id, n_lines, n_kept_lines,
+        CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS BIGINT) AS n_sentences,
+        page_clean,
+        (page_clean
+         AND len(regexp_extract_all(cleaned, '[.!?]')) >= {C4_MIN_SENTENCES}) AS kept,
+        cleaned
+      FROM s
+    """
+
+
 def q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalancing stratified sample: downsample the dominant
     language (en 0.3) while keeping the rest at 0.8/1.0 — per-stratum
@@ -3909,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
         "winnow_near_pairs": q_winnow_near_pairs,
+        "c4_page_filter": q_c4_page_filter,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -3956,6 +4052,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": sql_ngram_jaccard(),
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
         "neardup_pair_modes": sql_neardup_pair_modes(),
+        "c4_page_filter": sql_c4_page_filter(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),

@@ -1155,3 +1155,72 @@ def test_semantic_dedup_mirror_and_recovery(spark):
     assert got == exp
     for a, b in planted:
         assert (a, b) in got, (a, b)
+
+
+def _py_c4(body: str, min_words: int = 3, min_sent: int = 5):
+    """Pure-Python mirror of text.c4_line_stats (spaces-only trim, same
+    regexes — all alternation-free, so Python re == Java regex == RE2)."""
+    import re
+
+    lines = body.split("\n")
+
+    def keep(ln):
+        t = ln.strip(" ")
+        return (
+            re.search(r'[.!?"]$', t) is not None
+            and len([w for w in re.split(r"\s+", t) if w]) >= min_words
+            and re.search(r"\bjavascript\b", t.lower()) is None
+        )
+
+    kept = [ln for ln in lines if keep(ln)]
+    cleaned = "\n".join(ln.strip(" ") for ln in kept)
+    n_sent = len(re.findall(r"[.!?]", cleaned))
+    page_clean = "lorem ipsum" not in body.lower() and "{" not in body
+    return {
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "n_sentences": n_sent,
+        "page_clean": page_clean,
+        "kept": page_clean and n_sent >= min_sent,
+        "cleaned": cleaned,
+    }
+
+
+C4_DOCS = [
+    (1, "A good first sentence here.\nAnother full sentence follows it!\nIs this a question?\nIt is indeed one.\nAnd one more closer."),  # kept: 5 sentences
+    (2, "Only one proper sentence here.\nno terminal punctuation on this line\nshort one."),  # dropped: < 5 sentences
+    (3, "Please enable javascript to continue reading.\nFive gives sentences. One! Two? Three. Four."),  # js line dropped; second line alone has 5 marks
+    (4, "Lorem Ipsum dolor sit amet.\nA perfectly fine sentence. And another! Plus one? More here. Final one."),  # page-dropped: lorem ipsum
+    (5, "var cfg = { a: 1 };\nA perfectly fine sentence. And another! Plus one? More here. Final one."),  # page-dropped: brace
+    (6, 'He said "stop right there."\nThen he said it again loudly. Yes! Really? Fine. Done.'),  # quote-terminated line kept
+    (7, "ends with spaces after punct.   \nSecond sentence lands fine. Sure! Okay? Good. Yes."),  # trailing spaces trimmed
+    (8, "one two.\nthree words exactly here. Also this! And that? Plus more. Final."),  # 2-word line dropped, 4-word kept
+    (9, ""),
+    (10, "JAVASCRIPT required to proceed now.\nFallback text is fine here. One! Two? Three. Four."),  # case-insensitive js
+]
+
+
+def test_c4_line_stats_mirror(spark):
+    """c4_line_stats vs the Python mirror over adversarial pages: sentence
+    thresholds, javascript/lorem-ipsum/brace drops, quote terminators,
+    trailing-space trims, word-count boundaries, empty text."""
+    df = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text.c4_line_stats(df).collect()}
+    for doc_id, body in C4_DOCS:
+        exp = _py_c4(body)
+        assert {k: got[doc_id][k] for k in exp} == exp, doc_id
+    # the planted verdicts themselves
+    assert [got[i]["kept"] for i in range(1, 11)] == [
+        True, False, True, False, False, True, True, True, False, True
+    ]
+
+
+def test_c4_clean_no_shuffle_and_filters(spark):
+    """c4_clean keeps only surviving pages with line-filtered text, and the
+    whole decision is one narrow projection chain (no Exchange)."""
+    df = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in text.c4_clean(df).collect()}
+    assert set(out) == {1, 3, 6, 7, 8, 10}
+    assert "javascript" not in out[3].lower()
+    plan = text.c4_line_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -237,6 +237,97 @@ def scrub_pii(text: ColumnOrName) -> Column:
     return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
 
 
+# C4 page-cleaning heuristics (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2).  The
+# published rule set, minus the third-party blocklist (no external data in
+# this sandbox): keep only lines ending in terminal punctuation, drop lines
+# under 3 words or mentioning javascript, discard pages with fewer than 5
+# sentences, with "lorem ipsum", or with a curly brace.  Patterns are
+# alternation-free and identical under Java regex and RE2, so the DuckDB
+# oracle runs them verbatim.
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_JS_RE = r"\bjavascript\b"
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+
+
+def c4_line_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+    min_sentences: int = C4_MIN_SENTENCES,
+):
+    """C4 page-cleaning decisions per document: line counts, the cleaned
+    (line-filtered) text, and the page verdict.
+
+    Output: ``(id, n_lines, n_kept_lines, n_sentences, page_clean, kept,
+    cleaned)`` where ``cleaned`` joins the surviving lines with newlines,
+    ``n_sentences`` counts terminal-punctuation marks in the cleaned text
+    (the sandbox-concrete reading of C4's "fewer than 5 sentences"),
+    ``page_clean`` is the lorem-ipsum/brace page gate, and ``kept`` is the
+    full verdict.
+
+    Plan: ZERO shuffles — a narrow per-row projection chain.  The line
+    array and the kept-lines array are materialized as bound columns in
+    separate selects (multi-referenced arrays must not be re-inlined per
+    use — the documented projection-collapse trap); every line predicate
+    sees only its lambda variable, so nothing re-evaluates per element."""
+    lined = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    )
+
+    def _keep_line(ln: Column) -> Column:
+        t = F.trim(ln)
+        n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        return (
+            t.rlike(C4_TERMINAL_RE)
+            & (n_words >= min_words_per_line)
+            & ~F.lower(t).rlike(C4_JS_RE)
+        )
+
+    kept_arr = lined.select(
+        id_col,
+        "_text",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.filter("_lines", _keep_line).alias("_kept"),
+    )
+    staged = kept_arr.select(
+        id_col,
+        F.col("n_lines"),
+        F.size("_kept").cast("long").alias("n_kept_lines"),
+        # NOTE: explicit one-arg lambda — F.trim grew an optional second
+        # parameter in Spark 4, so passing it bare makes transform() feed
+        # the element INDEX in as the trim-character set (silent no-op).
+        F.array_join(F.transform("_kept", lambda ln: F.trim(ln)), "\n").alias("cleaned"),
+        (
+            ~F.contains(F.lower("_text"), F.lit("lorem ipsum"))
+            & ~F.contains(F.col("_text"), F.lit("{"))
+        ).alias("page_clean"),
+    )
+    n_sent = F.regexp_count("cleaned", F.lit(r"[.!?]")).cast("long")
+    return staged.select(
+        id_col,
+        "n_lines",
+        "n_kept_lines",
+        n_sent.alias("n_sentences"),
+        "page_clean",
+        (F.col("page_clean") & (n_sent >= min_sentences)).alias("kept"),
+        "cleaned",
+    )
+
+
+def c4_clean(df, id_col: str = "doc_id", text_col: str = "text", **kw):
+    """The C4 cleaning pipeline as a corpus transform: surviving pages
+    only, text replaced by the line-filtered ``cleaned`` version."""
+    stats = c4_line_stats(df, id_col=id_col, text_col=text_col, **kw)
+    return stats.filter("kept").select(
+        F.col(id_col), F.col("cleaned").alias(text_col)
+    )
+
+
 def _run_scan(arr: Column, n_keys: int, key) -> Column:
     """struct(top, ndist) — max run length and distinct count of a SORTED
     array, in ONE sequential ``aggregate`` pass (equal elements are
