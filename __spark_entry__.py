@@ -3933,11 +3933,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "spatial_phash_pairs": q_spatial_phash_pairs,
         # --- similarity / ANN (the three full-probe pipelines ride one
-        # tagged union; the pruned IVFADC regime and the encode surface
-        # hold their own in-window slots) ---
+        # tagged union; the pruned IVFADC regime holds its own in-window
+        # slot; the encode surface pq_codes moved to the tail — its Arrow
+        # int-matmul kernel is value-gated transitively through the pq tag
+        # of ann_modes, and directly by its own tail oracle) ---
         "ann_modes": q_ann_modes,
         "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
-        "pq_codes": q_pq_codes,
         "cosine_topk": q_cosine_topk,
         # --- windows / streaming ---
         "stream_tile_counts": q_stream_tile_counts,
@@ -3955,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "scrub_pii": q_scrub_pii,
         "semantic_dedup": q_semantic_dedup,
+        "c4_page_filter": q_c4_page_filter,
         "dedup_clusters": q_dedup_clusters,
         "source_quota": q_source_quota,
         # --- Z-order sink write/read roundtrip gate ---
@@ -3985,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "pq_topk": q_pq_topk,
+        "pq_codes": q_pq_codes,
         "ivf_pq_topk": q_ivf_pq_topk,
         "neighbors_mt4_buffered": q_neighbors_mt4_buffered,
         "events_topk_window": q_events_topk_window,
@@ -4004,7 +4007,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
         "winnow_near_pairs": q_winnow_near_pairs,
-        "c4_page_filter": q_c4_page_filter,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
