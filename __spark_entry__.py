@@ -1614,6 +1614,98 @@ def sql_c4_page_filter() -> str:
     """
 
 
+def _boilerplate_corpus(docs: DataFrame) -> DataFrame:
+    """Planted multi-line corpus for the boilerplate-line gate: a unique
+    opener (kept; absent for %101 docs), a universal cookie banner
+    (removed), a share line whose evens carry extra whitespace (removed —
+    trimmed fingerprints must unify the variants), a %3 newsletter line
+    (removed), a per-doc line planted TWICE (kept twice — within-doc
+    repeats must not count toward document frequency), a pair banner
+    shared by exactly doc_id DIV 2 partners (removed at min_df=2 — the
+    boundary), and an even-only unique tail (kept).  Docs 101 and 303 end
+    up all-boilerplate (cleaned = '')."""
+    ds = F.col("doc_id").cast("string")
+    rep = F.when(
+        F.col("doc_id") % 101 != 0, F.concat(F.lit("repeated within "), ds)
+    )
+    text2 = F.concat_ws(
+        "\n",
+        F.when(
+            F.col("doc_id") % 101 != 0,
+            F.concat(F.lit("unique opener "), ds, F.lit(": "),
+                     F.substring("text", 1, 40)),
+        ),
+        F.lit("accept all cookies to continue"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("  share this page on social media  ")
+        ).otherwise(F.lit("share this page on social media")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("subscribe to our newsletter today")),
+        rep,
+        rep,
+        F.concat(F.lit("pair banner "), F.expr("doc_id DIV 2").cast("string")),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("even tail "), ds, F.lit(" end"))),
+    )
+    return docs.select("doc_id", text2.alias("text"))
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal (dedup.strip_boilerplate_lines
+    — the RefinedWeb/CCNet line-wise dedup): drop every line whose trimmed
+    form occurs in >= 2 distinct documents, reassemble survivors in
+    original order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedupfns.strip_boilerplate_lines(
+        _boilerplate_corpus(docs), min_df=2, id_col="doc_id"
+    )
+
+
+def sql_strip_boilerplate() -> str:
+    return """
+      WITH base AS (
+        SELECT doc_id, concat_ws(chr(10),
+          CASE WHEN doc_id % 101 <> 0 THEN 'unique opener '
+               || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 40) END,
+          'accept all cookies to continue',
+          CASE WHEN doc_id % 2 = 0 THEN '  share this page on social media  '
+               ELSE 'share this page on social media' END,
+          CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today' END,
+          CASE WHEN doc_id % 101 <> 0
+               THEN 'repeated within ' || CAST(doc_id AS VARCHAR) END,
+          CASE WHEN doc_id % 101 <> 0
+               THEN 'repeated within ' || CAST(doc_id AS VARCHAR) END,
+          'pair banner ' || CAST(doc_id // 2 AS VARCHAR),
+          CASE WHEN doc_id % 2 = 0
+               THEN 'even tail ' || CAST(doc_id AS VARCHAR) || ' end' END
+        ) AS text FROM documents
+      ),
+      l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM base),
+      e AS (SELECT doc_id, lines, unnest(range(len(lines))) AS pos FROM l),
+      fps AS (
+        SELECT doc_id, pos, lines[pos + 1] AS line,
+               trim(lines[pos + 1]) AS key
+        FROM e
+      ),
+      boiler AS (
+        SELECT key FROM (SELECT DISTINCT doc_id, key FROM fps)
+        GROUP BY key HAVING count(*) >= 2
+      ),
+      kept AS (SELECT * FROM fps WHERE key NOT IN (SELECT key FROM boiler)),
+      reasm AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+      )
+      SELECT b.doc_id,
+        CAST(len(string_split(b.text, chr(10))) AS BIGINT) AS n_lines,
+        CAST(len(string_split(b.text, chr(10)))
+             - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(r.cleaned, '') AS cleaned
+      FROM base b LEFT JOIN reasm r USING (doc_id)
+    """
+
+
 def q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalancing stratified sample: downsample the dominant
     language (en 0.3) while keeping the rest at 0.8/1.0 — per-stratum
@@ -4007,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
         "winnow_near_pairs": q_winnow_near_pairs,
+        "strip_boilerplate": q_strip_boilerplate,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -4055,6 +4148,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
         "neardup_pair_modes": sql_neardup_pair_modes(),
         "c4_page_filter": sql_c4_page_filter(),
+        "strip_boilerplate": sql_strip_boilerplate(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),

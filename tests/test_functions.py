@@ -769,6 +769,39 @@ def test_decontaminate_flags_and_clean(spark):
     assert out[3] == (0, 1)
 
 
+def test_strip_boilerplate_lines(spark):
+    """Boilerplate-line removal: trimmed variants unify (df counts both),
+    within-doc repeats do NOT count toward document frequency (a line
+    planted twice in one doc survives twice), df == min_df is removed
+    (boundary), unique lines survive in original order, and a fully-
+    boilerplate doc comes back with cleaned = ''."""
+    rows = [
+        (1, "only in one\nCOOKIE BANNER\nrepeat me\nrepeat me\nend one"),
+        (2, "  COOKIE BANNER  \nonly in two\nshared pair line"),
+        (3, "shared pair line\nonly in three"),
+        (4, "COOKIE BANNER\nshared pair line"),  # all boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in dedup.strip_boilerplate_lines(df, min_df=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1: cookie banner removed (trim-unified with doc 2's padded copy);
+    # the within-doc repeat is kept TWICE; order preserved.
+    assert out[1]["cleaned"] == "only in one\nrepeat me\nrepeat me\nend one"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (5, 1)
+    # doc 2: padded banner removed by trimmed fingerprint; pair line at
+    # df=2 == min_df removed (boundary). Untrimmed survivors keep raw text.
+    assert out[2]["cleaned"] == "only in two"
+    assert out[2]["n_removed"] == 2
+    assert out[3]["cleaned"] == "only in three"
+    # doc 4: everything boilerplate -> empty doc, counts still reported
+    assert out[4] == {"doc_id": 4, "n_lines": 2, "n_removed": 2, "cleaned": ""}
+    # min_df above every df: nothing removed, text reassembles verbatim
+    none = {r["doc_id"]: r["cleaned"]
+            for r in dedup.strip_boilerplate_lines(df, min_df=99).collect()}
+    assert none == {d: t for d, t in rows}
+
+
 def test_winnow_shared_run_guarantee(spark):
     """Any shared token run of >= n+w-1 tokens yields a shared fingerprint
     (the winnowing coverage guarantee), surfaced by winnow_near_pairs with

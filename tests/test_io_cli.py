@@ -533,22 +533,27 @@ def test_driver_gate_window_holds_kernel_queries():
         "verify_images", "phash_near_dup", "spatial_phash_pairs",
         "ann_modes",  # r5: lsh + ivf + pq full-probe pipelines (tagged union)
         "ivf_pq_residual_topk",  # r5: pruned-regime IVFADC, full value oracle
-        "pq_codes", "cosine_topk",
+        "cosine_topk",
+        "c4_page_filter",  # r5: C4 page cleaning, full value oracle
         # r5: round-4 compositions promoted into the freed slots
         "crossmodal_dups", "decontaminate", "pack_sequences",
         "stream_tile_counts", "user_sessions", "tile_quantiles",
-        "dedup_exact", "token_stats", "top_terms",
-        "minhash_lsh_pairs", "ngram_jaccard", "simhash_near_pairs",
-        "winnow_fingerprints", "winnow_near_pairs", "dedup_clusters",
+        "dedup_exact", "token_stats", "top_terms", "lang_id_counts",
+        "neardup_pair_modes",  # r5: minhash/ngram/simhash/winnow pair union
+        "winnow_fingerprints", "dedup_clusters",
+        "repetition_stats", "scrub_pii", "semantic_dedup",  # r5 promotions
         "source_quota", "zorder_scan",
     }
     # demoted to the tail (r4/r5): raster_windows_buffered (pixelbuffer
     # shape gated via tile_shape_pixelbuffer + raster_windows),
     # spatial_split / tile_user_counts / sample_hash (md5-projection and
     # two-stage-distinct shapes shared with source_quota / dedup_exact),
-    # and the untagged halves of the r5 unions (knn, knn_sparse,
+    # pq_codes (its Arrow int-matmul encode kernel is value-gated
+    # transitively through ann_modes' pq tag, and directly by its own
+    # tail oracle), and the untagged halves of the r5 unions (knn, knn_sparse,
     # cover_bbox, cover_bbox_split, geom_tiles_boxes, geom_tiles_exact,
-    # ann_lsh_topk, ann_ivf_topk, pq_topk — individually addressable for
+    # ann_lsh_topk, ann_ivf_topk, pq_topk, minhash_lsh_pairs, ngram_jaccard,
+    # simhash_near_pairs, winnow_near_pairs — individually addressable for
     # debugging, coverage rides the in-window unions)
     missing = kernel_bearing - window
     assert not missing, f"kernel queries outside the 50-gate window: {missing}"

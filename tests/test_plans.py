@@ -284,6 +284,18 @@ def test_decontaminate_broadcasts_test_side(spark):
     assert "SortMergeJoin Inner" not in plan  # no corpus-wide text-key SMJ
 
 
+def test_strip_boilerplate_broadcasts_boiler_set(spark):
+    """Boilerplate-line removal: the df>=min_df line set is BROADCAST into
+    the anti-join (the corpus is never shuffled on a line fingerprint);
+    the only corpus-wide exchange is the final groupBy on the doc id."""
+    from tilematrix_spark.functions import dedup as dedupfns
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedupfns.strip_boilerplate_lines(docs))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin LeftAnti" not in plan
+
+
 def test_ivf_pq_residual_probe_broadcast_native_adc(spark):
     """Residual IVFADC probe: the per-(query, probed-cell) table side is
     BROADCAST onto the cell equi-join (never a corpus-wide sort-merge),

@@ -563,3 +563,69 @@ def decontaminate(
         )
         .filter((F.col("n_shared") >= min_shared) | (F.col("exact") == 1))
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the RefinedWeb/CCNet-family
+    line-wise dedup, Penedo 2023 §3.2): delete every line whose trimmed
+    form occurs in >= ``min_df`` DISTINCT documents (nav bars, cookie
+    banners, footers, share buttons), then re-assemble each document in
+    original line order.  Complements C4 cleaning (within-page rules) with
+    the cross-corpus rule no single page can decide locally.
+
+    Output: ``(id, n_lines, n_removed, cleaned)`` — every input doc appears
+    (fully-boilerplate docs come back with ``cleaned = ''``).
+
+    Scale shape: lines explode once; the doc-frequency count runs on
+    DISTINCT (fingerprint, id) so partial aggregation absorbs within-doc
+    repeats map-side; the boilerplate set (lines with df >= min_df) has
+    cardinality <= total_lines / min_df and BROADCASTS into a left-anti
+    join, so the corpus is never shuffled on a text key (pass
+    ``broadcast_boilerplate=False`` to fall back to a shuffle anti-join if
+    a pathological min_df makes the set large); re-assembly is one groupBy
+    on the dense doc id — no skew (each group = one doc's lines).
+    Whitespace-only lines share one fingerprint and are removed as
+    boilerplate as soon as ``min_df`` docs contain any.
+    """
+    base = df.select(F.col(id_col), F.col(text_col))
+    fps = base.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).select(id_col, "pos", "line", F.md5(F.trim("line")).alias("fp"))
+    boiler = (
+        fps.select(id_col, "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("df_docs"))
+        .filter(F.col("df_docs") >= min_df)
+        .select("fp")
+    )
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    kept = fps.join(boiler, "fp", "left_anti")
+    reasm = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+        F.count("*").alias("n_kept"),
+    )
+    counts = base.select(
+        id_col, F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines")
+    )
+    return counts.join(reasm, id_col, "left").select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+            "n_removed"
+        ),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
