@@ -3132,6 +3132,161 @@ def sql_rasterize_bins() -> str:
     """
 
 
+def _zonal_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone bboxes for the zonal-stats gate: one per sampled event, scattered
+    deterministically into the tile region rows 8-13 x cols 16-27 at z5
+    (lon [-90, -22.5], lat [11.25, 45]) via exact double ops (* + fmod) both
+    engines reproduce bit-for-bit.  Zones are strictly interior to the
+    region (no clamp branches) and 0.11-0.48 deg wide (5-23 px windows)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 16 == 7)
+    al, at = F.abs(F.col("lon")), F.abs(F.col("lat"))
+    zl = F.lit(-89.0) + (al * F.lit(7.0) + at * F.lit(3.0)) % F.lit(60.0)
+    zb = F.lit(12.0) + (at * F.lit(5.0) + al * F.lit(2.0)) % F.lit(28.0)
+    zw = F.lit(0.11) + al % F.lit(0.37)
+    zh = F.lit(0.13) + at % F.lit(0.31)
+    return ev.select(
+        F.col("event_id").alias("zone_id"),
+        zl.alias("zleft"),
+        zb.alias("zbottom"),
+        (zl + zw).alias("zright"),
+        (zb + zh).alias("ztop"),
+    )
+
+
+def _zonal_tiles(spark: SparkSession) -> DataFrame:
+    """Single-band 256x256 canvases for every tile in the zonal gate region,
+    pixel value (3*i + 7*j + 11*row + 13*col) % 251 — an integer formula the
+    DuckDB oracle mirrors exactly, so zonal SUMS over real canvas bytes are
+    value-gated (unlike compose, whose decode is pinned by pytest only)."""
+    grid = (
+        spark.range(8, 14)
+        .select(F.col("id").alias("row"))
+        .crossJoin(spark.range(16, 28).select(F.col("id").alias("col")))
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(256, dtype=np.int64)[:, None]
+        j = np.arange(256, dtype=np.int64)[None, :]
+        base = 3 * i + 7 * j
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = pdf["row"].to_numpy()
+            cols = pdf["col"].to_numpy()
+            bufs = [
+                ((base + 11 * int(r) + 13 * int(c)) % 251).astype(np.uint8).tobytes()
+                for r, c in zip(rows, cols)
+            ]
+            yield pd.DataFrame(
+                {
+                    "row": rows,
+                    "col": cols,
+                    "tile_w": np.full(len(pdf), 256, dtype=np.int32),
+                    "tile_h": np.full(len(pdf), 256, dtype=np.int32),
+                    "bytes": bufs,
+                }
+            )
+
+    return grid.mapInPandas(
+        gen, "row long, col long, tile_w int, tile_h int, bytes binary"
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (raster.zonal_stats): per-zone pixel count / sum /
+    min / max / mean over band 0 of a tiled raster — zone bboxes cover onto
+    z5 tiles, the pixel window inside each tile is the raster_tile_windows
+    affine inverse, the Arrow kernel reduces window pixels to 5-int
+    partials, one groupBy on zone_id.  FULL value oracle including pixel
+    sums: canvases carry an integer formula DuckDB re-derives per pixel."""
+    from tilematrix_spark import raster
+
+    return raster.zonal_stats(
+        _zonal_tiles(spark),
+        _zonal_zones(spark, sf_dir),
+        GEODETIC,
+        5,
+        zone_id_col="zone_id",
+        left="zleft",
+        bottom="zbottom",
+        right="zright",
+        top="ztop",
+    )
+
+
+def sql_zonal_stats() -> str:
+    zoom = 5
+    h = _d(_tile_size(zoom))
+    px = _d(GEODETIC.pixel_x_size(zoom))
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}),
+      z0 AS (
+        SELECT event_id AS zone_id,
+          ({_d(-89.0)} + fmod(abs(lon) * {_d(7.0)} + abs(lat) * {_d(3.0)}, {_d(60.0)})) AS zl,
+          ({_d(12.0)} + fmod(abs(lat) * {_d(5.0)} + abs(lon) * {_d(2.0)}, {_d(28.0)})) AS zb,
+          ({_d(0.11)} + fmod(abs(lon), {_d(0.37)})) AS zw,
+          ({_d(0.13)} + fmod(abs(lat), {_d(0.31)})) AS zh
+        FROM pts WHERE event_id % 16 = 7
+      ),
+      z AS (SELECT zone_id, zl, zb, zl + zw AS zr, zb + zh AS zt FROM z0),
+      cov AS (
+        SELECT zone_id, zl, zb, zr, zt,
+          CAST(trunc(({_d(TOP)} - zt) / {h}) AS BIGINT) AS row_min,
+          CAST(trunc(({_d(TOP)} - zb) / {h}) AS BIGINT)
+            - CASE WHEN fmod({_d(TOP)} - zb, {h}) = {_d(0.0)} THEN 1 ELSE 0 END AS row_max,
+          CAST(trunc((zl - {_d(LEFT)}) / {h}) AS BIGINT) AS col_min,
+          CAST(trunc((zr - {_d(LEFT)}) / {h}) AS BIGINT)
+            - CASE WHEN fmod(zr - {_d(LEFT)}, {h}) = {_d(0.0)} THEN 1 ELSE 0 END AS col_max
+        FROM z
+      ),
+      p0 AS (
+        SELECT *, unnest(generate_series(row_min, row_max)) AS trow FROM cov
+      ),
+      pairs AS (
+        SELECT *, unnest(generate_series(col_min, col_max)) AS tcol FROM p0
+      ),
+      win AS (
+        SELECT zone_id, trow, tcol,
+          greatest(CAST(floor((zl - ({_d(LEFT)} + tcol * {h})) / {px}) AS BIGINT), 0) AS c0,
+          least(CAST(ceil((zr - ({_d(LEFT)} + tcol * {h})) / {px}) AS BIGINT), 256) AS cend,
+          greatest(CAST(floor((({_d(TOP)} - trow * {h}) - zt) / {px}) AS BIGINT), 0) AS r0,
+          least(CAST(ceil((({_d(TOP)} - trow * {h}) - zb) / {px}) AS BIGINT), 256) AS rend
+        FROM pairs
+      ),
+      w2 AS (
+        SELECT zone_id, trow, tcol, c0, r0, cend - c0 AS cw, rend - r0 AS rh
+        FROM win WHERE cend - c0 > 0 AND rend - r0 > 0
+      ),
+      pix0 AS (
+        SELECT zone_id, trow, tcol, c0, cw,
+               unnest(generate_series(r0, r0 + rh - 1)) AS pi
+        FROM w2
+      ),
+      pix AS (
+        SELECT zone_id, trow, tcol, pi,
+               unnest(generate_series(c0, c0 + cw - 1)) AS pj
+        FROM pix0
+      ),
+      vals AS (
+        SELECT zone_id, (3 * pi + 7 * pj + 11 * trow + 13 * tcol) % 251 AS v
+        FROM pix
+      ),
+      t AS (SELECT zone_id, count(*) AS n_tiles FROM w2 GROUP BY 1),
+      v AS (
+        SELECT zone_id, count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_val,
+               CAST(min(v) AS BIGINT) AS min_val, CAST(max(v) AS BIGINT) AS max_val
+        FROM vals GROUP BY 1
+      )
+      SELECT zone_id, CAST(n_tiles AS BIGINT) AS n_tiles, n_px, sum_val,
+             min_val, max_val,
+             CAST(sum_val AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_val
+      FROM t JOIN v USING (zone_id)
+    """
+
+
 def q_incremental_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental pyramid maintenance work estimate
     (incremental.dirty_tile_stats): the z6 tiles dirtied by an append batch
@@ -4100,6 +4255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "winnow_near_pairs": q_winnow_near_pairs,
         "strip_boilerplate": q_strip_boilerplate,
+        "zonal_stats": q_zonal_stats,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -4149,6 +4305,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_pair_modes": sql_neardup_pair_modes(),
         "c4_page_filter": sql_c4_page_filter(),
         "strip_boilerplate": sql_strip_boilerplate(),
+        "zonal_stats": sql_zonal_stats(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),

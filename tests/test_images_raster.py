@@ -426,3 +426,66 @@ def test_rasterize_chains_into_overview(spark, geodetic):
     up = raster.overview_level(tiles)
     rows = up.collect()
     assert rows and all(len(bytes(r["bytes"])) == 256 * 256 * 3 for r in rows)
+
+
+def test_zonal_stats_matches_numpy_mirror(spark, geodetic):
+    """zonal_stats kernel vs a pure-numpy mirror on random 3-band canvases:
+    window math rides raster_tile_windows (golden-tested on its own), so
+    this pins the slice+reduce Arrow kernel, the partial merge across a
+    tile-straddling zone, band selection, and the exact-mean division."""
+    from tilematrix_spark import raster
+
+    rng = np.random.default_rng(7)
+    tiles_rows = [(r, c) for r in (2, 3) for c in (4, 5)]
+    canv = {
+        rc: rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+        for rc in tiles_rows
+    }
+    tiles = spark.createDataFrame(
+        [(r, c, 256, 256, bytearray(canv[(r, c)].tobytes())) for r, c in tiles_rows],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    zones = spark.createDataFrame(
+        [
+            (1, -157.0, 74.0, -156.0, 75.0),  # interior of tile (2, 4)
+            (2, -152.5, 74.2, -151.0, 75.9),  # straddles cols 4 and 5
+        ],
+        "zone_id long, zleft double, zbottom double, zright double, ztop double",
+    )
+    out = {
+        r["zone_id"]: r.asDict()
+        for r in raster.zonal_stats(
+            tiles, zones, geodetic, 5,
+            left="zleft", bottom="zbottom", right="zright", top="ztop", band=1,
+        ).collect()
+    }
+    win = raster.raster_tile_windows(
+        zones, geodetic, 5,
+        fp_left="zleft", fp_bottom="zbottom", fp_right="zright", fp_top="ztop",
+    ).collect()
+    exp = {}
+    for w in win:
+        if w["win_width"] <= 0 or w["win_height"] <= 0:
+            continue
+        v = canv[(w["row"], w["col"])][
+            w["win_row_off"] : w["win_row_off"] + w["win_height"],
+            w["win_col_off"] : w["win_col_off"] + w["win_width"],
+            1,
+        ]
+        e = exp.setdefault(
+            w["zone_id"], dict(n_tiles=0, n_px=0, sum_val=0, mn=[], mx=[])
+        )
+        e["n_tiles"] += 1
+        e["n_px"] += v.size
+        e["sum_val"] += int(v.sum(dtype=np.int64))
+        e["mn"].append(int(v.min()))
+        e["mx"].append(int(v.max()))
+    assert set(out) == set(exp) == {1, 2}
+    assert out[2]["n_tiles"] == 2
+    for z, e in exp.items():
+        o = out[z]
+        assert (o["n_tiles"], o["n_px"], o["sum_val"]) == (
+            e["n_tiles"], e["n_px"], e["sum_val"],
+        )
+        assert o["min_val"] == min(e["mn"]) and o["max_val"] == max(e["mx"])
+        assert o["mean_val"] == e["sum_val"] / e["n_px"]

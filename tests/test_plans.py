@@ -364,3 +364,32 @@ def test_semantic_dedup_one_exchange_per_side(spark):
     # the explode barrier holds: the 64-wide dot product appears exactly
     # once (pushdown would inline it 3x into the join condition)
     assert plan.count("zip_with(_qa") == 1
+
+
+def test_zonal_stats_broadcasts_windows_single_exchange(spark, geodetic):
+    """zonal_stats: the zone-window table BROADCASTS into the canvas join
+    (tile bytes never cross an exchange — they flow scan -> Arrow kernel);
+    the only Exchange is the final zone_id aggregation."""
+    from tilematrix_spark import raster
+
+    tiles = spark.createDataFrame(
+        [(2, 4, 2, 2, bytearray(b"\x01" * 12))],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    zones = spark.createDataFrame(
+        [(1, -157.0, 74.0, -156.0, 75.0)],
+        "zone_id long, zl double, zb double, zr double, zt double",
+    )
+    plan = _plan(
+        raster.zonal_stats(
+            tiles, zones, geodetic, 5, left="zl", bottom="zb", right="zr", top="zt"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    ex = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and ") Exchange" in line
+    )
+    assert ex == 1, plan

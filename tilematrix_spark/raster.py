@@ -660,3 +660,151 @@ def rasterize_points(
         F.col("row").alias("_r"), F.col("col").alias("_c")
     ).agg(F.collect_list(F.struct("py", "px", "n")).alias("_bins"))
     return grouped.mapInPandas(burn, schema=_RASTERIZE_SCHEMA)
+
+
+def zonal_stats(
+    tiles: DataFrame,
+    zones: DataFrame,
+    tp: PyramidConfig,
+    zoom: int,
+    zone_id_col: str = "zone_id",
+    left: str = "left",
+    bottom: str = "bottom",
+    right: str = "right",
+    top: str = "top",
+    band: int = 0,
+    max_cover_tiles: Optional[int] = None,
+) -> DataFrame:
+    """Zonal statistics: per-zone pixel aggregates over a tiled raster —
+    the raster-analytics counterpart of ``pip_join`` (vector zones x raster
+    pyramid instead of vector points x polygons).  Each zone's bbox is
+    covered onto tiles (reference ``tiles_from_bounds`` semantics), the
+    pixel window of the zone inside each tile is the ``raster_tile_windows``
+    affine-inverse mapping, and the stats run over band ``band`` of every
+    pixel whose cell intersects the zone (window semantics — floor/ceil of
+    the edge offsets, the same rule the compose path uses).
+
+    Input ``tiles``: (row, col, tile_w, tile_h, bytes) canvases
+    (``compose_tiles`` output shape; band count inferred per row from
+    ``len(bytes) / (tile_w * tile_h)``).  Input ``zones``: one bbox per
+    zone.  Output: one row per zone with >= 1 covered pixel —
+    (zone_id, n_tiles, n_px, sum_val, min_val, max_val, mean_val).
+
+    Scale shape: the zone-window table (zones x covering tiles, native
+    Column math only) BROADCASTS into the tile join, so tile bytes are
+    never shuffled — canvases stream scan -> Arrow kernel exactly once,
+    and the kernel emits 5-int partials per (zone, tile) pair; the only
+    corpus-wide exchange is the final groupBy on zone_id (tiny: one
+    partial per covered pair, partial-agg map side).  A zone overlapping
+    T tiles costs T pair rows, never a canvas copy per zone-pixel.
+    ``max_cover_tiles`` guards runaway zone bboxes (two-stage cover
+    explode).  mean_val = sum/count as one exact IEEE double division.
+    """
+    win = raster_tile_windows(
+        zones.select(zone_id_col, left, bottom, right, top),
+        tp,
+        zoom,
+        fp_left=left,
+        fp_bottom=bottom,
+        fp_right=right,
+        fp_top=top,
+        max_cover_tiles=max_cover_tiles,
+    )
+    win = win.filter((F.col("win_width") > 0) & (F.col("win_height") > 0)).select(
+        F.col(zone_id_col).alias("_zid"),
+        "row",
+        "col",
+        "win_col_off",
+        "win_row_off",
+        "win_width",
+        "win_height",
+    )
+    joined = (
+        tiles.select("row", "col", "tile_w", "tile_h", "bytes")
+        .join(F.broadcast(win), ["row", "col"])
+        .select(
+            "_zid",
+            "tile_w",
+            "tile_h",
+            "bytes",
+            "win_col_off",
+            "win_row_off",
+            "win_width",
+            "win_height",
+        )
+    )
+
+    part_schema = T.StructType(
+        [
+            T.StructField("_zid", zones.schema[zone_id_col].dataType),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sum_val", T.LongType()),
+            T.StructField("min_val", T.LongType()),
+            T.StructField("max_val", T.LongType()),
+        ]
+    )
+    band_i = int(band)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            tw = pdf["tile_w"].to_numpy()
+            th = pdf["tile_h"].to_numpy()
+            c0 = pdf["win_col_off"].to_numpy()
+            r0 = pdf["win_row_off"].to_numpy()
+            cw = pdf["win_width"].to_numpy()
+            rh = pdf["win_height"].to_numpy()
+            n_px = np.empty(m, dtype=np.int64)
+            s = np.empty(m, dtype=np.int64)
+            mn = np.empty(m, dtype=np.int64)
+            mx = np.empty(m, dtype=np.int64)
+            for i in range(m):
+                buf = pdf["bytes"].iat[i]
+                h, w = int(th[i]), int(tw[i])
+                nb = len(buf) // (h * w)
+                if nb * h * w != len(buf) or band_i >= nb:
+                    raise ValueError(
+                        f"canvas of {len(buf)} bytes is not {h}x{w}xB "
+                        f"with band {band_i} present"
+                    )
+                v = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, nb)[
+                    r0[i] : r0[i] + rh[i], c0[i] : c0[i] + cw[i], band_i
+                ]
+                n_px[i] = v.size
+                s[i] = int(v.sum(dtype=np.int64))
+                mn[i] = int(v.min())
+                mx[i] = int(v.max())
+            yield pd.DataFrame(
+                {
+                    "_zid": pdf["_zid"].values,
+                    "n_px": n_px,
+                    "sum_val": s,
+                    "min_val": mn,
+                    "max_val": mx,
+                }
+            )
+
+    part = joined.mapInPandas(stats, schema=part_schema)
+    return (
+        part.groupBy("_zid")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("n_px").alias("n_px"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+        .select(
+            F.col("_zid").alias(zone_id_col),
+            "n_tiles",
+            "n_px",
+            "sum_val",
+            "min_val",
+            "max_val",
+            (F.col("sum_val").cast("double") / F.col("n_px").cast("double")).alias(
+                "mean_val"
+            ),
+        )
+    )
