@@ -3095,6 +3095,37 @@ def sql_overview_coverage() -> str:
     """
 
 
+def q_mosaic_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic compose + pyramid overview coverage in one gate slot (tagged
+    union, the knn_modes trick): the `compose` tag gates which z6 tiles get
+    a canvas and from how many contributors (cover/window math through the
+    full compose kernel), the `overview` tag gates the z5 parent addressing
+    and child counts of the SAME composed set (get_parent semantics through
+    the downsample kernel).  A regression in either kernel's coverage
+    surface flips rows under its tag in-window; canvas/overview pixel BYTES
+    stay pinned by the numpy-mirror pytests (binary decode/downsample is
+    not SQL-expressible)."""
+    comp = q_compose_tiles(spark, sf_dir).select(
+        F.lit("compose").alias("mode"), "tile_row", "tile_col",
+        F.col("n_images").alias("n"),
+    )
+    ov = q_overview_coverage(spark, sf_dir).select(
+        F.lit("overview").alias("mode"), "tile_row", "tile_col",
+        F.col("n_children").alias("n"),
+    )
+    return comp.unionByName(ov)
+
+
+def sql_mosaic_modes() -> str:
+    return f"""
+      SELECT 'compose' AS mode, tile_row, tile_col, n_images AS n
+      FROM ({sql_compose_tiles()})
+      UNION ALL
+      SELECT 'overview' AS mode, tile_row, tile_col, n_children AS n
+      FROM ({sql_overview_coverage()})
+    """
+
+
 def q_rasterize_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector→raster rasterization bin surface (raster.rasterize_bins):
     one row per non-empty pixel bin of the z5 point-density burn — tile
@@ -4172,8 +4203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- raster / image kernels ---
         "raster_windows": q_raster_windows,
         "rasterize_bins": q_rasterize_bins,
-        "compose_tiles": q_compose_tiles,
-        "overview_coverage": q_overview_coverage,
+        "mosaic_modes": q_mosaic_modes,
+        "zonal_stats": q_zonal_stats,
         "incremental_dirty": q_incremental_dirty,
         "incremental_propagate": q_incremental_propagate,
         "verify_images": q_verify_images,
@@ -4255,7 +4286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "winnow_near_pairs": q_winnow_near_pairs,
         "strip_boilerplate": q_strip_boilerplate,
-        "zonal_stats": q_zonal_stats,
+        "compose_tiles": q_compose_tiles,
+        "overview_coverage": q_overview_coverage,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -4341,6 +4373,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_windows_buffered": sql_raster_windows(pixelbuffer=12),
         "compose_tiles": sql_compose_tiles(),
         "overview_coverage": sql_overview_coverage(),
+        "mosaic_modes": sql_mosaic_modes(),
         "incremental_dirty": sql_incremental_dirty(),
         "incremental_propagate": sql_incremental_propagate(),
         "rasterize_bins": sql_rasterize_bins(),

@@ -528,7 +528,9 @@ def test_driver_gate_window_holds_kernel_queries():
         "geom_tiles_modes",  # r5: intersects + exact semantics (tagged union)
         "pip_join_regions",
         "raster_windows", "rasterize_bins",
-        "compose_tiles", "overview_coverage", "incremental_dirty",
+        "mosaic_modes",  # r5: compose + overview coverage (tagged union)
+        "zonal_stats",  # r5: zones x tiled raster, pixel-exact value oracle
+        "incremental_dirty",
         "incremental_propagate",  # r4: merged_level + propagate_level gate
         "verify_images", "phash_near_dup", "spatial_phash_pairs",
         "ann_modes",  # r5: lsh + ivf + pq full-probe pipelines (tagged union)
@@ -553,8 +555,9 @@ def test_driver_gate_window_holds_kernel_queries():
     # tail oracle), and the untagged halves of the r5 unions (knn, knn_sparse,
     # cover_bbox, cover_bbox_split, geom_tiles_boxes, geom_tiles_exact,
     # ann_lsh_topk, ann_ivf_topk, pq_topk, minhash_lsh_pairs, ngram_jaccard,
-    # simhash_near_pairs, winnow_near_pairs — individually addressable for
-    # debugging, coverage rides the in-window unions)
+    # simhash_near_pairs, winnow_near_pairs, compose_tiles,
+    # overview_coverage — individually addressable for debugging, coverage
+    # rides the in-window unions)
     missing = kernel_bearing - window
     assert not missing, f"kernel queries outside the 50-gate window: {missing}"
     # every query has an oracle except the documented rows-only entry
