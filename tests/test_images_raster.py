@@ -489,3 +489,123 @@ def test_zonal_stats_matches_numpy_mirror(spark, geodetic):
         )
         assert o["min_val"] == min(e["mn"]) and o["max_val"] == max(e["mx"])
         assert o["mean_val"] == e["sum_val"] / e["n_px"]
+
+
+def _focal_mirror(canvases, ts, radius, mw, mh):
+    """Brute-force global-array focal mirror: place every tile into a global
+    (mh*ts, mw*ts) value + mask plane with COLUMN WRAP (pad the x axis by one
+    matrix width on each side), then aggregate each pixel's window over
+    available pixels only."""
+    H, W = mh * ts, mw * ts
+    V = np.zeros((H, W), dtype=np.int64)
+    M = np.zeros((H, W), dtype=np.int64)
+    for (r, c), a in canvases.items():
+        V[r * ts : (r + 1) * ts, c * ts : (c + 1) * ts] = a
+        M[r * ts : (r + 1) * ts, c * ts : (c + 1) * ts] = 1
+    Vw = np.concatenate([V, V, V], axis=1)
+    Mw = np.concatenate([M, M, M], axis=1)
+    out = {}
+    for (r, c) in canvases:
+        stats = np.zeros((ts, ts, 5), dtype=np.int64)
+        for py in range(ts):
+            for px in range(ts):
+                gy, gx = r * ts + py, W + c * ts + px
+                y0, y1 = max(gy - radius, 0), min(gy + radius + 1, H)
+                vs = Vw[y0:y1, gx - radius : gx + radius + 1]
+                ms = Mw[y0:y1, gx - radius : gx + radius + 1]
+                vals = vs[ms == 1]
+                stats[py, px] = (
+                    len(vals),
+                    vals.sum(),
+                    vals.min(),
+                    vals.max(),
+                    vals.sum() // len(vals),
+                )
+        out[(r, c)] = stats
+    return out
+
+
+def test_focal_stats_matches_numpy_mirror(spark):
+    """Cross-tile halo exchange vs a brute-force global-plane mirror: a 2x2
+    block of 16px tiles at z2 geodetic (mw=8, mh=4) with one MISSING corner
+    neighbor — interior pixels see true neighbor bytes, block-edge pixels
+    see partial windows (n_nbr < (2r+1)^2)."""
+    import pandas as pd
+
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=16)
+    ts, radius = 16, 2
+    rng = np.random.RandomState(7)
+    keys = [(1, 2), (1, 3), (2, 2), (2, 3)]
+    canvases = {k: rng.randint(0, 256, (ts, ts)).astype(np.uint8) for k in keys}
+    rows = [
+        {"row": r, "col": c, "tile_w": ts, "tile_h": ts,
+         "bytes": canvases[(r, c)].tobytes()}
+        for (r, c) in keys
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    got = (
+        raster.focal_stats(tiles, tp, 2, radius=radius, emit="pixels")
+        .toPandas()
+        .set_index(["row", "col", "py", "px"])
+        .sort_index()
+    )
+    mirror = _focal_mirror(canvases, ts, radius, tp.matrix_width(2), tp.matrix_height(2))
+    assert len(got) == len(keys) * ts * ts
+    for (r, c), stats in mirror.items():
+        sub = got.loc[(r, c)]
+        np.testing.assert_array_equal(
+            sub[["n_nbr", "sum_nbr", "min_nbr", "max_nbr", "mean_nbr"]]
+            .to_numpy()
+            .reshape(ts, ts, 5),
+            stats,
+        )
+    # edge pixels genuinely see partial windows; interior sees full 25
+    assert got["n_nbr"].min() < (2 * radius + 1) ** 2
+    assert got["n_nbr"].max() == (2 * radius + 1) ** 2
+
+
+def test_focal_stats_wraps_antimeridian(spark):
+    """mw=2 at z0 geodetic: the left edge of col 0 must see col 1's right
+    edge (column wrap), and the canvas emit carries the truncated mean."""
+    import pandas as pd
+
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=8)
+    ts, radius = 8, 1
+    rng = np.random.RandomState(11)
+    canvases = {(0, 0): rng.randint(0, 256, (ts, ts)).astype(np.uint8),
+                (0, 1): rng.randint(0, 256, (ts, ts)).astype(np.uint8)}
+    rows = [
+        {"row": r, "col": c, "tile_w": ts, "tile_h": ts,
+         "bytes": canvases[(r, c)].tobytes()}
+        for (r, c) in canvases
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    mirror = _focal_mirror(canvases, ts, radius, 2, 1)
+    px_df = (
+        raster.focal_stats(tiles, tp, 0, radius=radius, emit="pixels")
+        .toPandas()
+        .set_index(["row", "col", "py", "px"])
+        .sort_index()
+    )
+    for (r, c), stats in mirror.items():
+        np.testing.assert_array_equal(
+            px_df.loc[(r, c)][["n_nbr", "sum_nbr", "min_nbr", "max_nbr", "mean_nbr"]]
+            .to_numpy()
+            .reshape(ts, ts, 5),
+            stats,
+        )
+    # wrap actually fired: row 0 of col 0 at px=0 has full horizontal window
+    assert px_df.loc[(0, 0, ts // 2, 0), "n_nbr"] == 9
+    cv = (
+        raster.focal_stats(tiles, tp, 0, radius=radius, emit="canvas")
+        .toPandas()
+        .set_index(["row", "col"])
+    )
+    for (r, c), stats in mirror.items():
+        want = stats[:, :, 4].astype(np.uint8)
+        gotb = np.frombuffer(cv.loc[(r, c), "bytes"], dtype=np.uint8).reshape(ts, ts)
+        np.testing.assert_array_equal(gotb, want)
