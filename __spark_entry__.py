@@ -3318,6 +3318,83 @@ def sql_zonal_stats() -> str:
     """
 
 
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tile halo-exchange focal statistics (raster.focal_stats): 5x5
+    moving-window n/sum/min/max/trunc-mean over the 72-tile zonal canvas
+    region at z5, sampled at every 577th pixel (~113 px/tile, 8k rows).
+    The REAL halo pipeline runs — border strips ship to the 8 neighbors,
+    the padded plane assembles per tile, and region-edge pixels aggregate
+    partial windows (their neighbors are not materialized) — while the
+    DuckDB oracle re-derives every window pixel from the canvas formula in
+    GLOBAL pixel coordinates, so cross-tile neighborhoods are value-exact,
+    not just row-counted."""
+    from tilematrix_spark import raster
+
+    out = raster.focal_stats(
+        _zonal_tiles(spark),
+        GEODETIC,
+        5,
+        radius=2,
+        band=0,
+        emit="pixels",
+        sample_mod=577,
+        sample_off=11,
+    )
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        "py",
+        "px",
+        "n_nbr",
+        "sum_nbr",
+        "min_nbr",
+        "max_nbr",
+        "mean_nbr",
+    )
+
+
+def sql_focal_stats() -> str:
+    """Focal mirror in global pixel space: the materialized raster is the
+    rectangle rows 8-13 x cols 16-27 (gy in [2048, 3584), gx in [4096,
+    7168)); each sampled pixel's 5x5 window clips to that extent and every
+    window pixel value re-derives from the zonal canvas formula
+    (3*i + 7*j + 11*row + 13*col) % 251 via gy/gx div-mod 256."""
+    return """
+      WITH tiles AS (
+        SELECT trow, tcol
+        FROM (SELECT unnest(generate_series(8, 13)) AS trow)
+        CROSS JOIN (SELECT unnest(generate_series(16, 27)) AS tcol)
+      ),
+      ctr AS (
+        SELECT trow, tcol, s // 256 AS py, s % 256 AS px,
+               trow * 256 + s // 256 AS gy, tcol * 256 + s % 256 AS gx
+        FROM (SELECT trow, tcol, unnest(generate_series(11, 65535, 577)) AS s
+              FROM tiles)
+      ),
+      win AS (
+        SELECT trow, tcol, py, px, gy + dy AS gy2, gx + dx AS gx2
+        FROM (SELECT *, unnest(generate_series(-2, 2)) AS dy FROM ctr),
+             (SELECT unnest(generate_series(-2, 2)) AS dx)
+        WHERE gy + dy >= 2048 AND gy + dy < 3584
+          AND gx + dx >= 4096 AND gx + dx < 7168
+      ),
+      v AS (
+        SELECT trow, tcol, py, px,
+               (3 * (gy2 % 256) + 7 * (gx2 % 256)
+                + 11 * (gy2 // 256) + 13 * (gx2 // 256)) % 251 AS val
+        FROM win
+      )
+      SELECT trow AS tile_row, tcol AS tile_col,
+             CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+             count(*) AS n_nbr,
+             CAST(sum(val) AS BIGINT) AS sum_nbr,
+             CAST(min(val) AS INTEGER) AS min_nbr,
+             CAST(max(val) AS INTEGER) AS max_nbr,
+             CAST(sum(val) AS BIGINT) // count(*) AS mean_nbr
+      FROM v GROUP BY 1, 2, 3, 4
+    """
+
+
 def q_incremental_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental pyramid maintenance work estimate
     (incremental.dirty_tile_stats): the z6 tiles dirtied by an append batch
@@ -4286,6 +4363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "winnow_near_pairs": q_winnow_near_pairs,
         "strip_boilerplate": q_strip_boilerplate,
+        "focal_stats": q_focal_stats,
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -4337,6 +4415,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_pair_modes": sql_neardup_pair_modes(),
         "c4_page_filter": sql_c4_page_filter(),
         "strip_boilerplate": sql_strip_boilerplate(),
+        "focal_stats": sql_focal_stats(),
         "zonal_stats": sql_zonal_stats(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
