@@ -845,6 +845,81 @@ def sql_dedup_exact() -> str:
     """
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Bloom-prefiltered dedup (dedup.bloom_incremental_dedup):
+    the new batch (doc_id % 4 == 0, plus whitespace-mangled clones of every
+    12th-mod-3 HISTORY doc so true cross-batch dups exist) probes a packed
+    m=2048/k=4 Bloom summary of the history corpus (doc_id % 4 != 0), then
+    candidates verify exactly.  Full value oracle: the md5-derived double
+    hashing is re-derived in SQL via hex-nibble decoding, so bloom_hit —
+    including any false positives at this fill ratio — matches bit-for-bit,
+    and is_dup -> bloom_hit (no false negatives) is checkable row-by-row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 12 == 3).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit(" "), F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return dedupfns.bloom_incremental_dedup(new, hist, m=2048, k=4)
+
+
+def _sql_hex8_int(e: str) -> str:
+    """DuckDB expression: first 8 hex chars of md5-hex expression ``e`` as
+    an integer — nibble CASE chain, the sql_simhash idiom."""
+    nib = (
+        f"CASE substr({e}, {{pos}}, 1) "
+        + " ".join(f"WHEN '{c}' THEN {int(c, 16)}" for c in "0123456789abcdef")
+        + " END"
+    )
+    return " + ".join(
+        f"CAST(({nib.format(pos=j + 1)}) AS BIGINT) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+
+
+def sql_bloom_dedup() -> str:
+    m = 2048
+    pos_expr = (
+        "("
+        + _sql_hex8_int("md5(fp || '#b' || CAST(i AS VARCHAR))")
+        + f") % {m}"
+    )
+    return f"""
+      WITH hist AS (
+        SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents
+        WHERE doc_id % 4 <> 0
+      ),
+      newb AS (
+        SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+        WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               md5(lower(trim(regexp_replace(
+                 ' ' || upper(text) || '  ', '\\s+', ' ', 'g')))) AS fp
+        FROM documents WHERE doc_id % 12 = 3
+      ),
+      ks AS (SELECT unnest(generate_series(0, 3)) AS i),
+      hpos AS (SELECT DISTINCT {pos_expr} AS pos FROM hist CROSS JOIN ks),
+      np AS (
+        SELECT doc_id, fp, i, {pos_expr} AS pos FROM newb CROSS JOIN ks
+      ),
+      ph AS (
+        SELECT np.doc_id, np.fp,
+               bool_and(hpos.pos IS NOT NULL) AS bloom_hit
+        FROM np LEFT JOIN hpos ON np.pos = hpos.pos
+        GROUP BY 1, 2
+      )
+      SELECT doc_id, fp, bloom_hit,
+             (fp IN (SELECT fp FROM hist)) AS is_dup
+      FROM ph
+    """
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", textfns.fingerprint("text").alias("fp"))
@@ -4364,6 +4439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_near_pairs": q_winnow_near_pairs,
         "strip_boilerplate": q_strip_boilerplate,
         "focal_stats": q_focal_stats,
+        "bloom_dedup": q_bloom_dedup,
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -4416,6 +4492,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_page_filter": sql_c4_page_filter(),
         "strip_boilerplate": sql_strip_boilerplate(),
         "focal_stats": sql_focal_stats(),
+        "bloom_dedup": sql_bloom_dedup(),
         "zonal_stats": sql_zonal_stats(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),

@@ -1257,3 +1257,65 @@ def test_c4_clean_no_shuffle_and_filters(spark):
     assert "javascript" not in out[3].lower()
     plan = text.c4_line_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bloom_incremental_dedup_matches_python_mirror(spark):
+    """bloom_bits/probe/incremental dedup vs a pure-Python Bloom mirror:
+    identical bloom_hit for every new doc (including any false positives at
+    the tiny m used here), exact is_dup, and the no-false-negative law
+    is_dup -> bloom_hit."""
+    import hashlib
+    import re
+
+    from tilematrix_spark.functions import dedup
+
+    m, k = 256, 4
+    hist_texts = [f"history doc number {i} body" for i in range(40)]
+    new_texts = (
+        [f"history doc number {i} body" for i in (3, 17)]  # true dups
+        + [f"fresh doc {i} payload" for i in range(30)]
+    )
+    hist = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hist_texts)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(new_texts)],
+        "doc_id long, text string",
+    )
+    out = (
+        dedup.bloom_incremental_dedup(new, hist, m=m, k=k)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    def fp(t):
+        return hashlib.md5(
+            re.sub(r"\s+", " ", t).strip().lower().encode()
+        ).hexdigest()
+
+    def positions(f):
+        return [
+            int(hashlib.md5(f"{f}#b{i}".encode()).hexdigest()[:8], 16) % m
+            for i in range(k)
+        ]
+
+    hist_bits = set()
+    hist_fps = set()
+    for t in hist_texts:
+        f = fp(t)
+        hist_fps.add(f)
+        hist_bits.update(positions(f))
+    assert len(out) == len(new_texts)
+    n_fp = 0
+    for i, t in enumerate(new_texts):
+        f = fp(t)
+        want_hit = all(p in hist_bits for p in positions(f))
+        want_dup = f in hist_fps
+        row = out.loc[100 + i]
+        assert row["fp"] == f
+        assert bool(row["bloom_hit"]) == want_hit
+        assert bool(row["is_dup"]) == want_dup
+        assert (not want_dup) or want_hit  # no false negatives
+        n_fp += int(want_hit and not want_dup)
+    assert out["is_dup"].sum() == 2

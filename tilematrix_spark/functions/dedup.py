@@ -629,3 +629,142 @@ def strip_boilerplate_lines(
         ),
         F.coalesce("cleaned", F.lit("")).alias("cleaned"),
     )
+
+
+def _bloom_positions(key: Column, m: int, k: int) -> Column:
+    """Array of the k Bloom bit positions of ``key``: position_i =
+    int(md5(key || '#b' || i)[:8], 16) % m — k independent md5 draws, all
+    native (md5/conv/pmod, whole-stage codegen) and exactly mirrorable in
+    SQL (hex nibbles -> integer is engine-independent)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(key, F.lit(f"#b{i}"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(int(m)),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bits(
+    history: DataFrame,
+    key_col: str = "fp",
+    m: int = 1 << 21,
+    k: int = 4,
+) -> DataFrame:
+    """Build the PERSISTABLE Bloom summary of a history corpus: (word_idx,
+    bits) rows packing the m-bit filter into 64-bit words — ``m/64`` rows
+    regardless of history size.  This is the artifact an incremental dedup
+    pipeline stores between batches: history text is scanned ONCE, reduced
+    map-side (distinct positions partial-aggregate before the shuffle), and
+    never touched again by later batches.
+
+    Scale shape: the only exchange is a groupBy on word_idx over <= m
+    distinct positions (not corpus rows); at 10^11 history docs pick
+    m ~ 10 bits/doc — the packed table is m/8 bytes (2^33 bits = 128 MB),
+    still a broadcastable summary, vs re-shuffling the history corpus every
+    batch.  No per-row Python anywhere.
+    """
+    pos = history.select(
+        F.explode(_bloom_positions(F.col(key_col), m, k)).alias("pos")
+    ).distinct()
+    return (
+        pos.select(
+            F.shiftright("pos", 6).alias("word_idx"),
+            F.col("pos").bitwiseAND(F.lit(63)).alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(_bit AS INT))")).alias("bits"))
+    )
+
+
+def bloom_probe(
+    new: DataFrame,
+    bits: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "fp",
+    m: int = 1 << 21,
+    k: int = 4,
+) -> DataFrame:
+    """Probe each new row's k positions against a packed Bloom summary:
+    adds ``bloom_hit`` (true iff ALL k bits are set — no false negatives,
+    false positives at the classic (1-e^{-kn/m})^k rate).  The probe is a
+    BROADCAST join of the k exploded positions against the m/64-word bits
+    table + one groupBy on the new-batch id — the history corpus is not
+    involved at all."""
+    probes = new.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(_bloom_positions(F.col(key_col), m, k)).alias("_i", "pos"),
+    ).select(
+        "_pid",
+        "_i",
+        F.shiftright("pos", 6).alias("word_idx"),
+        F.col("pos").bitwiseAND(F.lit(63)).alias("_bit"),
+    )
+    hit = probes.join(F.broadcast(bits), "word_idx", "left").select(
+        "_pid",
+        (
+            F.coalesce("bits", F.lit(0).cast("long")).bitwiseAND(
+                F.expr("shiftleft(1L, CAST(_bit AS INT))")
+            )
+            != 0
+        ).alias("_hit"),
+    )
+    agg = hit.groupBy("_pid").agg(F.bool_and("_hit").alias("bloom_hit"))
+    return new.join(agg, new[id_col] == agg["_pid"]).drop("_pid")
+
+
+def bloom_incremental_dedup(
+    new: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = 1 << 21,
+    k: int = 4,
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against a HISTORY corpus via
+    a Bloom prefilter + exact verification — the standard shape for
+    continuously-ingested training data, where re-joining every batch
+    against the full history is the scale killer.
+
+    Three stages, none of which shuffles a corpus on a text key:
+    1. ``bloom_bits(history)`` — one scan of history (or a PERSISTED summary
+       reused across batches; see annstore for the lineage pattern).
+    2. ``bloom_probe`` — new batch vs the broadcast m/64-word summary; only
+       ``bloom_hit`` rows survive as candidates (true dups + the documented
+       false-positive tail).
+    3. Exact verify: the candidate fingerprints BROADCAST into one scan of
+       history (history is filtered, never shuffled), and a final broadcast
+       semi-join marks ``is_dup``.  Bloom has no false negatives, so
+       non-candidates are exactly-not-dups: ``is_dup -> bloom_hit`` holds
+       row-for-row.
+
+    Output: one row per new-batch doc — (id, fp, bloom_hit, is_dup).
+    """
+    from . import text as textfns
+
+    newfp = new.select(
+        F.col(id_col), textfns.fingerprint(text_col).alias("fp")
+    )
+    histfp = history.select(textfns.fingerprint(text_col).alias("fp"))
+    bits = bloom_bits(histfp, "fp", m, k)
+    probed = bloom_probe(newfp, bits, id_col, "fp", m, k)
+    cand = probed.filter("bloom_hit").select("fp").distinct()
+    matched = (
+        histfp.join(F.broadcast(cand), "fp").select("fp").distinct()
+        .withColumn("_m", F.lit(True))
+    )
+    return (
+        probed.join(F.broadcast(matched), "fp", "left")
+        .select(
+            id_col,
+            "fp",
+            "bloom_hit",
+            F.coalesce("_m", F.lit(False)).alias("is_dup"),
+        )
+    )
