@@ -1389,6 +1389,62 @@ def sql_top_terms() -> str:
     """
 
 
+def q_text_stats_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three text-analysis surfaces in one gate slot (tagged union, the
+    knn_modes trick): token counting (whitespace + BPE-ish subwords +
+    chars), df-normalized top-3 terms per doc, and language-ID counts.
+    Each tag exercises a different kernel stack (regex token extraction /
+    tf-df window ranking / marker-hit argmax); a regression in any flips
+    rows under its tag in-window.  Columns flatten to one shape: ``s``
+    carries the tag's string payload (term / language), ``n1..n3`` its
+    counters; absent slots are '' / -1."""
+    none_l = F.lit(-1).cast("long")
+    tok = q_token_stats(spark, sf_dir).select(
+        F.lit("tokens").alias("mode"),
+        "doc_id",
+        F.lit("").alias("s"),
+        F.col("n_tokens").alias("n1"),
+        F.col("n_subwords").alias("n2"),
+        F.col("n_chars").alias("n3"),
+    )
+    top = q_top_terms(spark, sf_dir).select(
+        F.lit("top_terms").alias("mode"),
+        "doc_id",
+        F.col("term").alias("s"),
+        F.col("rank").cast("long").alias("n1"),
+        none_l.alias("n2"),
+        none_l.alias("n3"),
+    )
+    lang = q_lang_id_counts(spark, sf_dir).select(
+        F.lit("lang_id").alias("mode"),
+        none_l.alias("doc_id"),
+        F.col("lang_pred").alias("s"),
+        F.col("n").alias("n1"),
+        none_l.alias("n2"),
+        none_l.alias("n3"),
+    )
+    return tok.unionByName(top).unionByName(lang)
+
+
+def sql_text_stats_modes() -> str:
+    return f"""
+      SELECT 'tokens' AS mode, doc_id, '' AS s,
+             CAST(n_tokens AS BIGINT) AS n1, CAST(n_subwords AS BIGINT) AS n2,
+             CAST(n_chars AS BIGINT) AS n3
+      FROM ({sql_token_stats()})
+      UNION ALL
+      SELECT 'top_terms' AS mode, doc_id, term AS s,
+             CAST(rank AS BIGINT) AS n1, CAST(-1 AS BIGINT) AS n2,
+             CAST(-1 AS BIGINT) AS n3
+      FROM ({sql_top_terms()})
+      UNION ALL
+      SELECT 'lang_id' AS mode, CAST(-1 AS BIGINT) AS doc_id, lang_pred AS s,
+             CAST(n AS BIGINT) AS n1, CAST(-1 AS BIGINT) AS n2,
+             CAST(-1 AS BIGINT) AS n3
+      FROM ({sql_lang_id_counts()})
+    """
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli sample (rate 0.25) by md5-prefix threshold —
     reproducible at any parallelism, no RNG; the oracle compares the same
@@ -4319,7 +4375,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     decontaminate, and pack_sequences into the hard gate.  A second pass
     merged the four text near-dup pair generators into
     neardup_pair_modes, promoting the round-5 additions
-    repetition_stats / scrub_pii / semantic_dedup in-window too.
+    repetition_stats / scrub_pii / semantic_dedup in-window too.  A third
+    pass merged token_stats+top_terms+lang_id_counts into
+    text_stats_modes, promoting the halo-exchange focal_stats and the
+    Bloom-prefiltered bloom_dedup into the freed slots.
     """
     return {
         # --- tile math & assignment (in-window) ---
@@ -4378,9 +4437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tagged union — r5 window surgery that freed the slots for the
         # round-5 text/similarity queries below) ---
         "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "top_terms": q_top_terms,
-        "lang_id_counts": q_lang_id_counts,
+        "bloom_dedup": q_bloom_dedup,
+        "text_stats_modes": q_text_stats_modes,
         "neardup_pair_modes": q_neardup_pair_modes,
         "winnow_fingerprints": q_winnow_fingerprints,
         "repetition_stats": q_repetition_stats,
@@ -4389,6 +4447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_page_filter": q_c4_page_filter,
         "dedup_clusters": q_dedup_clusters,
         "source_quota": q_source_quota,
+        # --- cross-tile halo-exchange focal statistics ---
+        "focal_stats": q_focal_stats,
         # --- Z-order sink write/read roundtrip gate ---
         "zorder_scan": q_zorder_scan,
         # ---- tail: redundant-kernel variants (same exprs as an in-window
@@ -4438,8 +4498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "winnow_near_pairs": q_winnow_near_pairs,
         "strip_boilerplate": q_strip_boilerplate,
-        "focal_stats": q_focal_stats,
-        "bloom_dedup": q_bloom_dedup,
+        "token_stats": q_token_stats,
+        "top_terms": q_top_terms,
+        "lang_id_counts": q_lang_id_counts,
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -4484,6 +4545,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": sql_token_stats(),
         "top_terms": sql_top_terms(),
         "lang_id_counts": sql_lang_id_counts(),
+        "text_stats_modes": sql_text_stats_modes(),
         "quality_scores": sql_quality_scores(),
         "minhash_signatures": sql_minhash_signatures(),
         "ngram_jaccard": sql_ngram_jaccard(),
