@@ -393,3 +393,73 @@ def test_zonal_stats_broadcasts_windows_single_exchange(spark, geodetic):
         if line.startswith("(") and ") Exchange" in line
     )
     assert ex == 1, plan
+
+
+def test_focal_stats_single_exchange_strips_only(spark, geodetic):
+    """focal_stats: exactly ONE Exchange (the groupBy assembling the padded
+    plane from center + neighbor strips) and exactly TWO MapInPandas nodes
+    (strip emission, assemble/stat) — no per-group pandas frames, no extra
+    shuffle, no join anywhere in the stencil."""
+    from tilematrix_spark import raster
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=8)
+    tiles = spark.createDataFrame(
+        [(0, 0, 8, 8, bytearray(b"\x01" * 64))],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    plan = _plan(raster.focal_stats(tiles, tp, 0, radius=1))
+    ex = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and ") Exchange" in line
+    )
+    assert ex == 1, plan
+    mp = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and ") MapInPandas" in line
+    )
+    assert mp == 2, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_bloom_probe_broadcast_single_exchange_native(spark):
+    """bloom_probe: the bits summary BROADCASTS into the exploded positions
+    (no SortMergeJoin, no join-back on the batch — carries ride the one
+    groupBy exchange) and the position math is native md5/conv/shift (zero
+    Python nodes)."""
+    from tilematrix_spark.functions import dedup
+
+    newfp = spark.createDataFrame([(1, "aa")], "doc_id long, fp string")
+    bits = dedup.bloom_bits(
+        spark.createDataFrame([("bb",)], "fp string"), m=256, k=4
+    )
+    plan = _plan(dedup.bloom_probe(newfp, bits, m=256, k=4))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    ex = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and ") Exchange" in line
+    )
+    # one exchange for the probe groupBy + one inside bits' own word agg
+    assert ex == 2, plan
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, plan
+
+
+def test_bloom_dedup_verify_broadcasts_no_corpus_shuffle(spark):
+    """bloom_incremental_dedup end-to-end: candidate fps broadcast into the
+    history scan and matches broadcast back onto the (checkpointed) probe
+    output — no SortMergeJoin anywhere, so neither corpus shuffles on a
+    text key."""
+    from tilematrix_spark.functions import dedup
+
+    new = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    hist = spark.createDataFrame([(2, "c d")], "doc_id long, text string")
+    plan = _plan(dedup.bloom_incremental_dedup(new, hist, m=256, k=4))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan

@@ -695,19 +695,24 @@ def bloom_probe(
     adds ``bloom_hit`` (true iff ALL k bits are set — no false negatives,
     false positives at the classic (1-e^{-kn/m})^k rate).  The probe is a
     BROADCAST join of the k exploded positions against the m/64-word bits
-    table + one groupBy on the new-batch id — the history corpus is not
-    involved at all."""
+    table + ONE groupBy on the new-batch id (``new``'s other columns ride
+    the same exchange via first() — probe a slim (id, key) projection and
+    re-attach wide columns afterwards); the history corpus is not involved
+    at all, and no join-back on the batch is needed."""
+    carry = [c for c in new.columns if c != id_col]
     probes = new.select(
-        F.col(id_col).alias("_pid"),
+        id_col,
+        *carry,
         F.posexplode(_bloom_positions(F.col(key_col), m, k)).alias("_i", "pos"),
     ).select(
-        "_pid",
-        "_i",
+        id_col,
+        *carry,
         F.shiftright("pos", 6).alias("word_idx"),
         F.col("pos").bitwiseAND(F.lit(63)).alias("_bit"),
     )
     hit = probes.join(F.broadcast(bits), "word_idx", "left").select(
-        "_pid",
+        id_col,
+        *carry,
         (
             F.coalesce("bits", F.lit(0).cast("long")).bitwiseAND(
                 F.expr("shiftleft(1L, CAST(_bit AS INT))")
@@ -715,8 +720,10 @@ def bloom_probe(
             != 0
         ).alias("_hit"),
     )
-    agg = hit.groupBy("_pid").agg(F.bool_and("_hit").alias("bloom_hit"))
-    return new.join(agg, new[id_col] == agg["_pid"]).drop("_pid")
+    return hit.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in carry],
+        F.bool_and("_hit").alias("bloom_hit"),
+    )
 
 
 def bloom_incremental_dedup(
@@ -753,7 +760,13 @@ def bloom_incremental_dedup(
     )
     histfp = history.select(textfns.fingerprint(text_col).alias("fp"))
     bits = bloom_bits(histfp, "fp", m, k)
-    probed = bloom_probe(newfp, bits, id_col, "fp", m, k)
+    # probed feeds BOTH the candidate extraction and the final output —
+    # materialize once (narrow: id, fp, bloom_hit) so the probe pipeline
+    # and the bits broadcast don't execute twice (CLAUDE.md single-
+    # materialization discipline, the minhash_lsh_pairs shape)
+    probed = bloom_probe(newfp, bits, id_col, "fp", m, k).localCheckpoint(
+        eager=False
+    )
     cand = probed.filter("bloom_hit").select("fp").distinct()
     matched = (
         histfp.join(F.broadcast(cand), "fp").select("fp").distinct()
