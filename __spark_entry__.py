@@ -3526,6 +3526,79 @@ def sql_focal_stats() -> str:
     """
 
 
+def q_focal_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tile Sobel gradient (raster.focal_gradient): integer gx/gy
+    numerators + squared magnitude over the zonal canvas region, sampled at
+    every 311th pixel; pixels whose 3x3 window crosses the region edge are
+    dropped (gradient needs all 9 samples).  Shares focal_stats's halo
+    exchange; the oracle re-derives each window pixel from the canvas
+    formula in global pixel coordinates with Sobel weights."""
+    from tilematrix_spark import raster
+
+    out = raster.focal_gradient(
+        _zonal_tiles(spark),
+        GEODETIC,
+        5,
+        band=0,
+        emit="pixels",
+        sample_mod=311,
+        sample_off=5,
+    )
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        "py",
+        "px",
+        "gx_num",
+        "gy_num",
+        "mag2",
+    )
+
+
+def sql_focal_gradient() -> str:
+    """Sobel over the zonal formula canvases in global pixel space: center
+    pixels restricted to full in-extent 3x3 windows (gy in [2049, 3582],
+    gx in [4097, 7166]); wx = dx*(2 if dy=0 else 1), wy symmetric."""
+    return """
+      WITH tiles AS (
+        SELECT trow, tcol
+        FROM (SELECT unnest(generate_series(8, 13)) AS trow)
+        CROSS JOIN (SELECT unnest(generate_series(16, 27)) AS tcol)
+      ),
+      ctr AS (
+        SELECT trow, tcol, s // 256 AS py, s % 256 AS px,
+               trow * 256 + s // 256 AS gy, tcol * 256 + s % 256 AS gx
+        FROM (SELECT trow, tcol, unnest(generate_series(5, 65535, 311)) AS s
+              FROM tiles)
+        WHERE trow * 256 + s // 256 >= 2049 AND trow * 256 + s // 256 <= 3582
+          AND tcol * 256 + s % 256 >= 4097 AND tcol * 256 + s % 256 <= 7166
+      ),
+      win AS (
+        SELECT trow, tcol, py, px, dy, dx, gy + dy AS gy2, gx + dx AS gx2
+        FROM (SELECT *, unnest(generate_series(-1, 1)) AS dy FROM ctr),
+             (SELECT unnest(generate_series(-1, 1)) AS dx)
+      ),
+      v AS (
+        SELECT trow, tcol, py, px, dy, dx,
+               (3 * (gy2 % 256) + 7 * (gx2 % 256)
+                + 11 * (gy2 // 256) + 13 * (gx2 // 256)) % 251 AS val
+        FROM win
+      ),
+      g AS (
+        SELECT trow, tcol, py, px,
+               CAST(sum(val * dx * (CASE WHEN dy = 0 THEN 2 ELSE 1 END))
+                 AS BIGINT) AS gx_num,
+               CAST(sum(val * dy * (CASE WHEN dx = 0 THEN 2 ELSE 1 END))
+                 AS BIGINT) AS gy_num
+        FROM v GROUP BY 1, 2, 3, 4
+      )
+      SELECT trow AS tile_row, tcol AS tile_col,
+             CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+             gx_num, gy_num, gx_num * gx_num + gy_num * gy_num AS mag2
+      FROM g
+    """
+
+
 def q_incremental_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental pyramid maintenance work estimate
     (incremental.dirty_tile_stats): the z6 tiles dirtied by an append batch
@@ -4501,6 +4574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "top_terms": q_top_terms,
         "lang_id_counts": q_lang_id_counts,
+        "focal_gradient": q_focal_gradient,
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -4554,6 +4628,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_page_filter": sql_c4_page_filter(),
         "strip_boilerplate": sql_strip_boilerplate(),
         "focal_stats": sql_focal_stats(),
+        "focal_gradient": sql_focal_gradient(),
         "bloom_dedup": sql_bloom_dedup(),
         "zonal_stats": sql_zonal_stats(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),

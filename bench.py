@@ -37,6 +37,8 @@ HEADLINE = [
     "phash_near_dup",
     "user_sessions",
     "raster_windows",
+    "focal_stats",
+    "bloom_dedup",
 ]
 
 

@@ -609,3 +609,69 @@ def test_focal_stats_wraps_antimeridian(spark):
         want = stats[:, :, 4].astype(np.uint8)
         gotb = np.frombuffer(cv.loc[(r, c), "bytes"], dtype=np.uint8).reshape(ts, ts)
         np.testing.assert_array_equal(gotb, want)
+
+
+def test_focal_gradient_matches_numpy_mirror(spark):
+    """Sobel gradient vs a brute-force global-plane mirror on a 2x2 block
+    with cross-tile windows: integer gx/gy/mag2 exact, window-incomplete
+    pixels dropped from the pixel emit and zeroed in the canvas emit."""
+    import pandas as pd
+
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=16)
+    ts = 16
+    rng = np.random.RandomState(3)
+    keys = [(1, 2), (1, 3), (2, 2), (2, 3)]
+    canvases = {k: rng.randint(0, 256, (ts, ts)).astype(np.uint8) for k in keys}
+    rows = [
+        {"row": r, "col": c, "tile_w": ts, "tile_h": ts,
+         "bytes": canvases[(r, c)].tobytes()}
+        for (r, c) in keys
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    got = (
+        raster.focal_gradient(tiles, tp, 2, emit="pixels")
+        .toPandas()
+        .set_index(["row", "col", "py", "px"])
+        .sort_index()
+    )
+    # global plane: rows 1-2, cols 2-3 (interior of mw=8/mh=4 at z2 — no wrap)
+    G = np.zeros((4 * ts, 8 * ts), dtype=np.int64)
+    Mk = np.zeros_like(G)
+    for (r, c), a in canvases.items():
+        G[r * ts : (r + 1) * ts, c * ts : (c + 1) * ts] = a
+        Mk[r * ts : (r + 1) * ts, c * ts : (c + 1) * ts] = 1
+    n_checked = 0
+    for (r, c) in keys:
+        for py in range(ts):
+            for px in range(ts):
+                gy_, gx_ = r * ts + py, c * ts + px
+                w = G[gy_ - 1 : gy_ + 2, gx_ - 1 : gx_ + 2]
+                mk = Mk[gy_ - 1 : gy_ + 2, gx_ - 1 : gx_ + 2]
+                idx = (r, c, py, px)
+                if mk.sum() < 9 or gy_ == 0:
+                    assert idx not in got.index
+                    continue
+                want_gx = int(w[0, 2] + 2 * w[1, 2] + w[2, 2]
+                              - w[0, 0] - 2 * w[1, 0] - w[2, 0])
+                want_gy = int(w[2, 0] + 2 * w[2, 1] + w[2, 2]
+                              - w[0, 0] - 2 * w[0, 1] - w[0, 2])
+                row = got.loc[idx]
+                assert row["gx_num"] == want_gx and row["gy_num"] == want_gy
+                assert row["mag2"] == want_gx**2 + want_gy**2
+                n_checked += 1
+    assert n_checked == len(got) > 3 * ts * ts  # interior pixels survived
+    cv = (
+        raster.focal_gradient(tiles, tp, 2, emit="canvas")
+        .toPandas()
+        .set_index(["row", "col"])
+    )
+    a = np.frombuffer(cv.loc[(1, 2), "bytes"], dtype=np.uint8).reshape(ts, ts)
+    assert a[0, 0] == 0  # window-incomplete corner zeroed
+    iy, ix = 5, ts - 1  # right edge of (1,2): window crosses into (1,3)
+    gy_, gx_ = 1 * ts + iy, 2 * ts + ix
+    w = G[gy_ - 1 : gy_ + 2, gx_ - 1 : gx_ + 2]
+    egx = int(w[0, 2] + 2 * w[1, 2] + w[2, 2] - w[0, 0] - 2 * w[1, 0] - w[2, 0])
+    egy = int(w[2, 0] + 2 * w[2, 1] + w[2, 2] - w[0, 0] - 2 * w[0, 1] - w[0, 2])
+    assert a[iy, ix] == min((abs(egx) + 2) // 4 + (abs(egy) + 2) // 4, 255)

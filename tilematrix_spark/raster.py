@@ -835,6 +835,122 @@ _FOCAL_PIXEL_SCHEMA = T.StructType(
 )
 
 
+def _halo_grouped(
+    tiles: DataFrame, ts: int, r: int, band_i: int, mw: int, mh: int, op: str
+) -> DataFrame:
+    """Shared halo-exchange front half of the stencil operators: each tile
+    emits its band plane plus 8 border strips of width ``r`` addressed to
+    its grid neighbors (column wrap, row clamp — reference ``_tile.py:
+    256-263``), then ONE groupBy(row, col) collects the <= 9 bounded parts
+    per output tile.  ``focal_stats`` and ``focal_gradient`` share this
+    exchange and differ only in the assemble kernel."""
+    part_schema = T.StructType(
+        [
+            T.StructField("row", T.LongType()),
+            T.StructField("col", T.LongType()),
+            T.StructField("sy", T.IntegerType()),
+            T.StructField("sx", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("b", T.BinaryType()),
+        ]
+    )
+
+    def strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dirs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if dy or dx]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            o_row, o_col, o_sy, o_sx, o_h, o_w, o_b = [], [], [], [], [], [], []
+            tw = pdf["tile_w"].to_numpy()
+            th = pdf["tile_h"].to_numpy()
+            rows = pdf["row"].to_numpy()
+            cols = pdf["col"].to_numpy()
+            for i in range(len(pdf)):
+                buf = pdf["bytes"].iat[i]
+                h, w = int(th[i]), int(tw[i])
+                if h != ts or w != ts:
+                    raise ValueError(
+                        f"{op} expects uniform {ts}x{ts} tiles, got {h}x{w}"
+                    )
+                nb = len(buf) // (h * w)
+                if nb * h * w != len(buf) or band_i >= nb:
+                    raise ValueError(
+                        f"canvas of {len(buf)} bytes is not {h}x{w}xB "
+                        f"with band {band_i} present"
+                    )
+                a = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, nb)[
+                    :, :, band_i
+                ]
+                tr, tc = int(rows[i]), int(cols[i])
+                o_row.append(tr)
+                o_col.append(tc)
+                o_sy.append(0)
+                o_sx.append(0)
+                o_h.append(ts)
+                o_w.append(ts)
+                o_b.append(np.ascontiguousarray(a).tobytes())
+                for dy, dx in dirs:
+                    dr = tr + dy
+                    if dr < 0 or dr >= mh:
+                        continue
+                    dc = (tc + dx) % mw
+                    rs = slice(ts - r, ts) if dy == 1 else (
+                        slice(0, r) if dy == -1 else slice(0, ts)
+                    )
+                    cs = slice(ts - r, ts) if dx == 1 else (
+                        slice(0, r) if dx == -1 else slice(0, ts)
+                    )
+                    slab = np.ascontiguousarray(a[rs, cs])
+                    o_row.append(dr)
+                    o_col.append(dc)
+                    o_sy.append(-dy)
+                    o_sx.append(-dx)
+                    o_h.append(slab.shape[0])
+                    o_w.append(slab.shape[1])
+                    o_b.append(slab.tobytes())
+            yield pd.DataFrame(
+                {
+                    "row": np.asarray(o_row, dtype=np.int64),
+                    "col": np.asarray(o_col, dtype=np.int64),
+                    "sy": np.asarray(o_sy, dtype=np.int32),
+                    "sx": np.asarray(o_sx, dtype=np.int32),
+                    "h": np.asarray(o_h, dtype=np.int32),
+                    "w": np.asarray(o_w, dtype=np.int32),
+                    "b": o_b,
+                }
+            )
+
+    parts = tiles.select("row", "col", "tile_w", "tile_h", "bytes").mapInPandas(
+        strips, schema=part_schema
+    )
+    return parts.groupBy("row", "col").agg(
+        F.collect_list(F.struct("sy", "sx", "h", "w", "b")).alias("_parts")
+    )
+
+
+def _halo_planes(pdf: pd.DataFrame, ts: int, r: int):
+    """Yield (tile_row, tile_col, P, M) per assembled group: the (ts+2r)^2
+    padded value plane and its availability mask.  Halo-only ghost groups
+    (dest tile not materialized — no center part) are skipped."""
+    n = ts + 2 * r
+    for gi in range(len(pdf)):
+        kids = pdf["_parts"].iat[gi]
+        if not any(k["sy"] == 0 and k["sx"] == 0 for k in kids):
+            continue
+        P = np.zeros((n, n), dtype=np.uint8)
+        M = np.zeros((n, n), dtype=np.uint8)
+        for k in kids:
+            h, w = int(k["h"]), int(k["w"])
+            sy, sx = int(k["sy"]), int(k["sx"])
+            y0 = 0 if sy == -1 else (r if sy == 0 else r + ts)
+            x0 = 0 if sx == -1 else (r if sx == 0 else r + ts)
+            slab = np.frombuffer(k["b"], dtype=np.uint8).reshape(h, w)
+            P[y0 : y0 + h, x0 : x0 + w] = slab
+            M[y0 : y0 + h, x0 : x0 + w] = 1
+        yield int(pdf["row"].iat[gi]), int(pdf["col"].iat[gi]), P, M
+
+
 def focal_stats(
     tiles: DataFrame,
     tp: PyramidConfig,
@@ -894,90 +1010,7 @@ def focal_stats(
     if emit == "pixels" and not 0 <= off < mod:
         raise ValueError("sample_off must be in [0, sample_mod)")
 
-    part_schema = T.StructType(
-        [
-            T.StructField("row", T.LongType()),
-            T.StructField("col", T.LongType()),
-            T.StructField("sy", T.IntegerType()),
-            T.StructField("sx", T.IntegerType()),
-            T.StructField("h", T.IntegerType()),
-            T.StructField("w", T.IntegerType()),
-            T.StructField("b", T.BinaryType()),
-        ]
-    )
-
-    def strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dirs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if dy or dx]
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            o_row, o_col, o_sy, o_sx, o_h, o_w, o_b = [], [], [], [], [], [], []
-            tw = pdf["tile_w"].to_numpy()
-            th = pdf["tile_h"].to_numpy()
-            rows = pdf["row"].to_numpy()
-            cols = pdf["col"].to_numpy()
-            for i in range(len(pdf)):
-                buf = pdf["bytes"].iat[i]
-                h, w = int(th[i]), int(tw[i])
-                if h != ts or w != ts:
-                    raise ValueError(
-                        f"focal_stats expects uniform {ts}x{ts} tiles, "
-                        f"got {h}x{w}"
-                    )
-                nb = len(buf) // (h * w)
-                if nb * h * w != len(buf) or band_i >= nb:
-                    raise ValueError(
-                        f"canvas of {len(buf)} bytes is not {h}x{w}xB "
-                        f"with band {band_i} present"
-                    )
-                a = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, nb)[
-                    :, :, band_i
-                ]
-                tr, tc = int(rows[i]), int(cols[i])
-                o_row.append(tr)
-                o_col.append(tc)
-                o_sy.append(0)
-                o_sx.append(0)
-                o_h.append(ts)
-                o_w.append(ts)
-                o_b.append(np.ascontiguousarray(a).tobytes())
-                for dy, dx in dirs:
-                    dr = tr + dy
-                    if dr < 0 or dr >= mh:
-                        continue
-                    dc = (tc + dx) % mw
-                    rs = slice(ts - r, ts) if dy == 1 else (
-                        slice(0, r) if dy == -1 else slice(0, ts)
-                    )
-                    cs = slice(ts - r, ts) if dx == 1 else (
-                        slice(0, r) if dx == -1 else slice(0, ts)
-                    )
-                    slab = np.ascontiguousarray(a[rs, cs])
-                    o_row.append(dr)
-                    o_col.append(dc)
-                    o_sy.append(-dy)
-                    o_sx.append(-dx)
-                    o_h.append(slab.shape[0])
-                    o_w.append(slab.shape[1])
-                    o_b.append(slab.tobytes())
-            yield pd.DataFrame(
-                {
-                    "row": np.asarray(o_row, dtype=np.int64),
-                    "col": np.asarray(o_col, dtype=np.int64),
-                    "sy": np.asarray(o_sy, dtype=np.int32),
-                    "sx": np.asarray(o_sx, dtype=np.int32),
-                    "h": np.asarray(o_h, dtype=np.int32),
-                    "w": np.asarray(o_w, dtype=np.int32),
-                    "b": o_b,
-                }
-            )
-
-    parts = tiles.select("row", "col", "tile_w", "tile_h", "bytes").mapInPandas(
-        strips, schema=part_schema
-    )
-    grouped = parts.groupBy("row", "col").agg(
-        F.collect_list(F.struct("sy", "sx", "h", "w", "b")).alias("_parts")
-    )
+    grouped = _halo_grouped(tiles, ts, r, band_i, mw, mh, "focal_stats")
 
     n = ts + 2 * r
     win = 2 * r + 1
@@ -994,21 +1027,7 @@ def focal_stats(
             if not len(pdf):
                 continue
             recs = []
-            for gi in range(len(pdf)):
-                kids = pdf["_parts"].iat[gi]
-                center = [k for k in kids if k["sy"] == 0 and k["sx"] == 0]
-                if not center:
-                    continue  # halo-only ghost group: dest tile not materialized
-                P = np.zeros((n, n), dtype=np.uint8)
-                M = np.zeros((n, n), dtype=np.uint8)
-                for k in kids:
-                    h, w = int(k["h"]), int(k["w"])
-                    sy, sx = int(k["sy"]), int(k["sx"])
-                    y0 = 0 if sy == -1 else (r if sy == 0 else r + ts)
-                    x0 = 0 if sx == -1 else (r if sx == 0 else r + ts)
-                    slab = np.frombuffer(k["b"], dtype=np.uint8).reshape(h, w)
-                    P[y0 : y0 + h, x0 : x0 + w] = slab
-                    M[y0 : y0 + h, x0 : x0 + w] = 1
+            for trow, tcol, P, M in _halo_planes(pdf, ts, r):
                 # summed-area tables: exact int64 window sums / counts
                 V = (P.astype(np.int64) * M).cumsum(0).cumsum(1)
                 C = M.astype(np.int64).cumsum(0).cumsum(1)
@@ -1032,17 +1051,7 @@ def focal_stats(
                 mins = sliding_window_view(Pmin, (win, win)).min(axis=(-2, -1))
                 maxs = sliding_window_view(Pmax, (win, win)).max(axis=(-2, -1))
                 means = sums // cnts  # cnts >= 1: center pixel always present
-                recs.append(
-                    (
-                        int(pdf["row"].iat[gi]),
-                        int(pdf["col"].iat[gi]),
-                        sums,
-                        cnts,
-                        mins,
-                        maxs,
-                        means,
-                    )
-                )
+                recs.append((trow, tcol, sums, cnts, mins, maxs, means))
             if not recs:
                 continue
             if emit == "canvas":
@@ -1074,5 +1083,131 @@ def focal_stats(
                         )
                     )
                 yield pd.concat(frames, ignore_index=True)
+
+    return grouped.mapInPandas(assemble, schema=out_schema)
+
+_GRADIENT_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.LongType()),
+        T.StructField("col", T.LongType()),
+        T.StructField("py", T.IntegerType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("gx_num", T.LongType()),
+        T.StructField("gy_num", T.LongType()),
+        T.StructField("mag2", T.LongType()),
+    ]
+)
+
+
+def focal_gradient(
+    tiles: DataFrame,
+    tp: PyramidConfig,
+    zoom: int,
+    band: int = 0,
+    emit: str = "canvas",
+    sample_mod: int = 1,
+    sample_off: int = 0,
+) -> DataFrame:
+    """Cross-tile Sobel gradient over a tiled raster — the edge-extraction /
+    slope stencil, sharing ``focal_stats``'s halo exchange (one exchange of
+    band plane + 1px border strips; bounded <= 9-struct assembly groups).
+    Per pixel with a FULLY materialized 3x3 window:
+
+        gx_num = (tr + 2r + br) - (tl + 2l + bl)   # Sobel Gx / Horn dz/dx numerator
+        gy_num = (bl + 2b + br) - (tl + 2t + tr)   # Gy, image-down positive
+        mag2   = gx_num^2 + gy_num^2
+
+    All integer (|g| <= 1020) — exact in any engine, which is what makes
+    the driver oracle possible; pixels whose window crosses the edge of
+    the materialized raster are DROPPED (gradient needs all 9 samples;
+    GDAL edge behavior).  ``emit='pixels'`` returns the sampled integer
+    surface; ``emit='canvas'`` returns a uint8 edge-magnitude tile
+    (``min((|gx|+2)//4 + (|gy|+2)//4, 255)`` — integer-only, deterministic),
+    with window-incomplete border pixels set to 0.
+    """
+    if emit not in ("canvas", "pixels"):
+        raise ValueError("emit must be 'canvas' or 'pixels'")
+    ts = int(tp.tile_size) * int(tp.metatiling)
+    mw = tp.matrix_width(zoom)
+    mh = tp.matrix_height(zoom)
+    mod = int(sample_mod)
+    off = int(sample_off)
+    if emit == "pixels" and not 0 <= off < mod:
+        raise ValueError("sample_off must be in [0, sample_mod)")
+
+    grouped = _halo_grouped(tiles, ts, 1, int(band), mw, mh, "focal_gradient")
+    out_schema = (
+        _FOCAL_CANVAS_SCHEMA if emit == "canvas" else _GRADIENT_PIXEL_SCHEMA
+    )
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if emit == "pixels":
+            lin = np.arange(off, ts * ts, mod, dtype=np.int64)
+            pys = (lin // ts).astype(np.int32)
+            pxs = (lin % ts).astype(np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_rows = []
+            for trow, tcol, P, M in _halo_planes(pdf, ts, 1):
+                A = P.astype(np.int64)
+                gx = (
+                    A[:-2, 2:] + 2 * A[1:-1, 2:] + A[2:, 2:]
+                    - A[:-2, :-2] - 2 * A[1:-1, :-2] - A[2:, :-2]
+                )
+                gy = (
+                    A[2:, :-2] + 2 * A[2:, 1:-1] + A[2:, 2:]
+                    - A[:-2, :-2] - 2 * A[:-2, 1:-1] - A[:-2, 2:]
+                )
+                Mi = M.astype(np.int64)
+                full = (
+                    Mi[:-2, :-2] + Mi[:-2, 1:-1] + Mi[:-2, 2:]
+                    + Mi[1:-1, :-2] + Mi[1:-1, 1:-1] + Mi[1:-1, 2:]
+                    + Mi[2:, :-2] + Mi[2:, 1:-1] + Mi[2:, 2:]
+                ) == 9
+                out_rows.append((trow, tcol, gx, gy, full))
+            if not out_rows:
+                continue
+            if emit == "canvas":
+                bufs = []
+                for trow, tcol, gx, gy, full in out_rows:
+                    mag = (np.abs(gx) + 2) // 4 + (np.abs(gy) + 2) // 4
+                    canvas = np.where(full, np.minimum(mag, 255), 0).astype(
+                        np.uint8
+                    )
+                    bufs.append((trow, tcol, canvas.tobytes()))
+                yield pd.DataFrame(
+                    {
+                        "row": [t[0] for t in bufs],
+                        "col": [t[1] for t in bufs],
+                        "tile_w": np.full(len(bufs), ts, dtype=np.int32),
+                        "tile_h": np.full(len(bufs), ts, dtype=np.int32),
+                        "bytes": [t[2] for t in bufs],
+                    }
+                )
+            else:
+                frames = []
+                for trow, tcol, gx, gy, full in out_rows:
+                    keep = full.ravel()[lin]
+                    if not keep.any():
+                        continue
+                    sel = lin[keep]
+                    gxs = gx.ravel()[sel]
+                    gys = gy.ravel()[sel]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "row": np.full(len(sel), trow, dtype=np.int64),
+                                "col": np.full(len(sel), tcol, dtype=np.int64),
+                                "py": pys[keep],
+                                "px": pxs[keep],
+                                "gx_num": gxs,
+                                "gy_num": gys,
+                                "mag2": gxs * gxs + gys * gys,
+                            }
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
 
     return grouped.mapInPandas(assemble, schema=out_schema)
