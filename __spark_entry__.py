@@ -3526,6 +3526,130 @@ def sql_focal_stats() -> str:
     """
 
 
+def _focal_update_tiles(spark: SparkSession) -> DataFrame:
+    """Replacement canvases for the zonal-region tiles with
+    (row+col) % 5 == 2 — a SECOND integer formula
+    (5*i + 3*j + 11*row + 13*col + 17) % 251, so the incremental-focal
+    oracle can re-derive the MIXED corpus per pixel."""
+    grid = (
+        spark.range(8, 14)
+        .select(F.col("id").alias("row"))
+        .crossJoin(spark.range(16, 28).select(F.col("id").alias("col")))
+        .filter((F.col("row") + F.col("col")) % 5 == 2)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(256, dtype=np.int64)[:, None]
+        j = np.arange(256, dtype=np.int64)[None, :]
+        base = 5 * i + 3 * j + 17
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = pdf["row"].to_numpy()
+            cols = pdf["col"].to_numpy()
+            bufs = [
+                ((base + 11 * int(r) + 13 * int(c)) % 251).astype(np.uint8).tobytes()
+                for r, c in zip(rows, cols)
+            ]
+            yield pd.DataFrame(
+                {
+                    "row": rows,
+                    "col": cols,
+                    "tile_w": np.full(len(pdf), 256, dtype=np.int32),
+                    "tile_h": np.full(len(pdf), 256, dtype=np.int32),
+                    "bytes": bufs,
+                }
+            )
+
+    return grid.mapInPandas(
+        gen, "row long, col long, tile_w int, tile_h int, bytes binary"
+    )
+
+
+def q_incremental_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental stencil maintenance (incremental.incremental_focal): an
+    update batch replaces the canvases of every (row+col)%5==2 tile in the
+    zonal region with a second formula; the engine recomputes focal stats
+    for ONLY the dirty tiles + their neighbor ring (inputs restricted by a
+    broadcast semi-join to ring(ring(dirty)) before any bytes move).  The
+    oracle re-derives the MIXED corpus per window pixel and restricts
+    output keys to ring(dirty) ∩ region — so both the delta's key set and
+    its values (byte-equivalent: the same n/sum/min/max/mean surface as
+    focal_stats) are value-exact."""
+    from tilematrix_spark import incremental
+
+    out = incremental.incremental_focal(
+        _zonal_tiles(spark),
+        _focal_update_tiles(spark),
+        GEODETIC,
+        5,
+        radius=1,
+        emit="pixels",
+        sample_mod=277,
+        sample_off=3,
+    )
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        "py",
+        "px",
+        "n_nbr",
+        "sum_nbr",
+        "min_nbr",
+        "max_nbr",
+        "mean_nbr",
+    )
+
+
+def sql_incremental_focal() -> str:
+    return """
+      WITH tiles AS (
+        SELECT trow, tcol
+        FROM (SELECT unnest(generate_series(8, 13)) AS trow)
+        CROSS JOIN (SELECT unnest(generate_series(16, 27)) AS tcol)
+      ),
+      dirty AS (SELECT trow, tcol FROM tiles WHERE (trow + tcol) % 5 = 2),
+      keys AS (
+        SELECT DISTINCT t.trow, t.tcol FROM tiles t JOIN dirty d
+        ON abs(t.trow - d.trow) <= 1 AND abs(t.tcol - d.tcol) <= 1
+      ),
+      ctr AS (
+        SELECT trow, tcol, s // 256 AS py, s % 256 AS px,
+               trow * 256 + s // 256 AS gy, tcol * 256 + s % 256 AS gx
+        FROM (SELECT trow, tcol, unnest(generate_series(3, 65535, 277)) AS s
+              FROM keys)
+      ),
+      win AS (
+        SELECT trow, tcol, py, px, gy + dy AS gy2, gx + dx AS gx2
+        FROM (SELECT *, unnest(generate_series(-1, 1)) AS dy FROM ctr),
+             (SELECT unnest(generate_series(-1, 1)) AS dx)
+        WHERE gy + dy >= 2048 AND gy + dy < 3584
+          AND gx + dx >= 4096 AND gx + dx < 7168
+      ),
+      v AS (
+        SELECT trow, tcol, py, px,
+               CASE WHEN ((gy2 // 256) + (gx2 // 256)) % 5 = 2
+                 THEN (5 * (gy2 % 256) + 3 * (gx2 % 256)
+                       + 11 * (gy2 // 256) + 13 * (gx2 // 256) + 17) % 251
+                 ELSE (3 * (gy2 % 256) + 7 * (gx2 % 256)
+                       + 11 * (gy2 // 256) + 13 * (gx2 // 256)) % 251
+               END AS val
+        FROM win
+      )
+      SELECT trow AS tile_row, tcol AS tile_col,
+             CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+             count(*) AS n_nbr,
+             CAST(sum(val) AS BIGINT) AS sum_nbr,
+             CAST(min(val) AS INTEGER) AS min_nbr,
+             CAST(max(val) AS INTEGER) AS max_nbr,
+             CAST(sum(val) AS BIGINT) // count(*) AS mean_nbr
+      FROM v GROUP BY 1, 2, 3, 4
+    """
+
+
 def q_focal_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tile Sobel gradient (raster.focal_gradient): integer gx/gy
     numerators + squared magnitude over the zonal canvas region, sampled at
@@ -4575,6 +4699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "lang_id_counts": q_lang_id_counts,
         "focal_gradient": q_focal_gradient,
+        "incremental_focal": q_incremental_focal,
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -4629,6 +4754,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": sql_strip_boilerplate(),
         "focal_stats": sql_focal_stats(),
         "focal_gradient": sql_focal_gradient(),
+        "incremental_focal": sql_incremental_focal(),
         "bloom_dedup": sql_bloom_dedup(),
         "zonal_stats": sql_zonal_stats(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),

@@ -109,3 +109,60 @@ def test_dirty_tile_stats_match_windows(pyramids, spark, geodetic):
     )
     want = {(r["row"], r["col"]): (r["n_new"], r["n_total"]) for r in want_rows}
     assert got == want
+
+
+def test_incremental_focal_matches_full_recompute(spark):
+    """incremental_focal == full focal_stats restricted to the invalidated
+    keys, byte-identical — and the delta covers exactly dirty + ring."""
+    import numpy as np
+    import pandas as pd
+
+    from tilematrix_spark import incremental, raster
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=8)
+    ts, zoom = 8, 2  # mw=8, mh=4
+    rng = np.random.RandomState(5)
+
+    def mk(keys, seed_off=0):
+        rows = []
+        for i, (r, c) in enumerate(keys):
+            a = ((rng.permutation(ts * ts) + seed_off + 7 * i) % 256).astype(
+                np.uint8
+            )
+            rows.append(
+                {"row": r, "col": c, "tile_w": ts, "tile_h": ts,
+                 "bytes": a.tobytes()}
+            )
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    base_keys = [(r, c) for r in (1, 2) for c in (2, 3, 4, 5)]
+    base = mk(base_keys)
+    updates = mk([(1, 3), (2, 4)], seed_off=91)
+
+    inc = (
+        incremental.incremental_focal(base, updates, tp, zoom, radius=1)
+        .toPandas()
+        .set_index(["row", "col"])
+        .sort_index()
+    )
+    # full recompute over the merged corpus
+    full_corpus = base.join(
+        updates.select("row", "col"), ["row", "col"], "left_anti"
+    ).unionByName(updates)
+    full = (
+        raster.focal_stats(full_corpus, tp, zoom, radius=1)
+        .toPandas()
+        .set_index(["row", "col"])
+        .sort_index()
+    )
+    want_keys = {(1, 3), (2, 4)} | {
+        (r + dy, c + dx)
+        for (r, c) in [(1, 3), (2, 4)]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    }
+    want_keys = {(r, c) for (r, c) in want_keys if (r, c) in set(base_keys)}
+    assert set(inc.index) == want_keys
+    for key in want_keys:
+        assert inc.loc[key, "bytes"] == full.loc[key, "bytes"], key

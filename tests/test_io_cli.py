@@ -540,7 +540,10 @@ def test_driver_gate_window_holds_kernel_queries():
         # r5: round-4 compositions promoted into the freed slots
         "crossmodal_dups", "decontaminate", "pack_sequences",
         "stream_tile_counts", "user_sessions", "tile_quantiles",
-        "dedup_exact", "token_stats", "top_terms", "lang_id_counts",
+        "dedup_exact",
+        "text_stats_modes",  # r5: token_stats + top_terms + lang_id union
+        "bloom_dedup",  # r5: Bloom-prefiltered incremental dedup
+        "focal_stats",  # r5: cross-tile halo-exchange stencil
         "neardup_pair_modes",  # r5: minhash/ngram/simhash/winnow pair union
         "winnow_fingerprints", "dedup_clusters",
         "repetition_stats", "scrub_pii", "semantic_dedup",  # r5 promotions

@@ -191,3 +191,77 @@ def incremental_update(
             propagate_level(current, deltas[z + 1].select("row", "col")), z
         )
     return deltas
+
+
+def focal_dirty_ring(
+    dirty_keys: DataFrame, tp: PyramidConfig, zoom: int, radius: int = 1
+) -> DataFrame:
+    """The tile keys whose FOCAL OUTPUT an update batch invalidates: the
+    dirty tiles plus their 8-neighbor ring (a radius < tile_size stencil
+    reads at most one tile over each border; column wrap / row clamp, the
+    same topology the halo exchange uses).  Native explode over the 9
+    offsets — a slim keys-only pass over the dirty set."""
+    from . import exprs
+
+    if not 0 < int(radius) < int(tp.tile_size) * int(tp.metatiling):
+        raise ValueError("radius must be in [1, tile_size)")
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    mw = exprs.matrix_width(tp, zoom)
+    mh = exprs.matrix_height(tp, zoom)
+    return (
+        dirty_keys.select("row", "col", offs)
+        .select(
+            (F.col("row") + F.col("o.dy")).alias("row"),
+            F.pmod(F.col("col") + F.col("o.dx"), mw).alias("col"),
+        )
+        .filter((F.col("row") >= 0) & (F.col("row") < mh))
+        .distinct()
+    )
+
+
+def incremental_focal(
+    base_tiles: DataFrame,
+    updated_tiles: DataFrame,
+    tp: PyramidConfig,
+    zoom: int,
+    radius: int = 1,
+    **focal_kwargs,
+) -> DataFrame:
+    """Incremental stencil maintenance: after an update batch REPLACES some
+    tiles' canvases, recompute focal output for ONLY the tiles whose
+    windows the batch can reach — the updated tiles and their neighbor
+    ring — instead of re-running the stencil over the corpus.
+
+    Cost ∝ |updates|·9, not |corpus|: the merged corpus (base with updated
+    keys swapped out) is restricted to ring(ring(dirty)) via a BROADCAST
+    semi-join before any bytes move — that superset is exactly the halo
+    input set the dirty-ring outputs need — then ``raster.focal_stats``
+    runs its normal one-exchange halo pipeline on that small slice, and
+    the output keeps only the invalidated keys.  Every kept output tile
+    sees ALL its real neighbors (ring(dirty) ⊆ input), so the deltas are
+    byte-identical to a full recompute (pinned by
+    ``tests/test_incremental.py``).  Output: the focal DELTA — apply with
+    ``merged_level`` / dynamic partition overwrite like the pyramid
+    deltas."""
+    dirty = updated_tiles.select("row", "col").distinct()
+    out_keys = focal_dirty_ring(dirty, tp, zoom, radius)
+    # input needs the neighbors OF the output keys: one more ring step
+    in_keys = focal_dirty_ring(out_keys, tp, zoom, radius)
+    merged = base_tiles.join(
+        dirty.withColumnRenamed("row", "_dr").withColumnRenamed("col", "_dc"),
+        (F.col("row") == F.col("_dr")) & (F.col("col") == F.col("_dc")),
+        "left_anti",
+    ).unionByName(
+        updated_tiles.select(*base_tiles.columns)
+    )
+    focal_in = merged.join(F.broadcast(in_keys), ["row", "col"], "left_semi")
+    out = raster.focal_stats(focal_in, tp, zoom, radius=radius, **focal_kwargs)
+    return out.join(F.broadcast(out_keys), ["row", "col"], "left_semi")
