@@ -812,6 +812,54 @@ def sql_tile_quantiles() -> str:
     """
 
 
+def q_windows_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two event-window surfaces in one gate slot (tagged union): event-time
+    sessionization (gap > 30 min splits; µs precision) and per-tile exact
+    percentiles (p50/p90, linear interpolation).  ``k1/k2`` carry the tag's
+    keys (user/session vs tile row/col), ``n1..n4`` its counters/timestamps,
+    ``v1/v2`` the quantile doubles; absent slots are -1."""
+    none_l = F.lit(-1).cast("long")
+    none_d = F.lit(-1.0)
+    ses = q_user_sessions(spark, sf_dir).select(
+        F.lit("sessions").alias("mode"),
+        F.col("user_id").alias("k1"),
+        F.col("session_idx").alias("k2"),
+        F.col("n_events").alias("n1"),
+        F.col("start_us").alias("n2"),
+        F.col("end_us").alias("n3"),
+        F.col("duration_us").alias("n4"),
+        none_d.alias("v1"),
+        none_d.alias("v2"),
+    )
+    qtl = q_tile_quantiles(spark, sf_dir).select(
+        F.lit("quantiles").alias("mode"),
+        F.col("tile_row").alias("k1"),
+        F.col("tile_col").alias("k2"),
+        F.col("n").alias("n1"),
+        none_l.alias("n2"),
+        none_l.alias("n3"),
+        none_l.alias("n4"),
+        F.col("p50").alias("v1"),
+        F.col("p90").alias("v2"),
+    )
+    return ses.unionByName(qtl)
+
+
+def sql_windows_modes() -> str:
+    return f"""
+      SELECT 'sessions' AS mode, user_id AS k1, session_idx AS k2,
+             n_events AS n1, start_us AS n2, end_us AS n3, duration_us AS n4,
+             {_d(-1.0)} AS v1, {_d(-1.0)} AS v2
+      FROM ({sql_user_sessions()})
+      UNION ALL
+      SELECT 'quantiles' AS mode, tile_row AS k1, tile_col AS k2,
+             CAST(n AS BIGINT) AS n1, CAST(-1 AS BIGINT) AS n2,
+             CAST(-1 AS BIGINT) AS n3, CAST(-1 AS BIGINT) AS n4,
+             p50 AS v1, p90 AS v2
+      FROM ({sql_tile_quantiles()})
+    """
+
+
 # -- documents: dedup / text analysis ---------------------------------------
 
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -3815,6 +3863,42 @@ def sql_incremental_propagate() -> str:
     """
 
 
+def q_incremental_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both incremental-pyramid planner surfaces in one gate slot (tagged
+    union): the dirty-tile work estimate (new vs total contributors per
+    dirtied z6 tile) and one real propagate step (dirty z5 parents with
+    merged-coverage child counts).  ``n1/n2`` carry the tag's counters;
+    the propagate tag's absent slot is -1."""
+    none_l = F.lit(-1).cast("long")
+    dirty = q_incremental_dirty(spark, sf_dir).select(
+        F.lit("dirty").alias("mode"),
+        "tile_row",
+        "tile_col",
+        F.col("n_new").alias("n1"),
+        F.col("n_total").alias("n2"),
+    )
+    prop = q_incremental_propagate(spark, sf_dir).select(
+        F.lit("propagate").alias("mode"),
+        "tile_row",
+        "tile_col",
+        F.col("n_children").alias("n1"),
+        none_l.alias("n2"),
+    )
+    return dirty.unionByName(prop)
+
+
+def sql_incremental_modes() -> str:
+    return f"""
+      SELECT 'dirty' AS mode, tile_row, tile_col,
+             CAST(n_new AS BIGINT) AS n1, CAST(n_total AS BIGINT) AS n2
+      FROM ({sql_incremental_dirty()})
+      UNION ALL
+      SELECT 'propagate' AS mode, tile_row, tile_col,
+             CAST(n_children AS BIGINT) AS n1, CAST(-1 AS BIGINT) AS n2
+      FROM ({sql_incremental_propagate()})
+    """
+
+
 def q_point_tile_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O18/O23 tile_from_xy constants for BOTH non-geodetic grid families
     in one gate slot (tagged union): mercator (square zoom-0, antimeridian
@@ -4613,8 +4697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_bins": q_rasterize_bins,
         "mosaic_modes": q_mosaic_modes,
         "zonal_stats": q_zonal_stats,
-        "incremental_dirty": q_incremental_dirty,
-        "incremental_propagate": q_incremental_propagate,
+        "focal_gradient": q_focal_gradient,
+        "incremental_modes": q_incremental_modes,
+        "incremental_focal": q_incremental_focal,
         "verify_images": q_verify_images,
         "phash_near_dup": q_phash_near_dup,
         "spatial_phash_pairs": q_spatial_phash_pairs,
@@ -4628,8 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         # --- windows / streaming ---
         "stream_tile_counts": q_stream_tile_counts,
-        "user_sessions": q_user_sessions,
-        "tile_quantiles": q_tile_quantiles,
+        "windows_modes": q_windows_modes,
         # --- dedup / text pipeline (the four pair generators ride one
         # tagged union — r5 window surgery that freed the slots for the
         # round-5 text/similarity queries below) ---
@@ -4698,8 +4782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "top_terms": q_top_terms,
         "lang_id_counts": q_lang_id_counts,
-        "focal_gradient": q_focal_gradient,
-        "incremental_focal": q_incremental_focal,
+        "user_sessions": q_user_sessions,
+        "tile_quantiles": q_tile_quantiles,
+        "incremental_dirty": q_incremental_dirty,
+        "incremental_propagate": q_incremental_propagate,
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -4755,6 +4841,8 @@ def oracle_sql() -> dict[str, str]:
         "focal_stats": sql_focal_stats(),
         "focal_gradient": sql_focal_gradient(),
         "incremental_focal": sql_incremental_focal(),
+        "incremental_modes": sql_incremental_modes(),
+        "windows_modes": sql_windows_modes(),
         "bloom_dedup": sql_bloom_dedup(),
         "zonal_stats": sql_zonal_stats(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),

@@ -530,8 +530,9 @@ def test_driver_gate_window_holds_kernel_queries():
         "raster_windows", "rasterize_bins",
         "mosaic_modes",  # r5: compose + overview coverage (tagged union)
         "zonal_stats",  # r5: zones x tiled raster, pixel-exact value oracle
-        "incremental_dirty",
-        "incremental_propagate",  # r4: merged_level + propagate_level gate
+        "focal_gradient",  # r5: cross-tile Sobel, integer-exact oracle
+        "incremental_modes",  # r5: dirty-stats + propagate step (union)
+        "incremental_focal",  # r5: dirty-ring stencil maintenance
         "verify_images", "phash_near_dup", "spatial_phash_pairs",
         "ann_modes",  # r5: lsh + ivf + pq full-probe pipelines (tagged union)
         "ivf_pq_residual_topk",  # r5: pruned-regime IVFADC, full value oracle
@@ -539,7 +540,8 @@ def test_driver_gate_window_holds_kernel_queries():
         "c4_page_filter",  # r5: C4 page cleaning, full value oracle
         # r5: round-4 compositions promoted into the freed slots
         "crossmodal_dups", "decontaminate", "pack_sequences",
-        "stream_tile_counts", "user_sessions", "tile_quantiles",
+        "stream_tile_counts",
+        "windows_modes",  # r5: sessionize + tile quantiles (union)
         "dedup_exact",
         "text_stats_modes",  # r5: token_stats + top_terms + lang_id union
         "bloom_dedup",  # r5: Bloom-prefiltered incremental dedup
