@@ -460,6 +460,11 @@ def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
         # runs read 30-70% low and once even inverted the 8/32 pair)
         pip_scaling_job(s, 1_000_000)  # JIT + Arrow warm-up
         rate = max(pip_scaling_job(s, 48_000_000) for _ in range(2))
+    elif job == "focal":
+        # 2304 tiles x 256px (~150MB band): the halo-exchange stencil —
+        # one strips+plane exchange, Arrow assemble kernel
+        focal_scaling_job(s, 12)  # JIT + Arrow warm-up (also stages 12x12)
+        rate = max(focal_scaling_job(s, 48) for _ in range(2))
     else:
         verify_scaling_job(s, 20000)
         rate = max(verify_scaling_job(s, 200000) for _ in range(2))
@@ -564,9 +569,10 @@ def main() -> None:
         # degraded-window artifact (the r3 overview 0.113) self-labels.
         flagship = {}
         overview = {}
+        focal = {}
         spin_at: dict[str, dict[str, float]] = {}
-        rounds = {"pip": 2, "verify": 2, "tile": 2, "overview": 2}
-        for tgt, job in ((flagship, "pip"), (compute, "verify"), (stream, "tile"), (overview, "overview")):
+        rounds = {"pip": 2, "verify": 2, "tile": 2, "overview": 2, "focal": 2}
+        for tgt, job in ((flagship, "pip"), (compute, "verify"), (stream, "tile"), (overview, "overview"), (focal, "focal")):
             spin_at[job] = {}
             for cpus in ("8", "32") * rounds[job]:
                 env = spin_control(int(cpus), dur=3.0)
@@ -612,6 +618,11 @@ def main() -> None:
             "overview_child_tiles_per_sec_local32": round(overview["32"]),
             "overview_efficiency_8_to_32": round(overview["32"] / (4 * overview["8"]), 3),
             **spin_fields("overview"),
+            # halo-exchange stencil: strips + bounded-plane assemble
+            "focal_tiles_per_sec_local8": round(focal["8"]),
+            "focal_tiles_per_sec_local32": round(focal["32"]),
+            "focal_efficiency_8_to_32": round(focal["32"] / (4 * focal["8"]), 3),
+            **spin_fields("focal"),
             # hardware envelope: pure-register python, no Spark/no memory —
             # the best ANY sustained job can scale on this box right now
             "spin_control_mops_8": round(env8 / 1e6, 1),
@@ -689,12 +700,14 @@ def _compact(result: dict) -> dict:
             ("tile", "tile_assign_rows_per_sec"),
             ("verify", "image_verify_imgs_per_sec"),
             ("overview", "overview_child_tiles_per_sec"),
+            ("focal", "focal_tiles_per_sec"),
         ):
             eff_key = {
                 "pip": "pip_join_efficiency_8_to_32",
                 "tile": "tile_assign_efficiency_8_to_32",
                 "verify": "image_verify_efficiency_8_to_32",
                 "overview": "overview_efficiency_8_to_32",
+                "focal": "focal_efficiency_8_to_32",
             }[job]
             sc[job] = {
                 "r8": s[f"{rate_key}_local8"],
@@ -750,6 +763,76 @@ def verify_scaling_job(spark: SparkSession, n: int) -> float:
     dt = _t.time() - t0
     assert ok == n, f"verification failed: {ok}/{n}"
     return n / dt
+
+
+_FOCAL_STAGED: dict = {}
+
+
+def focal_scaling_job(spark: SparkSession, n_side: int) -> float:
+    """tiles/s of the halo-exchange stencil (focal_stats canvas emit,
+    radius=2, 256px single-band tiles) over an n_side x n_side block at z6
+    geodetic.  Canvas GENERATION is staged to parquet outside the timed
+    region (the verify-job discipline): the timed region is scan -> strip
+    exchange -> assemble/stat, the production shape.  The only exchange is
+    the strips+plane groupBy — the operator whose scaling story is
+    'shuffle ~= corpus + 3% halo traffic'."""
+    import os as _os
+    import tempfile as _tf
+    import time as _t
+
+    from tilematrix_spark import raster
+
+    path = _FOCAL_STAGED.get(n_side)
+    if path is None:
+        grid = (
+            spark.range(n_side)
+            .select(F.col("id").alias("row"))
+            .crossJoin(spark.range(n_side).select(F.col("id").alias("col")))
+            .repartition(spark.sparkContext.defaultParallelism * 2)
+        )
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            i = np.arange(256, dtype=np.int64)[:, None]
+            j = np.arange(256, dtype=np.int64)[None, :]
+            base = 3 * i + 7 * j
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows = pdf["row"].to_numpy()
+                cols = pdf["col"].to_numpy()
+                bufs = [
+                    ((base + 11 * int(r) + 13 * int(c)) % 251)
+                    .astype(np.uint8)
+                    .tobytes()
+                    for r, c in zip(rows, cols)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "row": rows,
+                        "col": cols,
+                        "tile_w": np.full(len(pdf), 256, dtype=np.int32),
+                        "tile_h": np.full(len(pdf), 256, dtype=np.int32),
+                        "bytes": bufs,
+                    }
+                )
+
+        tiles = grid.mapInPandas(
+            gen, "row long, col long, tile_w int, tile_h int, bytes binary"
+        )
+        path = _os.path.join(_tf.gettempdir(), f"tmx_bench_focal_{n_side}")
+        tiles.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).agg(F.sum(F.length("bytes"))).collect()
+        _FOCAL_STAGED[n_side] = path
+    df = spark.read.parquet(path)
+    out = raster.focal_stats(df, entrymod.GEODETIC, 6, radius=2, emit="canvas")
+    t0 = _t.time()
+    n_out = out.count()
+    dt = _t.time() - t0
+    assert n_out == n_side * n_side, f"focal produced {n_out}/{n_side**2}"
+    return n_out / dt
 
 
 if __name__ == "__main__":

@@ -1016,9 +1016,21 @@ def focal_stats(
     win = 2 * r + 1
     out_schema = _FOCAL_CANVAS_SCHEMA if emit == "canvas" else _FOCAL_PIXEL_SCHEMA
 
-    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from numpy.lib.stride_tricks import sliding_window_view
+    def win_extreme(plane: np.ndarray, op) -> np.ndarray:
+        # separable sliding min/max: reduce rows then columns — 2*(2r+1)
+        # full-SIMD uint8 slice ops vs (2r+1)^2 strided reads per output
+        # element for sliding_window_view.amin (measured ~2.8 ms/tile there,
+        # the whole per-tile budget)
+        rows = plane[0 : 0 + ts + 2 * r, :]  # (n, n)
+        acc = plane[0:ts, :].copy()
+        for dy in range(1, win):
+            op(acc, rows[dy : dy + ts, :], out=acc)
+        out = acc[:, 0:ts].copy()
+        for dx in range(1, win):
+            op(out, acc[:, dx : dx + ts], out=out)
+        return out
 
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if emit == "pixels":
             lin = np.arange(off, ts * ts, mod, dtype=np.int64)
             pys = (lin // ts).astype(np.int32)
@@ -1048,8 +1060,8 @@ def focal_stats(
                 cnts = box(Cp[: n + 1, : n + 1])
                 Pmin = np.where(M, P, np.uint8(255))
                 Pmax = np.where(M, P, np.uint8(0))
-                mins = sliding_window_view(Pmin, (win, win)).min(axis=(-2, -1))
-                maxs = sliding_window_view(Pmax, (win, win)).max(axis=(-2, -1))
+                mins = win_extreme(Pmin, np.minimum)
+                maxs = win_extreme(Pmax, np.maximum)
                 means = sums // cnts  # cnts >= 1: center pixel always present
                 recs.append((trow, tcol, sums, cnts, mins, maxs, means))
             if not recs:
