@@ -636,7 +636,9 @@ def main() -> None:
             sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
             import cluster_scaling
 
-            cluster = cluster_scaling.run(("tile", "pip"), rounds=2, sf_dir=sf_dir)
+            cluster = cluster_scaling.run(
+                ("tile", "pip", "focal"), rounds=2, sf_dir=sf_dir
+            )
             # the same 1-vs-4-executor step at 4 threads/executor: the 4N
             # leg stays under this box's memory-bus knee (spin envelope
             # 0.95+ vs ~0.78 at 8 threads), so the executor-count lever is

@@ -76,6 +76,11 @@ def _worker(master: str, job: str, sf_dir: str) -> None:
         # verify_scaling_job) — the timed kernel is scan + Arrow verify
         bench.verify_scaling_job(spark, 20_000)
         rate = max(bench.verify_scaling_job(spark, 200_000) for _ in range(2))
+    elif job == "focal":
+        # halo-exchange stencil: strips+plane exchange + Arrow assemble —
+        # the Arrow/python side scales with executor JVM count
+        bench.focal_scaling_job(spark, 12)
+        rate = max(bench.focal_scaling_job(spark, 48) for _ in range(2))
     else:
         n_pts = int(os.environ.get("TMX_PIP_POINTS", "24000000"))
         bench.pip_scaling_job(spark, 1_000_000)
