@@ -463,3 +463,24 @@ def test_bloom_dedup_verify_broadcasts_no_corpus_shuffle(spark):
     plan = _plan(dedup.bloom_incremental_dedup(new, hist, m=256, k=4))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_focal_broadcast_restriction_no_smj(spark, geodetic):
+    """incremental_focal: the ring restriction reaches the canvas-bearing
+    side as BROADCAST semi-joins (no SortMergeJoin — canvas bytes never
+    shuffle on a join key; the only Exchange is the halo groupBy)."""
+    from tilematrix_spark import incremental
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=8)
+    base = spark.createDataFrame(
+        [(1, 2, 8, 8, bytearray(b"\x01" * 64))],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    upd = spark.createDataFrame(
+        [(1, 2, 8, 8, bytearray(b"\x02" * 64))],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    plan = _plan(incremental.incremental_focal(base, upd, tp, 2, radius=1))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan

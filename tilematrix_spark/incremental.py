@@ -256,7 +256,9 @@ def incremental_focal(
     # input needs the neighbors OF the output keys: one more ring step
     in_keys = focal_dirty_ring(out_keys, tp, zoom, radius)
     merged = base_tiles.join(
-        dirty.withColumnRenamed("row", "_dr").withColumnRenamed("col", "_dc"),
+        F.broadcast(
+            dirty.withColumnRenamed("row", "_dr").withColumnRenamed("col", "_dc")
+        ),
         (F.col("row") == F.col("_dr")) & (F.col("col") == F.col("_dc")),
         "left_anti",
     ).unionByName(
