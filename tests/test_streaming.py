@@ -329,3 +329,72 @@ def test_incremental_ann_sink_exactly_once(spark, tmp_path):
     assert merged.select("vec_id").distinct().count() == 500
     units = [u for u in Lineage(out).committed() if u.startswith("delta=stream_")]
     assert len(units) == 2  # one per non-empty micro-batch
+
+
+def test_incremental_focal_sink_matches_full_stencil(spark, tmp_path):
+    """Streamed replacement-canvas micro-batches through the focal sink
+    produce the SAME focal table as one full focal_stats over the final
+    tile state — canvas bytes included — and a replayed batch changes
+    nothing (key-replace idempotence)."""
+    import numpy as np
+    import pandas as pd
+
+    from tilematrix_spark import raster, streaming
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=8)
+    ts, zoom = 8, 2
+    rng = np.random.RandomState(17)
+
+    def mk(keys, off):
+        return pd.DataFrame(
+            [
+                {"row": r, "col": c, "tile_w": ts, "tile_h": ts,
+                 "bytes": ((rng.permutation(ts * ts) + off) % 256)
+                 .astype(np.uint8).tobytes()}
+                for (r, c) in keys
+            ]
+        )
+
+    # batch a: a 2x3 block; batch b REPLACES one tile and adds a new one
+    a = mk([(1, 2), (1, 3), (1, 4), (2, 2), (2, 3), (2, 4)], 0)
+    b = mk([(1, 3), (2, 5)], 101)
+    src = str(tmp_path / "in")
+    spark.createDataFrame(a).coalesce(1).write.parquet(src + "/a")
+    spark.createDataFrame(b).coalesce(1).write.parquet(src + "/b")
+    tiles = str(tmp_path / "tiles")
+    focal = str(tmp_path / "focal")
+    sink = streaming.incremental_focal_sink(tp, zoom, tiles, focal, radius=1, n_buckets=4)
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(a).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    def canvases(df):
+        return {
+            (r["row"], r["col"]): bytes(r["bytes"])
+            for r in df.select("row", "col", "bytes").collect()
+        }
+
+    final_tiles = spark.read.parquet(tiles).select(
+        "row", "col", "tile_w", "tile_h", "bytes"
+    )
+    assert final_tiles.count() == 7  # 6 + 1 new, 1 replaced in place
+    got = canvases(spark.read.parquet(focal))
+    want = canvases(raster.focal_stats(final_tiles, tp, zoom, radius=1))
+    assert set(got) == set(want) and got == want
+    want_tiles = canvases(final_tiles)
+    # replay the last batch verbatim (crash between writes and checkpoint
+    # commit): key-replace idempotence — both tables unchanged
+    sink(spark.createDataFrame(b), 1)
+    assert canvases(spark.read.parquet(focal)) == want
+    assert canvases(spark.read.parquet(tiles)) == want_tiles

@@ -374,3 +374,81 @@ def incremental_ann_sink(
         )
 
     return process
+
+
+def incremental_focal_sink(
+    tp: PyramidConfig,
+    zoom: int,
+    tiles_path: str,
+    focal_path: str,
+    radius: int = 1,
+    n_buckets: int = 64,
+    **focal_kwargs,
+):
+    """foreachBatch sink maintaining a FOCAL-OUTPUT table incrementally from
+    a stream of replacement tile canvases: per micro-batch, recompute the
+    stencil for only the batch's tiles + their neighbor ring
+    (``incremental.incremental_focal``) and rewrite only the parquet
+    buckets that hold them — streaming stencil maintenance.
+
+    Both tables are partitioned by ``pb = pmod(hash(row, col), n_buckets)``
+    so each upsert reads and dynamically overwrites ONLY affected buckets.
+
+    Exactly-once WITHOUT a batch_id token: a replacement batch is a
+    key-replace, which is naturally idempotent — replaying it against a
+    tiles table that already absorbed it anti-joins the same keys out and
+    unions identical rows back, so the recomputed focal delta (and both
+    bucket overwrites) are byte-identical no matter where between the two
+    writes and the checkpoint commit the crash landed.  Order between the
+    two writes is therefore free; read errors other than path-not-found
+    propagate and fail the batch (the checkpoint retries).
+
+    Usage::
+
+        q = (stream.writeStream.foreachBatch(
+                 incremental_focal_sink(tp, 6, tiles, focal))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+    from . import incremental as incr
+
+    cols = ["row", "col", "tile_w", "tile_h", "bytes"]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # two consumers (focal input + tiles upsert): materialize once
+        batch = batch_df.select(*cols).localCheckpoint(eager=True)
+        if _hadoop_path_exists(spark, tiles_path):
+            base = spark.read.parquet(tiles_path).select(*cols)
+        else:
+            base = spark.createDataFrame([], batch.schema)
+        delta = incr.incremental_focal(
+            base, batch, tp, zoom, radius=radius, emit="canvas", **focal_kwargs
+        )
+        pb = F.pmod(F.hash("row", "col"), F.lit(n_buckets))
+
+        def upsert(fresh: DataFrame, path: str) -> None:
+            fresh = fresh.withColumn("pb", pb).localCheckpoint(eager=True)
+            if _hadoop_path_exists(spark, path):
+                buckets = [r["pb"] for r in fresh.select("pb").distinct().collect()]
+                keep = (
+                    spark.read.parquet(path)
+                    .filter(F.col("pb").isin(buckets))
+                    .join(fresh.select("row", "col"), ["row", "col"], "left_anti")
+                )
+                merged = keep.unionByName(fresh)
+            else:
+                merged = fresh
+            # eager barrier: the write overwrites partitions this plan reads
+            merged = merged.localCheckpoint(eager=True)
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pb")
+                .parquet(path)
+            )
+
+        upsert(delta, focal_path)
+        upsert(batch, tiles_path)
+
+    return process
