@@ -461,10 +461,16 @@ def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
         pip_scaling_job(s, 1_000_000)  # JIT + Arrow warm-up
         rate = max(pip_scaling_job(s, 48_000_000) for _ in range(2))
     elif job == "focal":
-        # 2304 tiles x 256px (~150MB band): the halo-exchange stencil —
-        # one strips+plane exchange, Arrow assemble kernel
+        # 9216 tiles x 256px (~600MB band): the halo-exchange stencil —
+        # one strips+plane exchange, Arrow assemble kernel.  96x96 keeps
+        # the work term above the per-job fixed-cost floor (48x48 ran
+        # ~5s and measured pure noise across windows).  Canvas rows are
+        # ~650KB: the suite-wide 65536-record Arrow batches build
+        # multi-hundred-MB pandas frames per reduce task (measured 5.2x
+        # slower end-to-end) — cap records so batches stay ~10-50MB
+        s.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         focal_scaling_job(s, 12)  # JIT + Arrow warm-up (also stages 12x12)
-        rate = max(focal_scaling_job(s, 48) for _ in range(2))
+        rate = max(focal_scaling_job(s, 96) for _ in range(2))
     else:
         verify_scaling_job(s, 20000)
         rate = max(verify_scaling_job(s, 200000) for _ in range(2))
@@ -829,7 +835,8 @@ def focal_scaling_job(spark: SparkSession, n_side: int) -> float:
         spark.read.parquet(path).agg(F.sum(F.length("bytes"))).collect()
         _FOCAL_STAGED[n_side] = path
     df = spark.read.parquet(path)
-    out = raster.focal_stats(df, entrymod.GEODETIC, 6, radius=2, emit="canvas")
+    # z7 geodetic: 128x256 matrix — covers any n_side <= 128
+    out = raster.focal_stats(df, entrymod.GEODETIC, 7, radius=2, emit="canvas")
     t0 = _t.time()
     n_out = out.count()
     dt = _t.time() - t0

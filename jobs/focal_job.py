@@ -43,6 +43,10 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("tilematrix_focal_job").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # canvas rows are ~tile_size^2 bytes: cap Arrow batches by RECORDS so
+    # per-task pandas frames stay tens of MB (record-count caps bind on the
+    # mapInPandas input path; the bytes cap does not — measured 5.2x)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
     tp = PyramidConfig.create(args.grid)
 
     def build_tiles(s, read_stage):
