@@ -461,7 +461,7 @@ def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
         pip_scaling_job(s, 1_000_000)  # JIT + Arrow warm-up
         rate = max(pip_scaling_job(s, 48_000_000) for _ in range(2))
     elif job == "focal":
-        # 9216 tiles x 256px (~600MB band): the halo-exchange stencil —
+        # 25600 tiles x 256px (~1.7GB band): the halo-exchange stencil —
         # one strips+plane exchange, Arrow assemble kernel.  96x96 keeps
         # the work term above the per-job fixed-cost floor (48x48 ran
         # ~5s and measured pure noise across windows).  Canvas rows are
@@ -470,7 +470,7 @@ def scaling_worker(job: str, cpus: str, sf_dir: str) -> None:
         # slower end-to-end) — cap records so batches stay ~10-50MB
         s.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         focal_scaling_job(s, 12)  # JIT + Arrow warm-up (also stages 12x12)
-        rate = max(focal_scaling_job(s, 96) for _ in range(2))
+        rate = max(focal_scaling_job(s, 160) for _ in range(2))
     else:
         verify_scaling_job(s, 20000)
         rate = max(verify_scaling_job(s, 200000) for _ in range(2))

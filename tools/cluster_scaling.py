@@ -82,7 +82,7 @@ def _worker(master: str, job: str, sf_dir: str) -> None:
         # canvas rows: cap Arrow batches by records (bench.py note)
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         bench.focal_scaling_job(spark, 12)
-        rate = max(bench.focal_scaling_job(spark, 96) for _ in range(2))
+        rate = max(bench.focal_scaling_job(spark, 160) for _ in range(2))
     else:
         n_pts = int(os.environ.get("TMX_PIP_POINTS", "24000000"))
         bench.pip_scaling_job(spark, 1_000_000)
