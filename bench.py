@@ -642,9 +642,11 @@ def main() -> None:
             sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
             import cluster_scaling
 
-            cluster = cluster_scaling.run(
-                ("tile", "pip", "focal"), rounds=2, sf_dir=sf_dir
-            )
+            # focal's cluster legs are recorded in BENCH/BASELINE.md from
+            # dedicated runs (1x8 2221 -> 4x8 2758 tiles/s; below-knee t4
+            # block there too) — keeping them out of the per-round bench
+            # bounds its wall time
+            cluster = cluster_scaling.run(("tile", "pip"), rounds=2, sf_dir=sf_dir)
             # the same 1-vs-4-executor step at 4 threads/executor: the 4N
             # leg stays under this box's memory-bus knee (spin envelope
             # 0.95+ vs ~0.78 at 8 threads), so the executor-count lever is
@@ -791,6 +793,18 @@ def focal_scaling_job(spark: SparkSession, n_side: int) -> float:
     from tilematrix_spark import raster
 
     path = _FOCAL_STAGED.get(n_side)
+    if path is None:
+        # the generator is deterministic: a staging left by a previous
+        # subprocess (same n_side) is byte-identical — reuse it instead of
+        # paying the ~1.7GB write per scaling-worker process
+        cand = _os.path.join(_tf.gettempdir(), f"tmx_bench_focal_{n_side}")
+        try:
+            if spark.read.parquet(cand).count() == n_side * n_side:
+                spark.read.parquet(cand).agg(F.sum(F.length("bytes"))).collect()
+                _FOCAL_STAGED[n_side] = cand
+                path = cand
+        except Exception:
+            path = None
     if path is None:
         grid = (
             spark.range(n_side)
