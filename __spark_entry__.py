@@ -3771,6 +3771,192 @@ def sql_focal_gradient() -> str:
     """
 
 
+def q_upsample_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overzoom (raster.upsample_children): 2x bilinear upsampling of the
+    z5 zonal canvas region into its 288 z6 children — the serve-a-deeper-
+    zoom path, the inverse of overview_level.  Exactly-2x bilinear
+    degenerates to integer 1/4-3/4 weights, so `num` (the 16x numerator)
+    and `val` ((num+8)//16) are integer-exact in any engine; child seam
+    pixels read neighbor-tile bytes via the radius-1 halo exchange and
+    region-edge pixels follow the separable clamp rule the oracle mirrors
+    in global pixel coordinates.  Sampled at every 2311th child pixel
+    (~28 px/child tile, ~8.2k rows)."""
+    from tilematrix_spark import raster
+
+    out = raster.upsample_children(
+        _zonal_tiles(spark),
+        GEODETIC,
+        5,
+        band=0,
+        emit="pixels",
+        sample_mod=2311,
+        sample_off=7,
+    )
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        "py",
+        "px",
+        "num",
+        "val",
+    )
+
+
+def sql_upsample_children() -> str:
+    """2x bilinear mirror in global CHILD pixel space: child tiles rows
+    16-27 x cols 32-55 at z6; each child pixel cy maps to parent rows
+    (cy//2 - 1, cy//2) with weights (1, 3) when cy is even and
+    (cy//2, cy//2 + 1) with (3, 1) when odd (same for cx), parent coords
+    clamped per-axis to the materialized extent gy in [2048, 3584) x gx in
+    [4096, 7168), values re-derived from the zonal canvas formula."""
+    return """
+      WITH ctiles AS (
+        SELECT crow, ccol
+        FROM (SELECT unnest(generate_series(16, 27)) AS crow)
+        CROSS JOIN (SELECT unnest(generate_series(32, 55)) AS ccol)
+      ),
+      ctr AS (
+        SELECT crow, ccol, s // 256 AS py, s % 256 AS px,
+               crow * 256 + s // 256 AS cy, ccol * 256 + s % 256 AS cx
+        FROM (SELECT crow, ccol, unnest(generate_series(7, 65535, 2311)) AS s
+              FROM ctiles)
+      ),
+      w AS (
+        SELECT crow, ccol, py, px,
+          CASE WHEN cy % 2 = 0 THEN cy // 2 - 1 ELSE cy // 2 END AS ky0,
+          CASE WHEN cy % 2 = 0 THEN 1 ELSE 3 END AS wy0,
+          CASE WHEN cx % 2 = 0 THEN cx // 2 - 1 ELSE cx // 2 END AS kx0,
+          CASE WHEN cx % 2 = 0 THEN 1 ELSE 3 END AS wx0
+        FROM ctr
+      ),
+      corners AS (
+        SELECT crow, ccol, py, px,
+          greatest(2048, least(ky0 + iy, 3583)) AS gy,
+          greatest(4096, least(kx0 + ix, 7167)) AS gx,
+          (CASE WHEN iy = 0 THEN wy0 ELSE 4 - wy0 END)
+            * (CASE WHEN ix = 0 THEN wx0 ELSE 4 - wx0 END) AS wt
+        FROM (SELECT *, unnest(generate_series(0, 1)) AS iy FROM w),
+             (SELECT unnest(generate_series(0, 1)) AS ix)
+      ),
+      v AS (
+        SELECT crow, ccol, py, px,
+          wt * ((3 * (gy % 256) + 7 * (gx % 256)
+                 + 11 * (gy // 256) + 13 * (gx // 256)) % 251) AS term
+        FROM corners
+      )
+      SELECT crow AS tile_row, ccol AS tile_col,
+             CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+             CAST(sum(term) AS BIGINT) AS num,
+             CAST((CAST(sum(term) AS BIGINT) + 8) // 16 AS INTEGER) AS val
+      FROM v GROUP BY 1, 2, 3, 4
+    """
+
+
+def q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 256-bin histogram (raster.global_histogram) over the 72-tile
+    zonal canvas region — pass 1 of the contrast stretch.  Map-side combine
+    is explicit (one numpy bincount per Arrow batch, <= 256 rows emitted per
+    partition), so the shuffle is O(256 x partitions) regardless of canvas
+    bytes.  The oracle counts the formula residues by factored modular
+    arithmetic: g(d) = #{(i,j): (3i+7j) % 251 = d} once, then one join over
+    the 72 per-tile offsets — no per-pixel unnest."""
+    from tilematrix_spark import raster
+
+    out = raster.global_histogram(_zonal_tiles(spark), band=0)
+    return out.select(F.col("val"), F.col("n_px"))
+
+
+_HIST_SQL = """
+      ij AS (
+        SELECT (3 * i + 7 * j) % 251 AS d
+        FROM (SELECT unnest(generate_series(0, 255)) AS i),
+             (SELECT unnest(generate_series(0, 255)) AS j)
+      ),
+      g AS (SELECT d, count(*) AS n FROM ij GROUP BY 1),
+      offs AS (
+        SELECT (11 * trow + 13 * tcol) % 251 AS c
+        FROM (SELECT unnest(generate_series(8, 13)) AS trow)
+        CROSS JOIN (SELECT unnest(generate_series(16, 27)) AS tcol)
+      ),
+      hist AS (
+        SELECT (d + c) % 251 AS val, CAST(sum(n) AS BIGINT) AS n_px
+        FROM g CROSS JOIN offs GROUP BY 1
+      )
+"""
+
+
+def sql_raster_histogram() -> str:
+    return f"""
+      WITH {_HIST_SQL}
+      SELECT CAST(val AS INTEGER) AS val, n_px FROM hist
+    """
+
+
+def q_contrast_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass global percentile contrast stretch (raster.contrast_stretch)
+    over the zonal region: pass 1 the 256-row histogram, integer ceil-rank
+    p2/p98 cut points, pass 2 an in-closure LUT remap
+    clamp(((v - p_lo) * 255) // (p_hi - p_lo), 0, 255) — every step exact
+    integer, so the oracle re-derives histogram, cuts, and remap in SQL.
+    Sampled at every 577th pixel (offset 101)."""
+    from tilematrix_spark import raster
+
+    out = raster.contrast_stretch(
+        _zonal_tiles(spark),
+        band=0,
+        lo_pct=2,
+        hi_pct=98,
+        emit="pixels",
+        sample_mod=577,
+        sample_off=101,
+    )
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        "py",
+        "px",
+        "v_in",
+        "v_out",
+    )
+
+
+def sql_contrast_stretch() -> str:
+    """Stretch mirror: histogram by factored modular counting, cut points
+    as the smallest value whose cumulative count reaches ceil(q*total/100)
+    (integer ceil via -((-q*t)//100)), remap with DuckDB's floor `//`
+    (matches numpy/Python floor division; negatives clamp to 0 anyway)."""
+    return f"""
+      WITH {_HIST_SQL},
+      cum AS (
+        SELECT val, n_px, sum(n_px) OVER (ORDER BY val) AS cumn FROM hist
+      ),
+      tot AS (SELECT CAST(sum(n_px) AS BIGINT) AS t FROM hist),
+      cuts AS (
+        SELECT
+          (SELECT min(val) FROM cum, tot WHERE cumn >= -((-2 * t) // 100))
+            AS p_lo,
+          (SELECT min(val) FROM cum, tot WHERE cumn >= -((-98 * t) // 100))
+            AS p_hi
+      ),
+      ctr AS (
+        SELECT trow, tcol, s // 256 AS py, s % 256 AS px,
+               (3 * (s // 256) + 7 * (s % 256) + 11 * trow + 13 * tcol) % 251
+                 AS v_in
+        FROM (SELECT trow, tcol, unnest(generate_series(101, 65535, 577)) AS s
+              FROM (SELECT unnest(generate_series(8, 13)) AS trow)
+              CROSS JOIN (SELECT unnest(generate_series(16, 27)) AS tcol))
+      )
+      SELECT trow AS tile_row, tcol AS tile_col,
+             CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+             CAST(v_in AS INTEGER) AS v_in,
+             CAST(CASE WHEN p_hi > p_lo THEN
+                    least(greatest(((v_in - p_lo) * 255) // (p_hi - p_lo), 0),
+                          255)
+                  WHEN v_in >= p_hi THEN 255 ELSE 0 END AS INTEGER) AS v_out
+      FROM ctr, cuts
+    """
+
+
 def q_incremental_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental pyramid maintenance work estimate
     (incremental.dirty_tile_stats): the z6 tiles dirtied by an append batch
@@ -4788,6 +4974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_propagate": q_incremental_propagate,
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
+        "upsample_children": q_upsample_children,
+        "raster_histogram": q_raster_histogram,
+        "contrast_stretch": q_contrast_stretch,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -4880,6 +5069,9 @@ def oracle_sql() -> dict[str, str]:
         "raster_windows_buffered": sql_raster_windows(pixelbuffer=12),
         "compose_tiles": sql_compose_tiles(),
         "overview_coverage": sql_overview_coverage(),
+        "upsample_children": sql_upsample_children(),
+        "raster_histogram": sql_raster_histogram(),
+        "contrast_stretch": sql_contrast_stretch(),
         "mosaic_modes": sql_mosaic_modes(),
         "incremental_dirty": sql_incremental_dirty(),
         "incremental_propagate": sql_incremental_propagate(),

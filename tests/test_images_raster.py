@@ -675,3 +675,217 @@ def test_focal_gradient_matches_numpy_mirror(spark):
     egx = int(w[0, 2] + 2 * w[1, 2] + w[2, 2] - w[0, 0] - 2 * w[1, 0] - w[2, 0])
     egy = int(w[2, 0] + 2 * w[2, 1] + w[2, 2] - w[0, 0] - 2 * w[0, 1] - w[0, 2])
     assert a[iy, ix] == min((abs(egx) + 2) // 4 + (abs(egy) + 2) // 4, 255)
+
+
+def _upsample_mirror(canvases, ts, mh_tiles, mw_tiles, r0, c0):
+    """Brute-force 2x bilinear mirror on a stitched global plane covering
+    the rectangular block rows [r0, r0+mh_tiles) x cols [c0, c0+mw_tiles),
+    with per-axis coordinate CLAMP at the block edge (the operator's
+    separable edge-replicate rule).  Returns {(crow, ccol): (num, val)}."""
+    H, W = mh_tiles * ts, mw_tiles * ts
+    G = np.zeros((H, W), dtype=np.int64)
+    for (r, c), a in canvases.items():
+        G[(r - r0) * ts : (r - r0 + 1) * ts, (c - c0) * ts : (c - c0 + 1) * ts] = a
+    out = {}
+    for (r, c) in canvases:
+        for dy in (0, 1):
+            for dx in (0, 1):
+                num = np.zeros((ts, ts), dtype=np.int64)
+                for i in range(ts):
+                    for j in range(ts):
+                        cy = 2 * (r - r0) * ts + dy * ts + i
+                        cx = 2 * (c - c0) * ts + dx * ts + j
+                        ky0 = cy // 2 - 1 if cy % 2 == 0 else cy // 2
+                        wy0 = 1 if cy % 2 == 0 else 3
+                        kx0 = cx // 2 - 1 if cx % 2 == 0 else cx // 2
+                        wx0 = 1 if cx % 2 == 0 else 3
+                        s = 0
+                        for iy, wy in ((0, wy0), (1, 4 - wy0)):
+                            for ix, wx in ((0, wx0), (1, 4 - wx0)):
+                                gy = min(max(ky0 + iy, 0), H - 1)
+                                gx = min(max(kx0 + ix, 0), W - 1)
+                                s += wy * wx * int(G[gy, gx])
+                        num[i, j] = s
+                out[(2 * r + dy, 2 * c + dx)] = (num, (num + 8) // 16)
+    return out
+
+
+def test_upsample_children_matches_numpy_mirror(spark):
+    """2x bilinear overzoom vs a brute-force global-plane mirror on a 2x2
+    block of 8px tiles: cross-tile seam pixels read the true neighbor bytes
+    via the halo, block-edge pixels follow the separable clamp rule, and
+    num == 16x exact numerator with val == (num+8)//16."""
+    import pandas as pd
+
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=8)
+    ts = 8
+    rng = np.random.RandomState(19)
+    keys = [(1, 2), (1, 3), (2, 2), (2, 3)]
+    canvases = {k: rng.randint(0, 256, (ts, ts)).astype(np.uint8) for k in keys}
+    rows = [
+        {"row": r, "col": c, "tile_w": ts, "tile_h": ts,
+         "bytes": canvases[(r, c)].tobytes()}
+        for (r, c) in keys
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    mirror = _upsample_mirror(canvases, ts, 2, 2, 1, 2)
+    got = (
+        raster.upsample_children(tiles, tp, 2, emit="pixels")
+        .toPandas()
+        .set_index(["row", "col", "py", "px"])
+        .sort_index()
+    )
+    assert len(got) == 4 * len(keys) * ts * ts
+    for (crow, ccol), (num, val) in mirror.items():
+        sub = got.loc[(crow, ccol)]
+        np.testing.assert_array_equal(
+            sub["num"].to_numpy().reshape(ts, ts), num
+        )
+        np.testing.assert_array_equal(
+            sub["val"].to_numpy().reshape(ts, ts), val
+        )
+    # seam check: odd child pixel straddling the (1,2)|(1,3) vertical seam
+    # must blend bytes from BOTH parent tiles (weight 3 on (1,2), 1 on (1,3))
+    a, b = canvases[(1, 2)], canvases[(1, 3)]
+    cy = 2 * 0 * ts + 3  # arbitrary interior child row within (2, 4)-block
+    # child global x of the last odd pixel of child col block dx=1 of (1,2)
+    num_seam = mirror[(2, 5)][0][3, ts - 1]
+    ky = cy // 2
+    wy0 = 1 if cy % 2 == 0 else 3
+    y0 = ky - 1 if cy % 2 == 0 else ky
+    want = 0
+    for iy, wy in ((0, wy0), (1, 4 - wy0)):
+        want += wy * (3 * int(a[y0 + iy, ts - 1]) + 1 * int(b[y0 + iy, 0]))
+    assert num_seam == want
+    # canvas emit consistent with the pixel emit
+    cv = (
+        raster.upsample_children(tiles, tp, 2, emit="canvas")
+        .toPandas()
+        .set_index(["row", "col"])
+    )
+    assert len(cv) == 4 * len(keys)
+    for (crow, ccol), (_, val) in mirror.items():
+        gotb = np.frombuffer(cv.loc[(crow, ccol), "bytes"], dtype=np.uint8)
+        np.testing.assert_array_equal(
+            gotb.reshape(ts, ts), val.astype(np.uint8)
+        )
+
+
+def test_upsample_children_wraps_antimeridian(spark):
+    """mw=2 at z0 geodetic: child pixels on the left seam of col 0 must
+    blend with col 1's right edge (column wrap), not clamp."""
+    import pandas as pd
+
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=8)
+    ts = 8
+    rng = np.random.RandomState(23)
+    a = rng.randint(0, 256, (ts, ts)).astype(np.uint8)
+    b = rng.randint(0, 256, (ts, ts)).astype(np.uint8)
+    tiles = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"row": 0, "col": 0, "tile_w": ts, "tile_h": ts, "bytes": a.tobytes()},
+                {"row": 0, "col": 1, "tile_w": ts, "tile_h": ts, "bytes": b.tobytes()},
+            ]
+        )
+    )
+    got = (
+        raster.upsample_children(tiles, tp, 0, emit="pixels")
+        .toPandas()
+        .set_index(["row", "col", "py", "px"])
+        .sort_index()
+    )
+    # child (0, 0), pixel (py=2, px=0): cx=0 even -> parents kx0=-1 (wraps
+    # to col 1's last column), kx1=0, weights 1/3; cy=2 even -> ky0=0, ky1=1
+    # (row clamp at the matrix top does not fire for ky>=0)
+    num = got.loc[(0, 0, 2, 0), "num"]
+    want = 0
+    for iy, wy in ((0, 1), (1, 3)):
+        want += wy * (1 * int(b[iy, ts - 1]) + 3 * int(a[iy, 0]))
+    assert num == want
+
+
+def test_contrast_stretch_matches_numpy_mirror(spark):
+    """Two-pass percentile stretch vs a pure-numpy mirror: global histogram,
+    integer ceil-rank cut points, and the exact truncating remap — pixels
+    and canvas emits agree with the mirror bit-for-bit."""
+    import pandas as pd
+
+    ts = 16
+    rng = np.random.RandomState(31)
+    keys = [(0, 0), (0, 1), (1, 0)]
+    # skewed values so p2/p98 are interior
+    canvases = {
+        k: (rng.gamma(2.0, 20.0, (ts, ts)).clip(0, 255)).astype(np.uint8)
+        for k in keys
+    }
+    rows = [
+        {"row": r, "col": c, "tile_w": ts, "tile_h": ts,
+         "bytes": canvases[(r, c)].tobytes()}
+        for (r, c) in keys
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    allv = np.concatenate([a.ravel() for a in canvases.values()])
+    hist = np.bincount(allv, minlength=256)
+    got_h = (
+        raster.global_histogram(tiles).toPandas().set_index("val")["n_px"]
+    )
+    for v in range(256):
+        assert got_h.get(v, 0) == hist[v]
+    total = len(allv)
+    cuts = []
+    for q in (2, 98):
+        need = -((-q * total) // 100)
+        cum = np.cumsum(hist)
+        cuts.append(int(np.argmax(cum >= need)))
+    p_lo, p_hi = cuts
+    assert (p_lo, p_hi) == raster.stretch_percentiles(tiles, 0, 2, 98)
+    span = p_hi - p_lo
+    assert span > 0
+    got = (
+        raster.contrast_stretch(tiles, emit="pixels")
+        .toPandas()
+        .set_index(["row", "col", "py", "px"])
+        .sort_index()
+    )
+    assert len(got) == total
+    for (r, c), a in canvases.items():
+        sub = got.loc[(r, c)]
+        want = np.clip((a.astype(np.int64) - p_lo) * 255 // span, 0, 255)
+        np.testing.assert_array_equal(
+            sub["v_in"].to_numpy().reshape(ts, ts), a
+        )
+        np.testing.assert_array_equal(
+            sub["v_out"].to_numpy().reshape(ts, ts), want
+        )
+    cv = (
+        raster.contrast_stretch(tiles, emit="canvas")
+        .toPandas()
+        .set_index(["row", "col"])
+    )
+    for (r, c), a in canvases.items():
+        want = np.clip((a.astype(np.int64) - p_lo) * 255 // span, 0, 255)
+        gotb = np.frombuffer(cv.loc[(r, c), "bytes"], dtype=np.uint8)
+        np.testing.assert_array_equal(gotb.reshape(ts, ts), want)
+
+
+def test_contrast_stretch_degenerate_span(spark):
+    """Constant raster: p_lo == p_hi, remap falls back to the >= p_hi
+    threshold (all 255 here since every pixel equals the cut)."""
+    import pandas as pd
+
+    ts = 8
+    a = np.full((ts, ts), 77, dtype=np.uint8)
+    tiles = spark.createDataFrame(
+        pd.DataFrame(
+            [{"row": 0, "col": 0, "tile_w": ts, "tile_h": ts,
+              "bytes": a.tobytes()}]
+        )
+    )
+    assert raster.stretch_percentiles(tiles) == (77, 77)
+    got = raster.contrast_stretch(tiles, emit="pixels").toPandas()
+    assert (got["v_out"] == 255).all()

@@ -1098,6 +1098,344 @@ def focal_stats(
 
     return grouped.mapInPandas(assemble, schema=out_schema)
 
+def global_histogram(tiles: DataFrame, band: int = 0) -> DataFrame:
+    """Global 256-bin value histogram over one band of a tiled raster —
+    pass 1 of the classic two-pass contrast stretch.  Map-side combine is
+    explicit: every Arrow batch reduces ALL its tiles into one 256-long
+    numpy bincount and emits at most 256 tiny rows, so the only shuffle
+    this op performs moves O(256 x n_partitions) rows no matter how many
+    petabytes of canvas bytes were scanned.  Returns (val, n_px) for the
+    values present.  Band layout and uniformity checks mirror
+    ``_halo_grouped`` (per-row inferred band count)."""
+    band_i = int(band)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(256, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            for k in range(len(pdf)):
+                buf = pdf["bytes"].iat[k]
+                h = int(pdf["tile_h"].iat[k])
+                w = int(pdf["tile_w"].iat[k])
+                nb = len(buf) // (h * w)
+                if nb * h * w != len(buf) or band_i >= nb:
+                    raise ValueError(
+                        f"canvas of {len(buf)} bytes is not {h}x{w}xB "
+                        f"with band {band_i} present"
+                    )
+                a = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, nb)[
+                    :, :, band_i
+                ]
+                acc += np.bincount(a.ravel(), minlength=256)
+                seen = True
+        if seen:
+            vals = np.nonzero(acc)[0]
+            yield pd.DataFrame(
+                {"val": vals.astype(np.int32), "n": acc[vals]}
+            )
+
+    part = tiles.select("tile_w", "tile_h", "bytes").mapInPandas(
+        partials, "val int, n long"
+    )
+    return part.groupBy("val").agg(F.sum("n").alias("n_px"))
+
+
+def stretch_percentiles(
+    tiles: DataFrame, band: int = 0, lo_pct: int = 2, hi_pct: int = 98
+) -> tuple:
+    """Integer-exact percentile cut points from the global histogram:
+    ``p_q`` = the smallest value whose cumulative pixel count reaches
+    ``ceil(q * total / 100)`` — pure integer arithmetic, so any engine
+    derives the identical cut.  Collects the <= 256-row histogram to the
+    driver (bounded, the documented driver-quantizer pattern)."""
+    rows = sorted(
+        (r["val"], r["n_px"]) for r in global_histogram(tiles, band).collect()
+    )
+    total = sum(n for _, n in rows)
+    if total == 0:
+        raise ValueError("stretch_percentiles: empty raster")
+    out = []
+    for q in (int(lo_pct), int(hi_pct)):
+        need = -((-q * total) // 100)  # ceil(q*total/100), exact ints
+        cum = 0
+        pick = rows[-1][0]
+        for v, n in rows:
+            cum += n
+            if cum >= need:
+                pick = v
+                break
+        out.append(int(pick))
+    return out[0], out[1]
+
+
+_STRETCH_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.LongType()),
+        T.StructField("col", T.LongType()),
+        T.StructField("py", T.IntegerType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("v_in", T.IntegerType()),
+        T.StructField("v_out", T.IntegerType()),
+    ]
+)
+
+
+def contrast_stretch(
+    tiles: DataFrame,
+    band: int = 0,
+    lo_pct: int = 2,
+    hi_pct: int = 98,
+    emit: str = "canvas",
+    sample_mod: int = 1,
+    sample_off: int = 0,
+) -> DataFrame:
+    """Two-pass global percentile contrast stretch — the standard display /
+    normalization op for satellite and microscopy rasters.  Pass 1
+    aggregates the global histogram (one O(256)-row shuffle, see
+    ``global_histogram``); the integer cut points ``p_lo``/``p_hi`` then
+    ride into the pass-2 remap kernel as plain Python ints (two scalars
+    broadcast in the task closure — canvas bytes are read twice but never
+    shuffled at all).  Remap is integer-exact in any engine:
+
+        v_out = clamp(((v - p_lo) * 255) // (p_hi - p_lo), 0, 255)
+
+    (truncating floor division; degenerate ``p_hi == p_lo`` maps to 0/255
+    by threshold).  ``emit='canvas'`` rewrites the band as a uint8 canvas
+    per tile; ``emit='pixels'`` returns the sampled (v_in, v_out) integer
+    surface the driver oracle re-derives — histogram, cut points, and
+    remap all in exact integer SQL."""
+    if emit not in ("canvas", "pixels"):
+        raise ValueError("emit must be 'canvas' or 'pixels'")
+    mod = int(sample_mod)
+    off = int(sample_off)
+    if emit == "pixels" and not 0 <= off < mod:
+        raise ValueError("sample_off must be in [0, sample_mod)")
+    band_i = int(band)
+    p_lo, p_hi = stretch_percentiles(tiles, band_i, lo_pct, hi_pct)
+    span = p_hi - p_lo
+    lut = np.arange(256, dtype=np.int64)
+    if span > 0:
+        lut = np.clip((lut - p_lo) * 255 // span, 0, 255)
+    else:
+        lut = np.where(lut >= p_hi, 255, 0).astype(np.int64)
+    lut8 = lut.astype(np.uint8)
+
+    out_schema = _FOCAL_CANVAS_SCHEMA if emit == "canvas" else _STRETCH_PIXEL_SCHEMA
+
+    def remap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if emit == "canvas":
+                bufs = []
+                for k in range(len(pdf)):
+                    buf = pdf["bytes"].iat[k]
+                    h = int(pdf["tile_h"].iat[k])
+                    w = int(pdf["tile_w"].iat[k])
+                    nb = len(buf) // (h * w)
+                    a = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, nb)[
+                        :, :, band_i
+                    ]
+                    bufs.append(lut8[a].tobytes())
+                yield pd.DataFrame(
+                    {
+                        "row": pdf["row"].to_numpy(),
+                        "col": pdf["col"].to_numpy(),
+                        "tile_w": pdf["tile_w"].to_numpy().astype(np.int32),
+                        "tile_h": pdf["tile_h"].to_numpy().astype(np.int32),
+                        "bytes": bufs,
+                    }
+                )
+            else:
+                frames = []
+                for k in range(len(pdf)):
+                    buf = pdf["bytes"].iat[k]
+                    h = int(pdf["tile_h"].iat[k])
+                    w = int(pdf["tile_w"].iat[k])
+                    nb = len(buf) // (h * w)
+                    a = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, nb)[
+                        :, :, band_i
+                    ]
+                    lin = np.arange(off, h * w, mod, dtype=np.int64)
+                    vin = a.ravel()[lin]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "row": np.full(
+                                    len(lin),
+                                    int(pdf["row"].iat[k]),
+                                    dtype=np.int64,
+                                ),
+                                "col": np.full(
+                                    len(lin),
+                                    int(pdf["col"].iat[k]),
+                                    dtype=np.int64,
+                                ),
+                                "py": (lin // w).astype(np.int32),
+                                "px": (lin % w).astype(np.int32),
+                                "v_in": vin.astype(np.int32),
+                                "v_out": lut[vin].astype(np.int32),
+                            }
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+    return tiles.select("row", "col", "tile_w", "tile_h", "bytes").mapInPandas(
+        remap, schema=out_schema
+    )
+
+
+_UPSAMPLE_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.LongType()),
+        T.StructField("col", T.LongType()),
+        T.StructField("py", T.IntegerType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("num", T.LongType()),
+        T.StructField("val", T.IntegerType()),
+    ]
+)
+
+
+def upsample_children(
+    tiles: DataFrame,
+    tp: PyramidConfig,
+    zoom: int,
+    band: int = 0,
+    emit: str = "canvas",
+    sample_mod: int = 1,
+    sample_off: int = 0,
+) -> DataFrame:
+    """Overzoom: serve zoom+1 tiles from a zoom-level raster by 2x bilinear
+    upsampling — the inverse of ``overview_level`` and the op a tile server
+    runs when a client asks for a zoom the pyramid doesn't materialize
+    (reference tile topology: child (2*row+dy, 2*col+dx), ``_tile.py``
+    get_children).  Each parent tile emits its FOUR children at zoom+1.
+
+    Half-pixel-center bilinear at exactly 2x degenerates to fixed 1/4-3/4
+    weights, so the whole kernel is integer: child pixel (i, j) reads the
+    2x2 parent window around (i/2 - 0.25, j/2 - 0.25) with per-axis weights
+    (1, 3) for even i and (3, 1) for odd i, ``num`` = the 16x numerator
+    (<= 16*255, exact int), value = (num + 8) // 16 (round-half-up).  That
+    integer form is what makes the DuckDB value oracle possible.
+
+    Child pixels on a parent-tile border read one pixel of the adjacent
+    parent tile, so this shares ``focal_stats``'s cross-tile HALO EXCHANGE
+    (radius=1: band plane + 8 one-pixel strips per tile, column wrap / row
+    clamp addressing).  Where the window crosses the edge of the
+    MATERIALIZED raster the missing parent pixel is edge-REPLICATED, applied
+    separably (rows clamp first, then columns) so it equals per-axis
+    coordinate clamping in global pixel space — the rule the oracle mirrors.
+
+    Scale shape: one exchange of O(ts) strip bytes per tile; the 4x row
+    fan-out happens INSIDE the Arrow kernel (numpy separable upsample, two
+    full-SIMD passes), never as a Spark-side explode of canvas bytes.  On a
+    bucketed tile store only the strips move; serving z+k chains k of these
+    with no intermediate pyramid storage.  ``emit='pixels'`` returns the
+    sampled integer surface (child tile coords, py/px, num, val) for the
+    driver gate; ``emit='canvas'`` returns the four uint8 child canvases.
+    """
+    if emit not in ("canvas", "pixels"):
+        raise ValueError("emit must be 'canvas' or 'pixels'")
+    ts = int(tp.tile_size) * int(tp.metatiling)
+    mw = tp.matrix_width(zoom)
+    mh = tp.matrix_height(zoom)
+    mod = int(sample_mod)
+    off = int(sample_off)
+    if emit == "pixels" and not 0 <= off < mod:
+        raise ValueError("sample_off must be in [0, sample_mod)")
+
+    grouped = _halo_grouped(tiles, ts, 1, int(band), mw, mh, "upsample_children")
+    out_schema = (
+        _FOCAL_CANVAS_SCHEMA if emit == "canvas" else _UPSAMPLE_PIXEL_SCHEMA
+    )
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if emit == "pixels":
+            lin = np.arange(off, ts * ts, mod, dtype=np.int64)
+            pys = (lin // ts).astype(np.int32)
+            pxs = (lin % ts).astype(np.int32)
+        n = ts + 2
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            o_row, o_col, o_payload = [], [], []
+            frames = []
+            for trow, tcol, P, M in _halo_planes(pdf, ts, 1):
+                # separable edge-replicate of missing halo pixels: rows
+                # first (validity propagates from the pixel below/above),
+                # then columns — equals per-axis clamp in global coords
+                Q = P.astype(np.int32)
+                MA = M.copy()
+                topm = M[0] == 0
+                Q[0] = np.where(topm, Q[1], Q[0])
+                MA[0] = np.where(topm, M[1], 1)
+                botm = M[-1] == 0
+                Q[-1] = np.where(botm, Q[-2], Q[-1])
+                MA[-1] = np.where(botm, M[-2], 1)
+                Q[:, 0] = np.where(MA[:, 0] == 0, Q[:, 1], Q[:, 0])
+                Q[:, -1] = np.where(MA[:, -1] == 0, Q[:, -2], Q[:, -1])
+                # separable 2x bilinear: rows then columns, weights (1, 3)
+                R = np.empty((2 * ts, n), dtype=np.int32)
+                R[0::2] = Q[0:ts] + 3 * Q[1 : ts + 1]
+                R[1::2] = 3 * Q[1 : ts + 1] + Q[2 : ts + 2]
+                O = np.empty((2 * ts, 2 * ts), dtype=np.int32)
+                O[:, 0::2] = R[:, 0:ts] + 3 * R[:, 1 : ts + 1]
+                O[:, 1::2] = 3 * R[:, 1 : ts + 1] + R[:, 2 : ts + 2]
+                V = ((O + 8) >> 4).astype(np.uint8)
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        crow = 2 * trow + dy
+                        ccol = 2 * tcol + dx
+                        if emit == "canvas":
+                            o_row.append(crow)
+                            o_col.append(ccol)
+                            o_payload.append(
+                                np.ascontiguousarray(
+                                    V[dy * ts : (dy + 1) * ts,
+                                      dx * ts : (dx + 1) * ts]
+                                ).tobytes()
+                            )
+                        else:
+                            nums = np.ascontiguousarray(
+                                O[dy * ts : (dy + 1) * ts,
+                                  dx * ts : (dx + 1) * ts]
+                            ).ravel()[lin]
+                            frames.append(
+                                pd.DataFrame(
+                                    {
+                                        "row": np.full(
+                                            len(lin), crow, dtype=np.int64
+                                        ),
+                                        "col": np.full(
+                                            len(lin), ccol, dtype=np.int64
+                                        ),
+                                        "py": pys,
+                                        "px": pxs,
+                                        "num": nums.astype(np.int64),
+                                        "val": ((nums + 8) >> 4).astype(
+                                            np.int32
+                                        ),
+                                    }
+                                )
+                            )
+            if emit == "canvas" and o_row:
+                yield pd.DataFrame(
+                    {
+                        "row": np.asarray(o_row, dtype=np.int64),
+                        "col": np.asarray(o_col, dtype=np.int64),
+                        "tile_w": np.full(len(o_row), ts, dtype=np.int32),
+                        "tile_h": np.full(len(o_row), ts, dtype=np.int32),
+                        "bytes": o_payload,
+                    }
+                )
+            elif frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return grouped.mapInPandas(assemble, schema=out_schema)
+
+
 _GRADIENT_PIXEL_SCHEMA = T.StructType(
     [
         T.StructField("row", T.LongType()),
