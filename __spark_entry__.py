@@ -3852,6 +3852,95 @@ def sql_upsample_children() -> str:
     """
 
 
+def _zonal_tiles_b(spark: SparkSession) -> DataFrame:
+    """Second-epoch canvases for the zonal region: the incremental-focal
+    update formula (5*i + 3*j + 11*row + 13*col + 17) % 251 on EVERY tile,
+    so raster_diff's oracle can re-derive both epochs per pixel."""
+    grid = (
+        spark.range(8, 14)
+        .select(F.col("id").alias("row"))
+        .crossJoin(spark.range(16, 28).select(F.col("id").alias("col")))
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(256, dtype=np.int64)[:, None]
+        j = np.arange(256, dtype=np.int64)[None, :]
+        base = 5 * i + 3 * j + 17
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = pdf["row"].to_numpy()
+            cols = pdf["col"].to_numpy()
+            bufs = [
+                ((base + 11 * int(r) + 13 * int(c)) % 251).astype(np.uint8).tobytes()
+                for r, c in zip(rows, cols)
+            ]
+            yield pd.DataFrame(
+                {
+                    "row": rows,
+                    "col": cols,
+                    "tile_w": np.full(len(pdf), 256, dtype=np.int32),
+                    "tile_h": np.full(len(pdf), 256, dtype=np.int32),
+                    "bytes": bufs,
+                }
+            )
+
+    return grid.mapInPandas(
+        gen, "row long, col long, tile_w int, tile_h int, bytes binary"
+    )
+
+
+def q_raster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal change detection (raster.diff_tiles): join two epochs of
+    the 72-tile zonal region on the tile key (the only data movement; on a
+    bucketed store it co-locates) and reduce each canvas pair to per-tile
+    |delta| statistics in one vectorized Arrow pass.  Epochs carry the two
+    integer canvas formulas, so the oracle re-derives every pixel of BOTH
+    epochs and the stats are value-exact."""
+    from tilematrix_spark import raster
+
+    out = raster.diff_tiles(_zonal_tiles(spark), _zonal_tiles_b(spark), band=0)
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        "n_px",
+        "n_diff",
+        "sum_abs",
+        "max_abs",
+    )
+
+
+def sql_raster_diff() -> str:
+    """Per-pixel mirror of both epoch formulas over the full 72x65536-pixel
+    region; n_diff via FILTER (no HUGEINT), sums cast to BIGINT."""
+    return """
+      WITH tiles AS (
+        SELECT trow, tcol
+        FROM (SELECT unnest(generate_series(8, 13)) AS trow)
+        CROSS JOIN (SELECT unnest(generate_series(16, 27)) AS tcol)
+      ),
+      p0 AS (SELECT trow, tcol, unnest(generate_series(0, 255)) AS i
+             FROM tiles),
+      p AS (SELECT trow, tcol, i, unnest(generate_series(0, 255)) AS j
+            FROM p0),
+      v AS (
+        SELECT trow, tcol,
+          abs((3 * i + 7 * j + 11 * trow + 13 * tcol) % 251
+              - (5 * i + 3 * j + 11 * trow + 13 * tcol + 17) % 251) AS d
+        FROM p
+      )
+      SELECT trow AS tile_row, tcol AS tile_col,
+             count(*) AS n_px,
+             count(*) FILTER (WHERE d <> 0) AS n_diff,
+             CAST(sum(d) AS BIGINT) AS sum_abs,
+             CAST(max(d) AS INTEGER) AS max_abs
+      FROM v GROUP BY 1, 2
+    """
+
+
 def q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global 256-bin histogram (raster.global_histogram) over the 72-tile
     zonal canvas region — pass 1 of the contrast stretch.  Map-side combine
@@ -4977,6 +5066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_children": q_upsample_children,
         "raster_histogram": q_raster_histogram,
         "contrast_stretch": q_contrast_stretch,
+        "raster_diff": q_raster_diff,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -5072,6 +5162,7 @@ def oracle_sql() -> dict[str, str]:
         "upsample_children": sql_upsample_children(),
         "raster_histogram": sql_raster_histogram(),
         "contrast_stretch": sql_contrast_stretch(),
+        "raster_diff": sql_raster_diff(),
         "mosaic_modes": sql_mosaic_modes(),
         "incremental_dirty": sql_incremental_dirty(),
         "incremental_propagate": sql_incremental_propagate(),

@@ -858,5 +858,80 @@ def focal_scaling_job(spark: SparkSession, n_side: int) -> float:
     return n_out / dt
 
 
+_MINHASH_STAGED: dict = {}
+
+
+def minhash_scaling_job(spark: SparkSession, n_docs: int) -> float:
+    """docs/s of the MinHash-LSH near-dup pair pipeline (16 hashes, 8
+    bands) over a deterministic synthetic corpus — the TEXT-family leg of
+    the executor-scaling ladder.  Unlike the Arrow-bound stencil/verify
+    legs this pipeline is JVM-native end to end (shingle explode, md5
+    signature aggregation, banded self-join): what a 4x executor step
+    multiplies here is heap + shuffle service + GC parallelism, the
+    native-pipeline counterpart of the per-JVM Arrow lever.  Corpus
+    GENERATION is staged to parquet outside the timed region and reused
+    across scaling-worker subprocesses (deterministic bytes, the focal-job
+    discipline); ~5% of docs are near-duplicates so the band join does
+    real pair work."""
+    import os as _os
+    import tempfile as _tf
+    import time as _t
+
+    from tilematrix_spark.functions import dedup as dedupfns
+
+    path = _MINHASH_STAGED.get(n_docs)
+    if path is None:
+        cand = _os.path.join(_tf.gettempdir(), f"tmx_bench_minhash_{n_docs}")
+        try:
+            if spark.read.parquet(cand).count() == n_docs:
+                spark.read.parquet(cand).agg(F.sum(F.length("text"))).collect()
+                _MINHASH_STAGED[n_docs] = cand
+                path = cand
+        except Exception:
+            path = None
+    if path is None:
+        par = spark.sparkContext.defaultParallelism * 2
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            vocab = np.array([f"w{v:03d}" for v in range(1000)])
+            k = np.arange(64, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["id"].to_numpy()
+                texts = []
+                for i in ids:
+                    base = int(i)
+                    if base % 20 == 1:  # near-dup of the previous doc
+                        src = base - 1
+                        toks = (src * 17 + k * k * 31 + (src % 97) * k) % 1000
+                        toks = toks.copy()
+                        toks[::21] = (toks[::21] + base) % 1000  # ~3 edits
+                    else:
+                        toks = (base * 17 + k * k * 31 + (base % 97) * k) % 1000
+                    texts.append(" ".join(vocab[toks]))
+                yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+        docs = (
+            spark.range(n_docs)
+            .repartition(par)
+            .mapInPandas(gen, "doc_id long, text string")
+        )
+        path = _os.path.join(_tf.gettempdir(), f"tmx_bench_minhash_{n_docs}")
+        docs.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).agg(F.sum(F.length("text"))).collect()
+        _MINHASH_STAGED[n_docs] = path
+    df = spark.read.parquet(path)
+    pairs = dedupfns.minhash_lsh_pairs(df, num_hashes=16, bands=8)
+    t0 = _t.time()
+    n_pairs = pairs.count()
+    dt = _t.time() - t0
+    assert n_pairs >= n_docs // 25, f"implausibly few pairs: {n_pairs}"
+    return n_docs / dt
+
+
 if __name__ == "__main__":
     main()

@@ -889,3 +889,49 @@ def test_contrast_stretch_degenerate_span(spark):
     assert raster.stretch_percentiles(tiles) == (77, 77)
     got = raster.contrast_stretch(tiles, emit="pixels").toPandas()
     assert (got["v_out"] == 255).all()
+
+
+def test_diff_tiles_matches_numpy_mirror(spark):
+    """Change detection vs a numpy mirror: per-tile |delta| stats exact,
+    inner join drops epoch-unmatched tiles, band selection works on
+    multiband canvases."""
+    import pandas as pd
+
+    ts = 16
+    rng = np.random.RandomState(41)
+    keys = [(0, 0), (0, 1), (1, 1)]
+    ep_a = {k: rng.randint(0, 256, (ts, ts, 2)).astype(np.uint8) for k in keys}
+    ep_b = {k: rng.randint(0, 256, (ts, ts, 2)).astype(np.uint8) for k in keys}
+    # one identical tile: zero diff
+    ep_b[(0, 1)] = ep_a[(0, 1)].copy()
+    rows_a = [
+        {"row": r, "col": c, "tile_w": ts, "tile_h": ts,
+         "bytes": ep_a[(r, c)].tobytes()}
+        for (r, c) in keys
+    ]
+    # epoch b misses (1,1) and has an extra tile (9,9) — both must drop
+    rows_b = [
+        {"row": r, "col": c, "tile_w": ts, "tile_h": ts,
+         "bytes": ep_b[(r, c)].tobytes()}
+        for (r, c) in keys[:2]
+    ] + [{"row": 9, "col": 9, "tile_w": ts, "tile_h": ts,
+          "bytes": ep_b[(0, 0)].tobytes()}]
+    ta = spark.createDataFrame(pd.DataFrame(rows_a))
+    tb = spark.createDataFrame(pd.DataFrame(rows_b))
+    got = (
+        raster.diff_tiles(ta, tb, band=1)
+        .toPandas()
+        .set_index(["row", "col"])
+        .sort_index()
+    )
+    assert set(got.index) == {(0, 0), (0, 1)}
+    for k in [(0, 0), (0, 1)]:
+        d = np.abs(
+            ep_a[k][:, :, 1].astype(np.int64) - ep_b[k][:, :, 1].astype(np.int64)
+        )
+        sub = got.loc[k]
+        assert sub["n_px"] == ts * ts
+        assert sub["n_diff"] == int(np.count_nonzero(d))
+        assert sub["sum_abs"] == int(d.sum())
+        assert sub["max_abs"] == int(d.max())
+    assert got.loc[(0, 1), "n_diff"] == 0 and got.loc[(0, 1), "sum_abs"] == 0

@@ -1098,6 +1098,103 @@ def focal_stats(
 
     return grouped.mapInPandas(assemble, schema=out_schema)
 
+_DIFF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.LongType()),
+        T.StructField("col", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("n_diff", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("max_abs", T.IntegerType()),
+    ]
+)
+
+
+def diff_tiles(
+    tiles_a: DataFrame, tiles_b: DataFrame, band: int = 0
+) -> DataFrame:
+    """Temporal change detection between two epochs of a tiled raster:
+    inner-join the epochs on the tile key and reduce each canvas pair to
+    per-tile change statistics (pixel count, changed-pixel count, sum and
+    max of |delta|) — the planning surface a re-survey / re-compose
+    pipeline filters on before it moves any imagery.
+
+    Scale shape: ONE equi-join on (row, col) is the only data movement —
+    on a store bucketed by (row, col) both sides co-locate and no canvas
+    byte shuffles at all; the delta kernel is a vectorized uint8->int16
+    subtract per pair inside ``mapInPandas`` (no per-group pandas frame:
+    whole Arrow batches of joined pairs reduce in one pass).  Mean |delta|
+    = sum_abs / n_px downstream — kept as exact integers here so the
+    output is engine-exact."""
+    band_i = int(band)
+
+    def extract(colname):
+        def get(pdf, k):
+            buf = pdf[colname].iat[k]
+            h = int(pdf["tile_h"].iat[k])
+            w = int(pdf["tile_w"].iat[k])
+            nb = len(buf) // (h * w)
+            if nb * h * w != len(buf) or band_i >= nb:
+                raise ValueError(
+                    f"canvas of {len(buf)} bytes is not {h}x{w}xB "
+                    f"with band {band_i} present"
+                )
+            return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, nb)[
+                :, :, band_i
+            ]
+
+        return get
+
+    get_a = extract("_ba")
+    get_b = extract("_bb")
+
+    def delta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            n_px = np.empty(n, dtype=np.int64)
+            n_diff = np.empty(n, dtype=np.int64)
+            sum_abs = np.empty(n, dtype=np.int64)
+            max_abs = np.empty(n, dtype=np.int32)
+            for k in range(n):
+                a = get_a(pdf, k).astype(np.int16)
+                b = get_b(pdf, k).astype(np.int16)
+                if a.shape != b.shape:
+                    raise ValueError(
+                        f"epoch canvases disagree on shape: {a.shape} vs "
+                        f"{b.shape}"
+                    )
+                d = np.abs(a - b)
+                n_px[k] = d.size
+                n_diff[k] = int(np.count_nonzero(d))
+                sum_abs[k] = int(d.sum(dtype=np.int64))
+                max_abs[k] = int(d.max()) if d.size else 0
+            yield pd.DataFrame(
+                {
+                    "row": pdf["row"].to_numpy(),
+                    "col": pdf["col"].to_numpy(),
+                    "n_px": n_px,
+                    "n_diff": n_diff,
+                    "sum_abs": sum_abs,
+                    "max_abs": max_abs,
+                }
+            )
+
+    a = tiles_a.select(
+        "row", "col", "tile_w", "tile_h", F.col("bytes").alias("_ba")
+    )
+    b = tiles_b.select(
+        F.col("row").alias("_rb"),
+        F.col("col").alias("_cb"),
+        F.col("bytes").alias("_bb"),
+    )
+    joined = a.join(
+        b, (a["row"] == b["_rb"]) & (a["col"] == b["_cb"]), "inner"
+    ).select("row", "col", "tile_w", "tile_h", "_ba", "_bb")
+    return joined.mapInPandas(delta, schema=_DIFF_STATS_SCHEMA)
+
+
 def global_histogram(tiles: DataFrame, band: int = 0) -> DataFrame:
     """Global 256-bin value histogram over one band of a tiled raster —
     pass 1 of the classic two-pass contrast stretch.  Map-side combine is

@@ -83,6 +83,13 @@ def _worker(master: str, job: str, sf_dir: str) -> None:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         bench.focal_scaling_job(spark, 12)
         rate = max(bench.focal_scaling_job(spark, 160) for _ in range(2))
+    elif job == "minhash":
+        # JVM-native text pipeline (shingle explode + md5 signatures +
+        # banded self-join): the executor lever is heap/shuffle/GC
+        # parallelism, no Arrow transfer in the hot path
+        n_docs = int(os.environ.get("TMX_MINHASH_DOCS", "600000"))
+        bench.minhash_scaling_job(spark, 20_000)
+        rate = max(bench.minhash_scaling_job(spark, n_docs) for _ in range(2))
     else:
         n_pts = int(os.environ.get("TMX_PIP_POINTS", "24000000"))
         bench.pip_scaling_job(spark, 1_000_000)
