@@ -3941,6 +3941,95 @@ def sql_raster_diff() -> str:
     """
 
 
+def q_raster_analytics_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four raster-analytics surfaces in one gate slot (tagged union, the
+    knn_modes trick): zonal statistics, two-pass percentile contrast
+    stretch, two-epoch change detection, and 2x bilinear overzoom.  Each
+    tag exercises a different kernel stack (zone-window broadcast reduce /
+    global histogram + LUT remap / epoch join + delta reduce / halo-
+    exchange separable upsample); a regression in any flips rows under its
+    tag in-window.  Columns flatten to (mode, r, c, p1, p2, n1..n5):
+    r/c carry tile or zone keys, p1/p2 the sampled pixel, n1..n5 the
+    tag's integer payload; absent slots are -1.  (zonal's derived
+    mean_val = n3/n2 is pinned by the standalone tail query.)"""
+    none_l = F.lit(-1).cast("long")
+    none_i = F.lit(-1).cast("int")
+    zonal = q_zonal_stats(spark, sf_dir).select(
+        F.lit("zonal").alias("mode"),
+        F.col("zone_id").alias("r"),
+        none_l.alias("c"),
+        none_i.alias("p1"),
+        none_i.alias("p2"),
+        F.col("n_tiles").alias("n1"),
+        F.col("n_px").alias("n2"),
+        F.col("sum_val").alias("n3"),
+        F.col("min_val").alias("n4"),
+        F.col("max_val").alias("n5"),
+    )
+    stretch = q_contrast_stretch(spark, sf_dir).select(
+        F.lit("stretch").alias("mode"),
+        F.col("tile_row").alias("r"),
+        F.col("tile_col").alias("c"),
+        F.col("py").alias("p1"),
+        F.col("px").alias("p2"),
+        F.col("v_in").cast("long").alias("n1"),
+        F.col("v_out").cast("long").alias("n2"),
+        none_l.alias("n3"),
+        none_l.alias("n4"),
+        none_l.alias("n5"),
+    )
+    diff = q_raster_diff(spark, sf_dir).select(
+        F.lit("diff").alias("mode"),
+        F.col("tile_row").alias("r"),
+        F.col("tile_col").alias("c"),
+        none_i.alias("p1"),
+        none_i.alias("p2"),
+        F.col("n_px").alias("n1"),
+        F.col("n_diff").alias("n2"),
+        F.col("sum_abs").alias("n3"),
+        F.col("max_abs").cast("long").alias("n4"),
+        none_l.alias("n5"),
+    )
+    over = q_upsample_children(spark, sf_dir).select(
+        F.lit("overzoom").alias("mode"),
+        F.col("tile_row").alias("r"),
+        F.col("tile_col").alias("c"),
+        F.col("py").alias("p1"),
+        F.col("px").alias("p2"),
+        F.col("num").alias("n1"),
+        F.col("val").cast("long").alias("n2"),
+        none_l.alias("n3"),
+        none_l.alias("n4"),
+        none_l.alias("n5"),
+    )
+    return zonal.unionByName(stretch).unionByName(diff).unionByName(over)
+
+
+def sql_raster_analytics_modes() -> str:
+    return f"""
+      SELECT 'zonal' AS mode, zone_id AS r, CAST(-1 AS BIGINT) AS c,
+             CAST(-1 AS INTEGER) AS p1, CAST(-1 AS INTEGER) AS p2,
+             n_tiles AS n1, n_px AS n2, sum_val AS n3, min_val AS n4,
+             max_val AS n5
+      FROM ({sql_zonal_stats()})
+      UNION ALL
+      SELECT 'stretch', tile_row, tile_col, py, px,
+             CAST(v_in AS BIGINT), CAST(v_out AS BIGINT),
+             CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      FROM ({sql_contrast_stretch()})
+      UNION ALL
+      SELECT 'diff', tile_row, tile_col, CAST(-1 AS INTEGER),
+             CAST(-1 AS INTEGER), n_px, n_diff, sum_abs,
+             CAST(max_abs AS BIGINT), CAST(-1 AS BIGINT)
+      FROM ({sql_raster_diff()})
+      UNION ALL
+      SELECT 'overzoom', tile_row, tile_col, py, px, num,
+             CAST(val AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             CAST(-1 AS BIGINT)
+      FROM ({sql_upsample_children()})
+    """
+
+
 def q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global 256-bin histogram (raster.global_histogram) over the 72-tile
     zonal canvas region — pass 1 of the contrast stretch.  Map-side combine
@@ -4971,7 +5060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_windows": q_raster_windows,
         "rasterize_bins": q_rasterize_bins,
         "mosaic_modes": q_mosaic_modes,
-        "zonal_stats": q_zonal_stats,
+        "raster_analytics_modes": q_raster_analytics_modes,
         "focal_gradient": q_focal_gradient,
         "incremental_modes": q_incremental_modes,
         "incremental_focal": q_incremental_focal,
@@ -5063,6 +5152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_propagate": q_incremental_propagate,
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
+        "zonal_stats": q_zonal_stats,
         "upsample_children": q_upsample_children,
         "raster_histogram": q_raster_histogram,
         "contrast_stretch": q_contrast_stretch,
@@ -5160,6 +5250,7 @@ def oracle_sql() -> dict[str, str]:
         "compose_tiles": sql_compose_tiles(),
         "overview_coverage": sql_overview_coverage(),
         "upsample_children": sql_upsample_children(),
+        "raster_analytics_modes": sql_raster_analytics_modes(),
         "raster_histogram": sql_raster_histogram(),
         "contrast_stretch": sql_contrast_stretch(),
         "raster_diff": sql_raster_diff(),
