@@ -484,3 +484,99 @@ def test_incremental_focal_broadcast_restriction_no_smj(spark, geodetic):
     plan = _plan(incremental.incremental_focal(base, upd, tp, 2, radius=1))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_upsample_plan_single_exchange_no_join(spark):
+    """upsample_children: the focal shape — ONE Exchange (halo assembly
+    groupBy), TWO MapInPandas (strips, separable upsample), no join; the
+    4x child fan-out happens inside the Arrow kernel, never as a
+    Spark-side explode of canvas bytes."""
+    from tilematrix_spark import raster
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=8)
+    tiles = spark.createDataFrame(
+        [(0, 0, 8, 8, bytearray(b"\x01" * 64))],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    plan = _plan(raster.upsample_children(tiles, tp, 0))
+    ex = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and ") Exchange" in line
+    )
+    assert ex == 1, plan
+    mp = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and ") MapInPandas" in line
+    )
+    assert mp == 2, plan
+    assert "Generate" not in plan, plan  # no explode of canvas rows
+    assert "Join" not in plan, plan
+
+
+def test_contrast_stretch_remap_no_shuffle(spark):
+    """contrast_stretch pass 2: the remap is a pure scan -> MapInPandas
+    projection — ZERO Exchange, zero join (the cut points ride in the task
+    closure, canvas bytes never shuffle)."""
+    from tilematrix_spark import raster
+
+    tiles = spark.createDataFrame(
+        [(0, 0, 8, 8, bytearray(bytes(range(64))))],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    plan = _plan(raster.contrast_stretch(tiles, emit="pixels"))
+    ex = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and ") Exchange" in line
+    )
+    assert ex == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_global_histogram_partial_combine_tiny_shuffle(spark):
+    """global_histogram: the only Exchange moves the <=256-row bincount
+    partials (hashpartitioning on val), never canvas bytes — the scan
+    feeds MapInPandas directly, and the final agg is a plain hash agg
+    over (val, n)."""
+    from tilematrix_spark import raster
+
+    tiles = spark.createDataFrame(
+        [(0, 0, 8, 8, bytearray(bytes(range(64))))],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    plan = _plan(raster.global_histogram(tiles))
+    ex_lines = [
+        line
+        for line in plan.splitlines()
+        if line.startswith("(") and ") Exchange" in line
+    ]
+    assert len(ex_lines) == 1, plan
+    # the exchange partitions on the 256-value key, not on tile keys
+    ex_detail = plan[plan.index("Exchange"):]
+    assert "val" in ex_detail.splitlines()[0] or "hashpartitioning(val" in plan, plan
+
+
+def test_diff_tiles_one_join_batch_reduce(spark):
+    """diff_tiles: exactly ONE Join (the epoch equi-join on the tile key)
+    and ONE MapInPandas (whole-batch delta reduce) — no grouping, no
+    second shuffle after the join."""
+    from tilematrix_spark import raster
+
+    mk = spark.createDataFrame(
+        [(0, 0, 8, 8, bytearray(b"\x02" * 64))],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    plan = _plan(raster.diff_tiles(mk, mk))
+    joins = sum(1 for line in plan.splitlines()
+                if line.startswith("(") and "Join" in line)
+    assert joins == 1, plan
+    mp = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and ") MapInPandas" in line
+    )
+    assert mp == 1, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
