@@ -642,10 +642,11 @@ def main() -> None:
             sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
             import cluster_scaling
 
-            # focal's cluster legs are recorded in BENCH/BASELINE.md from
-            # dedicated runs (1x8 2221 -> 4x8 2758 tiles/s; below-knee t4
-            # block there too) — keeping them out of the per-round bench
-            # bounds its wall time
+            # focal's and minhash's cluster legs are recorded in
+            # BENCH/BASELINE.md from dedicated runs (focal 1x8 2221 -> 4x8
+            # 2758 tiles/s, focal_t4 0.913; minhash_t4 cross-pass best-of
+            # 0.803) — keeping them out of the per-round bench bounds its
+            # wall time
             cluster = cluster_scaling.run(("tile", "pip"), rounds=2, sf_dir=sf_dir)
             # the same 1-vs-4-executor step at 4 threads/executor: the 4N
             # leg stays under this box's memory-bus knee (spin envelope

@@ -529,7 +529,9 @@ def test_driver_gate_window_holds_kernel_queries():
         "pip_join_regions",
         "raster_windows", "rasterize_bins",
         "mosaic_modes",  # r5: compose + overview coverage (tagged union)
-        "zonal_stats",  # r5: zones x tiled raster, pixel-exact value oracle
+        # r5: zonal + stretch + diff + overzoom union (zonal_stats itself
+        # demoted to the tail; its kernel coverage rides the union's tag)
+        "raster_analytics_modes",
         "focal_gradient",  # r5: cross-tile Sobel, integer-exact oracle
         "incremental_modes",  # r5: dirty-stats + propagate step (union)
         "incremental_focal",  # r5: dirty-ring stencil maintenance
