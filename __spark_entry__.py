@@ -2044,6 +2044,81 @@ def sql_cosine_topk() -> str:
     """
 
 
+def q_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (similarity.retrieval_recall): perturbed copies
+    of every 17th embedding (x*1.01 + 0.001, an IEEE-identical double op in
+    any engine) query the full corpus; each query's true match is ranked by
+    exact integer dot product over unit-quantized codes
+    (similarity.with_unit_quant — pre-quant floor(v*1000+0.5), integer
+    norm², one correctly-rounded renormalizing division), so true_rank and
+    hit@k flags match DuckDB bit-for-bit with NO rounding tolerance —
+    unlike a float cosine, which would need a round() fudge."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = simfns.with_unit_quant(emb)
+    queries = simfns.with_unit_quant(
+        emb.filter(F.col("vec_id") % 17 == 3).select(
+            (F.col("vec_id") + 1000000).alias("qid"),
+            F.col("vec_id").alias("true_id"),
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") * F.lit(1.01) + F.lit(0.001),
+            ).alias("embedding"),
+        )
+    )
+    return simfns.retrieval_recall(queries, corpus)
+
+
+def sql_retrieval_recall() -> str:
+    """Mirror with the identical op sequence: floor(x*1000+0.5) pre-quant,
+    exact integer norm² via list_dot_product (integer-valued doubles),
+    floor((q*100000)/sqrt(n2)+0.5) renormalization — parentheses match the
+    Spark kernel's left-to-right evaluation — then integer dot ranking
+    with ties on ascending vec_id."""
+    return """
+      WITH c0 AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> floor(x * 1000 + 0.5)) AS q
+        FROM embeddings
+      ),
+      c1 AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM c0),
+      c AS (
+        SELECT vec_id,
+               list_transform(q,
+                 x -> floor((x * 100000) / sqrt(n2) + 0.5)) AS u
+        FROM c1
+      ),
+      q0 AS (
+        SELECT vec_id + 1000000 AS qid, vec_id AS true_id,
+               list_transform(embedding::DOUBLE[],
+                 x -> floor((x * 1.01 + 0.001) * 1000 + 0.5)) AS q
+        FROM embeddings WHERE vec_id % 17 = 3
+      ),
+      q1 AS (SELECT qid, true_id, q, list_dot_product(q, q) AS n2 FROM q0),
+      qu AS (
+        SELECT qid, true_id,
+               list_transform(q,
+                 x -> floor((x * 100000) / sqrt(n2) + 0.5)) AS u
+        FROM q1
+      ),
+      scored AS (
+        SELECT qu.qid, qu.true_id, c.vec_id,
+               list_dot_product(qu.u, c.u) AS s
+        FROM qu CROSS JOIN c
+      ),
+      ranked AS (
+        SELECT qid, true_id, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY s DESC, vec_id ASC) AS r
+        FROM scored
+      )
+      SELECT qid, true_id, CAST(r AS BIGINT) AS true_rank,
+             CAST(CASE WHEN r <= 1 THEN 1 ELSE 0 END AS INTEGER) AS hit1,
+             CAST(CASE WHEN r <= 10 THEN 1 ELSE 0 END AS INTEGER) AS hit10
+      FROM ranked WHERE vec_id = true_id
+    """
+
+
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs (exact O(n²) on a 300-vector slice
     plus rescaled copies of every 13th vector, ids +10^6 — cosine is
@@ -5153,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
         "zonal_stats": q_zonal_stats,
+        "retrieval_recall": q_retrieval_recall,
         "upsample_children": q_upsample_children,
         "raster_histogram": q_raster_histogram,
         "contrast_stretch": q_contrast_stretch,
@@ -5249,6 +5325,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_windows_buffered": sql_raster_windows(pixelbuffer=12),
         "compose_tiles": sql_compose_tiles(),
         "overview_coverage": sql_overview_coverage(),
+        "retrieval_recall": sql_retrieval_recall(),
         "upsample_children": sql_upsample_children(),
         "raster_analytics_modes": sql_raster_analytics_modes(),
         "raster_histogram": sql_raster_histogram(),

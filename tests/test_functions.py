@@ -1319,3 +1319,73 @@ def test_bloom_incremental_dedup_matches_python_mirror(spark):
         assert (not want_dup) or want_hit  # no false negatives
         n_fp += int(want_hit and not want_dup)
     assert out["is_dup"].sum() == 2
+
+
+def _unit_quant_mirror(a):
+    a = np.asarray(a, dtype=np.float64)
+    q = np.floor(a * 1000.0 + 0.5)
+    n2 = float((q * q).sum())
+    if n2 == 0.0:
+        return np.zeros(len(a), dtype=np.int64)
+    import math as _m
+
+    return np.floor(q * 100000.0 / _m.sqrt(n2) + 0.5).astype(np.int64)
+
+
+def test_unit_quant_matches_mirror_and_zero(spark):
+    """with_unit_quant: int64 codes equal the pure-numpy mirror exactly;
+    zero-norm vectors map to all-zero codes."""
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(16).astype(np.float32).tolist() for _ in range(20)]
+    vecs.append([0.0] * 16)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: np.array(r["uq"])
+        for r in similarity.with_unit_quant(df).collect()
+    }
+    for i, v in enumerate(vecs):
+        np.testing.assert_array_equal(got[i], _unit_quant_mirror(v))
+    assert (got[20] == 0).all()
+
+
+def test_retrieval_recall_matches_mirror(spark):
+    """retrieval_recall: true-match ranks equal a brute-force numpy mirror
+    (dot over unit-quant codes, ties by corpus id), and perturbed copies
+    of corpus vectors retrieve their source at rank 1."""
+    rng = np.random.RandomState(13)
+    n, dim = 60, 16
+    corpus_vecs = [rng.randn(dim).astype(np.float32).tolist() for _ in range(n)]
+    corpus = similarity.with_unit_quant(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(corpus_vecs)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    # queries: mildly perturbed copies of every 5th corpus vector
+    qrows = []
+    for i in range(0, n, 5):
+        pv = [x * 1.01 + 0.001 for x in corpus_vecs[i]]
+        qrows.append((i + 1000, i, pv))
+    queries = similarity.with_unit_quant(
+        spark.createDataFrame(
+            qrows, "qid long, true_id long, embedding array<double>"
+        )
+    )
+    got = {
+        r["qid"]: (r["true_rank"], r["hit1"], r["hit10"])
+        for r in similarity.retrieval_recall(queries, corpus).collect()
+    }
+    cu = np.stack([_unit_quant_mirror(v) for v in corpus_vecs])
+    assert len(got) == len(qrows)
+    for qid, true_id, pv in qrows:
+        qu = _unit_quant_mirror(pv)
+        scores = cu @ qu
+        # rank with ties broken by ascending corpus id
+        order = np.lexsort((np.arange(n), -scores))
+        want_rank = int(np.where(order == true_id)[0][0]) + 1
+        rank, h1, h10 = got[qid]
+        assert rank == want_rank
+        assert h1 == int(rank <= 1) and h10 == int(rank <= 10)
+        assert rank == 1  # mild perturbation keeps the source on top

@@ -25,6 +25,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -951,3 +953,98 @@ def semantic_dedup(
         pairs.filter((qdot > 0) & (lhs >= rhs))
         .select("keep_id", "dup_id", F.col("_cell").alias("cell"), qdot.alias("qdot"))
     )
+
+
+UNIT_QUANT_SCALE = 100000.0
+
+
+def with_unit_quant(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "uq"
+) -> DataFrame:
+    """Engine-portable UNIT quantization for exact cross-engine cosine
+    ranking: pre-quantize ``floor(v*1000 + 0.5)`` (exact double op in any
+    engine), take the squared norm in INTEGER space (sums of ints ≤ 2^53
+    are exact in double regardless of summation order — the
+    portable_sign_planes discipline), then renormalize each component with
+    exactly one correctly-rounded division:
+
+        u_i = floor((q_i * 100000) / sqrt(sum q^2) + 0.5)
+
+    Every step is an IEEE-identical double op in Spark, numpy, and DuckDB,
+    so the int64 output — and any dot-product ranking over it — matches a
+    SQL mirror bit-for-bit with NO rounding tolerance.  Dot products of
+    unit-quantized 64-dim vectors stay ≤ ~6.4e11 (exact int64 and exact in
+    double).  Zero-norm vectors map to all-zero codes.  One Arrow pass, no
+    higher-order-lambda nesting (the projection-collapse corruption trap
+    never arises)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def uq(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs.to_numpy():
+            a = np.asarray(v, dtype=np.float64)
+            q = np.floor(a * PORTABLE_SCALE + 0.5)
+            n2 = float((q * q).sum())
+            if n2 == 0.0:
+                out.append(np.zeros(len(a), dtype=np.int64))
+                continue
+            s = math.sqrt(n2)
+            out.append(np.floor(q * UNIT_QUANT_SCALE / s + 0.5).astype(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, uq(F.col(vec_col)))
+
+
+def retrieval_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    truth_col: str = "true_id",
+    uq_col: str = "uq",
+    k_hits: tuple = (1, 10),
+) -> DataFrame:
+    """Retrieval evaluation — the harness a multimodal / embedding-training
+    pipeline runs to measure alignment quality: for every query vector,
+    rank the WHOLE corpus by exact integer dot product over unit-quantized
+    codes (== cosine ranking up to engine-identical quantization) and
+    report the rank of the query's true match plus hit@k flags.  recall@k
+    is then a trivial avg over the output.
+
+    Both inputs must already carry ``with_unit_quant`` codes; scoring is
+    pure native zip_with/aggregate over BOUND array columns (single
+    aggregate per pair — not the PQ-style wide fan that falls out of
+    codegen).  This is the documented exhaustive baseline: queries
+    broadcast (an eval runs on a sample), the corpus is scanned once, and
+    the only shuffle is the per-query rank window over Q x P score rows.
+    At index scale, evaluate the ANN path instead by feeding
+    ``ivf_pq_residual_topk`` results to the same truth join
+    (``ann_ivf_recall`` shape)."""
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(truth_col).alias("_true"),
+        F.col(uq_col).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(uq_col).alias("_cv")
+    )
+    score = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("_s")
+    scored = F.broadcast(q).crossJoin(c).select("_qid", "_true", "_cid", score)
+    w = Window.partitionBy("_qid").orderBy(F.desc("_s"), F.asc("_cid"))
+    ranked = scored.select(
+        "_qid", "_true", "_cid", F.row_number().over(w).alias("_r")
+    )
+    out = ranked.filter(F.col("_cid") == F.col("_true")).select(
+        F.col("_qid").alias(query_id),
+        F.col("_true").alias(truth_col),
+        F.col("_r").cast("long").alias("true_rank"),
+    )
+    for k in k_hits:
+        out = out.withColumn(
+            f"hit{k}", (F.col("true_rank") <= k).cast("int")
+        )
+    return out
