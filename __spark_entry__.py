@@ -4105,6 +4105,188 @@ def sql_raster_analytics_modes() -> str:
     """
 
 
+def _audit_children(spark: SparkSession) -> DataFrame:
+    """288 three-band 64px canvases at z6 (rows 16-27 x cols 32-55), pixel
+    value per band b: (3*i + 7*j + 11*row + 13*col + 89*b) % 251 — the
+    integer formula the pyramid-audit oracle re-derives per child pixel."""
+    grid = (
+        spark.range(16, 28)
+        .select(F.col("id").alias("row"))
+        .crossJoin(spark.range(32, 56).select(F.col("id").alias("col")))
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(64, dtype=np.int64)[:, None, None]
+        j = np.arange(64, dtype=np.int64)[None, :, None]
+        b = np.arange(3, dtype=np.int64)[None, None, :]
+        base = 3 * i + 7 * j + 89 * b
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = pdf["row"].to_numpy()
+            cols = pdf["col"].to_numpy()
+            bufs = [
+                ((base + 11 * int(r) + 13 * int(c)) % 251).astype(np.uint8).tobytes()
+                for r, c in zip(rows, cols)
+            ]
+            yield pd.DataFrame(
+                {
+                    "row": rows,
+                    "col": cols,
+                    "tile_w": np.full(len(pdf), 64, dtype=np.int32),
+                    "tile_h": np.full(len(pdf), 64, dtype=np.int32),
+                    "bytes": bufs,
+                }
+            )
+
+    return grid.mapInPandas(
+        gen, "row long, col long, tile_w int, tile_h int, bytes binary"
+    )
+
+
+def _audit_parents(spark: SparkSession) -> DataFrame:
+    """The claimed z5 overview tiles for the audit region: parents with
+    (row + col) % 3 == 0 are PLANTED CORRECT (the true 2x2 integer box
+    filter of their four _audit_children canvases, computed in numpy);
+    the rest carry a stale formula canvas the audit must flag."""
+    grid = (
+        spark.range(8, 14)
+        .select(F.col("id").alias("row"))
+        .crossJoin(spark.range(16, 28).select(F.col("id").alias("col")))
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(64, dtype=np.int64)[:, None, None]
+        j = np.arange(64, dtype=np.int64)[None, :, None]
+        b = np.arange(3, dtype=np.int64)[None, None, :]
+        base = 3 * i + 7 * j + 89 * b
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = pdf["row"].to_numpy()
+            cols = pdf["col"].to_numpy()
+            bufs = []
+            for pr, pc in zip(rows, cols):
+                pr, pc = int(pr), int(pc)
+                if (pr + pc) % 3 == 0:
+                    canvas = np.zeros((64, 64, 3), dtype=np.uint8)
+                    for qr in (0, 1):
+                        for qc in (0, 1):
+                            child = (
+                                base + 11 * (2 * pr + qr) + 13 * (2 * pc + qc)
+                            ) % 251
+                            ds = (
+                                child.reshape(32, 2, 32, 2, 3)
+                                .sum(axis=(1, 3))
+                                // 4
+                            ).astype(np.uint8)
+                            canvas[
+                                qr * 32 : (qr + 1) * 32, qc * 32 : (qc + 1) * 32
+                            ] = ds
+                    bufs.append(canvas.tobytes())
+                else:
+                    bufs.append(
+                        ((base + 11 * pr + 13 * pc) % 251)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+            yield pd.DataFrame(
+                {
+                    "row": rows,
+                    "col": cols,
+                    "tile_w": np.full(len(pdf), 64, dtype=np.int32),
+                    "tile_h": np.full(len(pdf), 64, dtype=np.int32),
+                    "bytes": bufs,
+                }
+            )
+
+    return grid.mapInPandas(
+        gen, "row long, col long, tile_w int, tile_h int, bytes binary"
+    )
+
+
+def q_pyramid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid consistency audit — pure composition of existing operators:
+    diff_tiles(claimed_parents, overview_level(children), band=None).
+    Detects stale/corrupt overview tiles at petabyte scale: a parent is
+    consistent iff it equals the exact 2x2 integer box filter of its four
+    children (n_diff == 0).  24 of the 72 parents are planted correct; the
+    oracle re-derives every parent pixel-band from BOTH the stale formula
+    and the four child formulas, so n_diff/sum_abs/max_abs are value-exact
+    including the coincidental matches inside stale tiles."""
+    from tilematrix_spark import raster
+
+    ov = raster.overview_level(_audit_children(spark))
+    out = raster.diff_tiles(_audit_parents(spark), ov, band=None)
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        "n_px",
+        "n_diff",
+        "sum_abs",
+        "max_abs",
+        (F.col("n_diff") == 0).cast("int").alias("ok"),
+    )
+
+
+def sql_pyramid_audit() -> str:
+    """Per-pixel-band mirror: parent (pi, pj, b) reads child
+    (2*pr + pi//32, 2*pc + pj//32) at half-res position (pi%32, pj%32);
+    the true value is the truncated mean of the child formula over the
+    2x2 block; planted parents carry that mean, stale ones the parent
+    formula."""
+    return """
+      WITH parents AS (
+        SELECT pr, pc
+        FROM (SELECT unnest(generate_series(8, 13)) AS pr)
+        CROSS JOIN (SELECT unnest(generate_series(16, 27)) AS pc)
+      ),
+      px0 AS (SELECT pr, pc, unnest(generate_series(0, 63)) AS pi
+              FROM parents),
+      px1 AS (SELECT pr, pc, pi, unnest(generate_series(0, 63)) AS pj
+              FROM px0),
+      px AS (SELECT pr, pc, pi, pj, unnest(generate_series(0, 2)) AS b
+             FROM px1),
+      v AS (
+        SELECT pr, pc,
+          ((3 * (2 * (pi % 32)) + 7 * (2 * (pj % 32))
+            + 11 * (2 * pr + pi // 32) + 13 * (2 * pc + pj // 32)
+            + 89 * b) % 251
+           + (3 * (2 * (pi % 32)) + 7 * (2 * (pj % 32) + 1)
+            + 11 * (2 * pr + pi // 32) + 13 * (2 * pc + pj // 32)
+            + 89 * b) % 251
+           + (3 * (2 * (pi % 32) + 1) + 7 * (2 * (pj % 32))
+            + 11 * (2 * pr + pi // 32) + 13 * (2 * pc + pj // 32)
+            + 89 * b) % 251
+           + (3 * (2 * (pi % 32) + 1) + 7 * (2 * (pj % 32) + 1)
+            + 11 * (2 * pr + pi // 32) + 13 * (2 * pc + pj // 32)
+            + 89 * b) % 251) // 4 AS mean_v,
+          (3 * pi + 7 * pj + 11 * pr + 13 * pc + 89 * b) % 251 AS stale_v
+        FROM px
+      ),
+      d AS (
+        SELECT pr, pc,
+          abs(CASE WHEN (pr + pc) % 3 = 0 THEN mean_v ELSE stale_v END
+              - mean_v) AS dv
+        FROM v
+      )
+      SELECT pr AS tile_row, pc AS tile_col,
+             count(*) AS n_px,
+             count(*) FILTER (WHERE dv <> 0) AS n_diff,
+             CAST(sum(dv) AS BIGINT) AS sum_abs,
+             CAST(max(dv) AS INTEGER) AS max_abs,
+             CAST(CASE WHEN count(*) FILTER (WHERE dv <> 0) = 0
+                  THEN 1 ELSE 0 END AS INTEGER) AS ok
+      FROM d GROUP BY 1, 2
+    """
+
+
 def q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global 256-bin histogram (raster.global_histogram) over the 72-tile
     zonal canvas region — pass 1 of the contrast stretch.  Map-side combine
@@ -5233,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_histogram": q_raster_histogram,
         "contrast_stretch": q_contrast_stretch,
         "raster_diff": q_raster_diff,
+        "pyramid_audit": q_pyramid_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -5331,6 +5514,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_histogram": sql_raster_histogram(),
         "contrast_stretch": sql_contrast_stretch(),
         "raster_diff": sql_raster_diff(),
+        "pyramid_audit": sql_pyramid_audit(),
         "mosaic_modes": sql_mosaic_modes(),
         "incremental_dirty": sql_incremental_dirty(),
         "incremental_propagate": sql_incremental_propagate(),

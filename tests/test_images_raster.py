@@ -935,3 +935,30 @@ def test_diff_tiles_matches_numpy_mirror(spark):
         assert sub["sum_abs"] == int(d.sum())
         assert sub["max_abs"] == int(d.max())
     assert got.loc[(0, 1), "n_diff"] == 0 and got.loc[(0, 1), "sum_abs"] == 0
+
+
+def test_pyramid_audit_flags_exactly_the_stale_parents(spark):
+    """The audit composition (diff_tiles(parents, overview_level(children),
+    band=None)) reports ok=1 for precisely the planted-correct parents and
+    nonzero mismatch stats for every stale one."""
+    import __spark_entry__ as m
+
+    got = m.q_pyramid_audit(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(got) == 72
+    assert (got["n_px"] == 64 * 64 * 3).all()
+    ok_keys = {
+        (int(r), int(c))
+        for r, c in got.loc[got["ok"] == 1, ["tile_row", "tile_col"]].itertuples(
+            index=False
+        )
+    }
+    want = {
+        (r, c)
+        for r in range(8, 14)
+        for c in range(16, 28)
+        if (r + c) % 3 == 0
+    }
+    assert ok_keys == want
+    stale = got[got["ok"] == 0]
+    assert (stale["n_diff"] > 0).all() and (stale["max_abs"] > 0).all()
+    assert (got.loc[got["ok"] == 1, "sum_abs"] == 0).all()

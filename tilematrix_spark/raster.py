@@ -1111,7 +1111,7 @@ _DIFF_STATS_SCHEMA = T.StructType(
 
 
 def diff_tiles(
-    tiles_a: DataFrame, tiles_b: DataFrame, band: int = 0
+    tiles_a: DataFrame, tiles_b: DataFrame, band: int | None = 0
 ) -> DataFrame:
     """Temporal change detection between two epochs of a tiled raster:
     inner-join the epochs on the tile key and reduce each canvas pair to
@@ -1125,8 +1125,14 @@ def diff_tiles(
     subtract per pair inside ``mapInPandas`` (no per-group pandas frame:
     whole Arrow batches of joined pairs reduce in one pass).  Mean |delta|
     = sum_abs / n_px downstream — kept as exact integers here so the
-    output is engine-exact."""
-    band_i = int(band)
+    output is engine-exact.
+
+    ``band=None`` compares ENTIRE canvases (every band, n_px counts
+    pixel-bands) — the shape the pyramid-consistency audit uses
+    (``diff_tiles(parents, overview_level(children), band=None)``:
+    n_diff == 0 exactly for parents that equal the box filter of their
+    children)."""
+    band_i = None if band is None else int(band)
 
     def extract(colname):
         def get(pdf, k):
@@ -1134,14 +1140,13 @@ def diff_tiles(
             h = int(pdf["tile_h"].iat[k])
             w = int(pdf["tile_w"].iat[k])
             nb = len(buf) // (h * w)
-            if nb * h * w != len(buf) or band_i >= nb:
+            if nb * h * w != len(buf) or (band_i is not None and band_i >= nb):
                 raise ValueError(
                     f"canvas of {len(buf)} bytes is not {h}x{w}xB "
                     f"with band {band_i} present"
                 )
-            return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, nb)[
-                :, :, band_i
-            ]
+            a = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, nb)
+            return a if band_i is None else a[:, :, band_i]
 
         return get
 
