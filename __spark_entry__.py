@@ -4077,7 +4077,24 @@ def q_raster_analytics_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         none_l.alias("n4"),
         none_l.alias("n5"),
     )
-    return zonal.unionByName(stretch).unionByName(diff).unionByName(over)
+    audit = q_pyramid_audit(spark, sf_dir).select(
+        F.lit("audit").alias("mode"),
+        F.col("tile_row").alias("r"),
+        F.col("tile_col").alias("c"),
+        none_i.alias("p1"),
+        none_i.alias("p2"),
+        F.col("n_px").alias("n1"),
+        F.col("n_diff").alias("n2"),
+        F.col("sum_abs").alias("n3"),
+        F.col("max_abs").cast("long").alias("n4"),
+        F.col("ok").cast("long").alias("n5"),
+    )
+    return (
+        zonal.unionByName(stretch)
+        .unionByName(diff)
+        .unionByName(over)
+        .unionByName(audit)
+    )
 
 
 def sql_raster_analytics_modes() -> str:
@@ -4102,6 +4119,11 @@ def sql_raster_analytics_modes() -> str:
              CAST(val AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
              CAST(-1 AS BIGINT)
       FROM ({sql_upsample_children()})
+      UNION ALL
+      SELECT 'audit', tile_row, tile_col, CAST(-1 AS INTEGER),
+             CAST(-1 AS INTEGER), n_px, n_diff, sum_abs,
+             CAST(max_abs AS BIGINT), CAST(ok AS BIGINT)
+      FROM ({sql_pyramid_audit()})
     """
 
 
@@ -5196,7 +5218,16 @@ def q_ann_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = q_pq_topk(spark, sf_dir).select(
         F.lit("pq").alias("mode"), "qid", "vec_id", "rank"
     )
-    return lsh.unionByName(ivf).unionByName(pq)
+    # retrieval evaluation rides the same shape: vec_id = the true match,
+    # rank = its exact integer-cosine rank over the whole corpus (hit@k
+    # flags are derivable from rank; the standalone tail query keeps them)
+    ret = q_retrieval_recall(spark, sf_dir).select(
+        F.lit("retrieval").alias("mode"),
+        "qid",
+        F.col("true_id").alias("vec_id"),
+        F.col("true_rank").cast("int").alias("rank"),
+    )
+    return lsh.unionByName(ivf).unionByName(pq).unionByName(ret)
 
 
 def sql_ann_modes() -> str:
@@ -5206,6 +5237,10 @@ def sql_ann_modes() -> str:
       SELECT 'ivf' AS mode, qid, vec_id, rank FROM ({sql_ann_ivf_topk()})
       UNION ALL
       SELECT 'pq' AS mode, qid, vec_id, rank FROM ({sql_pq_topk()})
+      UNION ALL
+      SELECT 'retrieval' AS mode, qid, true_id AS vec_id,
+             CAST(true_rank AS INTEGER) AS rank
+      FROM ({sql_retrieval_recall()})
     """
 
 
