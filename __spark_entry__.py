@@ -3846,6 +3846,91 @@ def sql_focal_gradient() -> str:
     """
 
 
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn hillshade (raster.hillshade): the trig-flavored terrain product
+    made bit-exact cross-engine — integer Sobel numerators define the
+    normal (-gx, -gy, 512), the integer light L = (-5, -5, 7) (GDAL's
+    az=315/alt=45 rationalized) gives dot and den2 as exact int64, and
+    hs = dot / sqrt(den2) is ONE correctly-rounded sqrt + ONE division,
+    IEEE-identical in numpy, Spark, and DuckDB (the retrieval_recall
+    trick).  Shares focal_stats's halo exchange; window-incomplete pixels
+    dropped.  Sampled at every 349th pixel over the zonal canvas region."""
+    from tilematrix_spark import raster
+
+    out = raster.hillshade(
+        _zonal_tiles(spark),
+        GEODETIC,
+        5,
+        band=0,
+        light=(-5, -5, 7),
+        nz=512,
+        emit="pixels",
+        sample_mod=349,
+        sample_off=13,
+    )
+    return out.select(
+        F.col("row").alias("tile_row"),
+        F.col("col").alias("tile_col"),
+        "py",
+        "px",
+        "dot",
+        "den2",
+        "hs",
+    )
+
+
+def sql_hillshade() -> str:
+    """Hillshade mirror in global pixel space: Sobel numerators exactly as
+    sql_focal_gradient, then dot = 5*gx + 5*gy + 7*512 (L=(-5,-5,7),
+    nz=512), den2 = 99*(gx^2 + gy^2 + 512^2), hs = dot/sqrt(den2) — both
+    operands exact integers, so the double result is bit-identical."""
+    return """
+      WITH tiles AS (
+        SELECT trow, tcol
+        FROM (SELECT unnest(generate_series(8, 13)) AS trow)
+        CROSS JOIN (SELECT unnest(generate_series(16, 27)) AS tcol)
+      ),
+      ctr AS (
+        SELECT trow, tcol, s // 256 AS py, s % 256 AS px,
+               trow * 256 + s // 256 AS gy, tcol * 256 + s % 256 AS gx
+        FROM (SELECT trow, tcol, unnest(generate_series(13, 65535, 349)) AS s
+              FROM tiles)
+        WHERE trow * 256 + s // 256 >= 2049 AND trow * 256 + s // 256 <= 3582
+          AND tcol * 256 + s % 256 >= 4097 AND tcol * 256 + s % 256 <= 7166
+      ),
+      win AS (
+        SELECT trow, tcol, py, px, dy, dx, gy + dy AS gy2, gx + dx AS gx2
+        FROM (SELECT *, unnest(generate_series(-1, 1)) AS dy FROM ctr),
+             (SELECT unnest(generate_series(-1, 1)) AS dx)
+      ),
+      v AS (
+        SELECT trow, tcol, py, px, dy, dx,
+               (3 * (gy2 % 256) + 7 * (gx2 % 256)
+                + 11 * (gy2 // 256) + 13 * (gx2 // 256)) % 251 AS val
+        FROM win
+      ),
+      g AS (
+        SELECT trow, tcol, py, px,
+               CAST(sum(val * dx * (CASE WHEN dy = 0 THEN 2 ELSE 1 END))
+                 AS BIGINT) AS gx_num,
+               CAST(sum(val * dy * (CASE WHEN dx = 0 THEN 2 ELSE 1 END))
+                 AS BIGINT) AS gy_num
+        FROM v GROUP BY 1, 2, 3, 4
+      ),
+      hsq AS (
+        SELECT trow, tcol, py, px,
+               5 * gx_num + 5 * gy_num + 7 * 512 AS dot,
+               99 * (gx_num * gx_num + gy_num * gy_num + 262144) AS den2
+        FROM g
+      )
+      SELECT trow AS tile_row, tcol AS tile_col,
+             CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+             dot, den2,
+             CAST(dot AS DOUBLE) / sqrt(CAST(den2 AS DOUBLE)) AS hs
+      FROM hsq
+    """
+
+
 def q_upsample_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overzoom (raster.upsample_children): 2x bilinear upsampling of the
     z5 zonal canvas region into its 288 z6 children — the serve-a-deeper-
@@ -4017,16 +4102,19 @@ def sql_raster_diff() -> str:
 
 
 def q_raster_analytics_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four raster-analytics surfaces in one gate slot (tagged union, the
+    """Six raster-analytics surfaces in one gate slot (tagged union, the
     knn_modes trick): zonal statistics, two-pass percentile contrast
-    stretch, two-epoch change detection, and 2x bilinear overzoom.  Each
-    tag exercises a different kernel stack (zone-window broadcast reduce /
-    global histogram + LUT remap / epoch join + delta reduce / halo-
-    exchange separable upsample); a regression in any flips rows under its
-    tag in-window.  Columns flatten to (mode, r, c, p1, p2, n1..n5):
-    r/c carry tile or zone keys, p1/p2 the sampled pixel, n1..n5 the
-    tag's integer payload; absent slots are -1.  (zonal's derived
-    mean_val = n3/n2 is pinned by the standalone tail query.)"""
+    stretch, two-epoch change detection, 2x bilinear overzoom, the pyramid
+    consistency audit, and Horn hillshade.  Each tag exercises a different
+    kernel stack (zone-window broadcast reduce / global histogram + LUT
+    remap / epoch join + delta reduce / halo-exchange separable upsample /
+    overview-vs-parent diff composition / halo Sobel + integer-exact
+    illumination); a regression in any flips rows under its tag in-window.
+    Columns flatten to (mode, r, c, p1, p2, n1..n5): r/c carry tile or
+    zone keys, p1/p2 the sampled pixel, n1..n5 the tag's integer payload;
+    absent slots are -1.  (Derived float columns — zonal's mean_val = n3/n2,
+    hillshade's hs = n1/sqrt(n2) — are pinned bit-exact by the standalone
+    tail queries.)"""
     none_l = F.lit(-1).cast("long")
     none_i = F.lit(-1).cast("int")
     zonal = q_zonal_stats(spark, sf_dir).select(
@@ -4089,11 +4177,24 @@ def q_raster_analytics_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_abs").cast("long").alias("n4"),
         F.col("ok").cast("long").alias("n5"),
     )
+    shade = q_hillshade(spark, sf_dir).select(
+        F.lit("hillshade").alias("mode"),
+        F.col("tile_row").alias("r"),
+        F.col("tile_col").alias("c"),
+        F.col("py").alias("p1"),
+        F.col("px").alias("p2"),
+        F.col("dot").alias("n1"),
+        F.col("den2").alias("n2"),
+        none_l.alias("n3"),
+        none_l.alias("n4"),
+        none_l.alias("n5"),
+    )
     return (
         zonal.unionByName(stretch)
         .unionByName(diff)
         .unionByName(over)
         .unionByName(audit)
+        .unionByName(shade)
     )
 
 
@@ -4124,6 +4225,10 @@ def sql_raster_analytics_modes() -> str:
              CAST(-1 AS INTEGER), n_px, n_diff, sum_abs,
              CAST(max_abs AS BIGINT), CAST(ok AS BIGINT)
       FROM ({sql_pyramid_audit()})
+      UNION ALL
+      SELECT 'hillshade', tile_row, tile_col, py, px, dot, den2,
+             CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      FROM ({sql_hillshade()})
     """
 
 
@@ -5451,6 +5556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrast_stretch": q_contrast_stretch,
         "raster_diff": q_raster_diff,
         "pyramid_audit": q_pyramid_audit,
+        "hillshade": q_hillshade,
         "ann_ivf_recall": q_ann_ivf_recall,
     }
 
@@ -5550,6 +5656,7 @@ def oracle_sql() -> dict[str, str]:
         "contrast_stretch": sql_contrast_stretch(),
         "raster_diff": sql_raster_diff(),
         "pyramid_audit": sql_pyramid_audit(),
+        "hillshade": sql_hillshade(),
         "mosaic_modes": sql_mosaic_modes(),
         "incremental_dirty": sql_incremental_dirty(),
         "incremental_propagate": sql_incremental_propagate(),

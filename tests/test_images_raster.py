@@ -962,3 +962,75 @@ def test_pyramid_audit_flags_exactly_the_stale_parents(spark):
     stale = got[got["ok"] == 0]
     assert (stale["n_diff"] > 0).all() and (stale["max_abs"] > 0).all()
     assert (got.loc[got["ok"] == 1, "sum_abs"] == 0).all()
+
+
+def test_hillshade_matches_numpy_mirror(spark):
+    """Horn hillshade vs a brute-force global-plane mirror on a 2x2 block
+    with cross-tile windows: dot/den2 integer-exact, hs bit-identical to
+    the independent numpy computation (one sqrt + one division over exact
+    integers), window-incomplete pixels dropped from the pixel emit and
+    zeroed in the canvas emit (GDAL 1..255 range elsewhere)."""
+    import pandas as pd
+
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=16)
+    ts = 16
+    lx, ly, lz, nz = -5, -5, 7, 512
+    l2 = lx * lx + ly * ly + lz * lz
+    rng = np.random.RandomState(7)
+    keys = [(1, 2), (1, 3), (2, 2), (2, 3)]
+    canvases = {k: rng.randint(0, 256, (ts, ts)).astype(np.uint8) for k in keys}
+    rows = [
+        {"row": r, "col": c, "tile_w": ts, "tile_h": ts,
+         "bytes": canvases[(r, c)].tobytes()}
+        for (r, c) in keys
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    got = (
+        raster.hillshade(tiles, tp, 2, emit="pixels")
+        .toPandas()
+        .set_index(["row", "col", "py", "px"])
+        .sort_index()
+    )
+    G = np.zeros((4 * ts, 8 * ts), dtype=np.int64)
+    Mk = np.zeros_like(G)
+    for (r, c), a in canvases.items():
+        G[r * ts : (r + 1) * ts, c * ts : (c + 1) * ts] = a
+        Mk[r * ts : (r + 1) * ts, c * ts : (c + 1) * ts] = 1
+    n_checked = 0
+    for (r, c) in keys:
+        for py in range(ts):
+            for px in range(ts):
+                gy_, gx_ = r * ts + py, c * ts + px
+                w = G[gy_ - 1 : gy_ + 2, gx_ - 1 : gx_ + 2]
+                mk = Mk[gy_ - 1 : gy_ + 2, gx_ - 1 : gx_ + 2]
+                idx = (r, c, py, px)
+                if mk.sum() < 9 or gy_ == 0:
+                    assert idx not in got.index
+                    continue
+                gx = int(w[0, 2] + 2 * w[1, 2] + w[2, 2]
+                         - w[0, 0] - 2 * w[1, 0] - w[2, 0])
+                gy = int(w[2, 0] + 2 * w[2, 1] + w[2, 2]
+                         - w[0, 0] - 2 * w[0, 1] - w[0, 2])
+                dot = -lx * gx - ly * gy + lz * nz
+                den2 = l2 * (gx * gx + gy * gy + nz * nz)
+                row = got.loc[idx]
+                assert row["dot"] == dot and row["den2"] == den2
+                # bit-identical, not allclose: exact ints -> one sqrt,
+                # one division, both correctly rounded
+                assert row["hs"] == dot / np.sqrt(float(den2))
+                n_checked += 1
+    assert n_checked == len(got) > 3 * ts * ts
+    cv = (
+        raster.hillshade(tiles, tp, 2, emit="canvas")
+        .toPandas()
+        .set_index(["row", "col"])
+    )
+    a = np.frombuffer(cv.loc[(1, 2), "bytes"], dtype=np.uint8).reshape(ts, ts)
+    assert a[0, 0] == 0  # window-incomplete corner reserved as 0
+    iy, ix = 5, ts - 1  # right edge of (1,2): window crosses into (1,3)
+    hs = got.loc[(1, 2, iy, ix), "hs"]
+    assert a[iy, ix] == int(254.0 * max(hs, 0.0)) + 1
+    interior = a[1:-1, 1:-1]
+    assert interior.min() >= 1  # full-window pixels carry the 1..255 range

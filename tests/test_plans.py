@@ -580,3 +580,34 @@ def test_diff_tiles_one_join_batch_reduce(spark):
     )
     assert mp == 1, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_hillshade_plan_single_exchange_no_join(spark):
+    """hillshade: the focal stencil shape — ONE Exchange (halo assembly
+    groupBy), TWO MapInPandas (strip emission, Sobel + illumination
+    kernel), no join, no per-group pandas frames; the sqrt/division run
+    on int64 columns inside the Arrow kernel, never as Spark expressions
+    that Catalyst could duplicate."""
+    from tilematrix_spark import raster
+    from tilematrix_spark.grid import PyramidConfig
+
+    tp = PyramidConfig.create("geodetic", tile_size=8)
+    tiles = spark.createDataFrame(
+        [(0, 0, 8, 8, bytearray(b"\x01" * 64))],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    plan = _plan(raster.hillshade(tiles, tp, 0))
+    ex = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and ") Exchange" in line
+    )
+    assert ex == 1, plan
+    mp = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and ") MapInPandas" in line
+    )
+    assert mp == 2, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "Join" not in plan, plan

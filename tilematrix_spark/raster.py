@@ -1663,3 +1663,149 @@ def focal_gradient(
                     yield pd.concat(frames, ignore_index=True)
 
     return grouped.mapInPandas(assemble, schema=out_schema)
+
+
+_HILLSHADE_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.LongType()),
+        T.StructField("col", T.LongType()),
+        T.StructField("py", T.IntegerType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("dot", T.LongType()),
+        T.StructField("den2", T.LongType()),
+        T.StructField("hs", T.DoubleType()),
+    ]
+)
+
+
+def hillshade(
+    tiles: DataFrame,
+    tp: PyramidConfig,
+    zoom: int,
+    band: int = 0,
+    light: tuple = (-5, -5, 7),
+    nz: int = 512,
+    emit: str = "canvas",
+    sample_mod: int = 1,
+    sample_off: int = 0,
+) -> DataFrame:
+    """Cross-tile Horn hillshade (Horn 1981; `gdaldem hillshade` semantics)
+    sharing ``focal_stats``'s halo exchange (one exchange of band plane +
+    1px border strips; bounded <= 9-struct assembly groups).  Per pixel
+    with a fully materialized 3x3 window, the Sobel/Horn numerators gx/gy
+    (exactly ``focal_gradient``'s) define the unnormalized surface normal
+    n = (-gx, -gy, nz); shade is the cosine between n and the INTEGER
+    light vector L = ``light``:
+
+        dot  = -lx*gx - ly*gy + lz*nz                  (exact int64)
+        den2 = (lx^2 + ly^2 + lz^2) * (gx^2 + gy^2 + nz^2)
+        hs   = dot / sqrt(den2)                        in [-1, 1]
+
+    dot and den2 are exact integers far below 2^53, so hs is ONE
+    correctly-rounded sqrt + ONE correctly-rounded division — IEEE-identical
+    in numpy, Spark, and DuckDB (the ``retrieval_recall`` quantization
+    trick), which is what makes a bit-exact cross-engine value oracle
+    possible for a trigonometry-flavored raster product.  The default
+    L = (-5, -5, 7) lights from the northwest (image coords: +x right,
+    +y down) at atan(7/sqrt(50)) ~ 44.7 deg altitude — GDAL's
+    az=315/alt=45 default rationalized to integers; ``nz`` plays the role
+    of Horn's 8*cellsize / z-exaggeration.
+
+    ``emit='pixels'`` returns the sampled (dot, den2, hs) surface with
+    window-incomplete pixels dropped (hillshade needs all 9 samples, as
+    ``focal_gradient``); ``emit='canvas'`` returns a uint8 tile in GDAL's
+    1..255 range — ``1 + floor(254 * max(hs, 0))`` — with 0 reserved for
+    window-incomplete border pixels.
+    """
+    if emit not in ("canvas", "pixels"):
+        raise ValueError("emit must be 'canvas' or 'pixels'")
+    lx, ly, lz = (int(v) for v in light)
+    l2 = lx * lx + ly * ly + lz * lz
+    if l2 == 0:
+        raise ValueError("light vector must be non-zero")
+    nzi = int(nz)
+    if nzi <= 0:
+        raise ValueError("nz must be a positive integer")
+    ts = int(tp.tile_size) * int(tp.metatiling)
+    mw = tp.matrix_width(zoom)
+    mh = tp.matrix_height(zoom)
+    mod = int(sample_mod)
+    off = int(sample_off)
+    if emit == "pixels" and not 0 <= off < mod:
+        raise ValueError("sample_off must be in [0, sample_mod)")
+
+    grouped = _halo_grouped(tiles, ts, 1, int(band), mw, mh, "hillshade")
+    out_schema = (
+        _FOCAL_CANVAS_SCHEMA if emit == "canvas" else _HILLSHADE_PIXEL_SCHEMA
+    )
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if emit == "pixels":
+            lin = np.arange(off, ts * ts, mod, dtype=np.int64)
+            pys = (lin // ts).astype(np.int32)
+            pxs = (lin % ts).astype(np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_rows = []
+            for trow, tcol, P, M in _halo_planes(pdf, ts, 1):
+                A = P.astype(np.int64)
+                gx = (
+                    A[:-2, 2:] + 2 * A[1:-1, 2:] + A[2:, 2:]
+                    - A[:-2, :-2] - 2 * A[1:-1, :-2] - A[2:, :-2]
+                )
+                gy = (
+                    A[2:, :-2] + 2 * A[2:, 1:-1] + A[2:, 2:]
+                    - A[:-2, :-2] - 2 * A[:-2, 1:-1] - A[:-2, 2:]
+                )
+                Mi = M.astype(np.int64)
+                full = (
+                    Mi[:-2, :-2] + Mi[:-2, 1:-1] + Mi[:-2, 2:]
+                    + Mi[1:-1, :-2] + Mi[1:-1, 1:-1] + Mi[1:-1, 2:]
+                    + Mi[2:, :-2] + Mi[2:, 1:-1] + Mi[2:, 2:]
+                ) == 9
+                dot = -lx * gx - ly * gy + lz * nzi
+                den2 = l2 * (gx * gx + gy * gy + nzi * nzi)
+                hs = dot / np.sqrt(den2.astype(np.float64))
+                out_rows.append((trow, tcol, dot, den2, hs, full))
+            if not out_rows:
+                continue
+            if emit == "canvas":
+                bufs = []
+                for trow, tcol, dot, den2, hs, full in out_rows:
+                    shade = (254.0 * np.maximum(hs, 0.0)).astype(np.int64) + 1
+                    canvas = np.where(full, shade, 0).astype(np.uint8)
+                    bufs.append((trow, tcol, canvas.tobytes()))
+                yield pd.DataFrame(
+                    {
+                        "row": [t[0] for t in bufs],
+                        "col": [t[1] for t in bufs],
+                        "tile_w": np.full(len(bufs), ts, dtype=np.int32),
+                        "tile_h": np.full(len(bufs), ts, dtype=np.int32),
+                        "bytes": [t[2] for t in bufs],
+                    }
+                )
+            else:
+                frames = []
+                for trow, tcol, dot, den2, hs, full in out_rows:
+                    keep = full.ravel()[lin]
+                    if not keep.any():
+                        continue
+                    sel = lin[keep]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "row": np.full(len(sel), trow, dtype=np.int64),
+                                "col": np.full(len(sel), tcol, dtype=np.int64),
+                                "py": pys[keep],
+                                "px": pxs[keep],
+                                "dot": dot.ravel()[sel],
+                                "den2": den2.ravel()[sel],
+                                "hs": hs.ravel()[sel],
+                            }
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+    return grouped.mapInPandas(assemble, schema=out_schema)
