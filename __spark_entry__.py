@@ -1885,6 +1885,85 @@ def sql_strip_boilerplate() -> str:
     """
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level line dedup (dedup.dedup_lines): every
+    trimmed line keeps only its first occurrence corpus-wide (min
+    (doc_id, pos)); whitespace-only lines are kept verbatim.  Runs over
+    the boilerplate corpus extended with a planted blank line + unique
+    tail for doc_id % 7 == 0 docs, so the blank-keep rule, within-doc
+    repeats (kept once), cross-doc banners (owned by the minimal doc),
+    and trimmed-variant unification are all value-gated."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _boilerplate_corpus(docs)
+    ds = F.col("doc_id").cast("string")
+    text2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit("\n\ntail after blank "), ds),
+    ).otherwise(F.col("text"))
+    return dedupfns.dedup_lines(
+        base.select("doc_id", text2.alias("text")), id_col="doc_id"
+    )
+
+
+def sql_dedup_lines() -> str:
+    return """
+      WITH base AS (
+        SELECT doc_id, concat_ws(chr(10),
+          CASE WHEN doc_id % 101 <> 0 THEN 'unique opener '
+               || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 40) END,
+          'accept all cookies to continue',
+          CASE WHEN doc_id % 2 = 0 THEN '  share this page on social media  '
+               ELSE 'share this page on social media' END,
+          CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today' END,
+          CASE WHEN doc_id % 101 <> 0
+               THEN 'repeated within ' || CAST(doc_id AS VARCHAR) END,
+          CASE WHEN doc_id % 101 <> 0
+               THEN 'repeated within ' || CAST(doc_id AS VARCHAR) END,
+          'pair banner ' || CAST(doc_id // 2 AS VARCHAR),
+          CASE WHEN doc_id % 2 = 0
+               THEN 'even tail ' || CAST(doc_id AS VARCHAR) || ' end' END
+        ) AS text FROM documents
+      ),
+      base2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || chr(10) || chr(10)
+                         || 'tail after blank ' || CAST(doc_id AS VARCHAR)
+                    ELSE text END AS text
+        FROM base
+      ),
+      l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+            FROM base2),
+      e AS (SELECT doc_id, lines, unnest(range(len(lines))) AS pos FROM l),
+      fps AS (
+        SELECT doc_id, pos, lines[pos + 1] AS line,
+               trim(lines[pos + 1]) AS key
+        FROM e
+      ),
+      ranked AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+        FROM fps WHERE key <> ''
+      ),
+      kept AS (
+        SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, pos, line FROM fps WHERE key = ''
+      ),
+      reasm AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+      )
+      SELECT b.doc_id,
+        CAST(len(string_split(b.text, chr(10))) AS BIGINT) AS n_lines,
+        CAST(len(string_split(b.text, chr(10)))
+             - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(r.cleaned, '') AS cleaned
+      FROM base2 b LEFT JOIN reasm r USING (doc_id)
+    """
+
+
 def q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalancing stratified sample: downsample the dominant
     language (en 0.3) while keeping the rest at 0.8/1.0 — per-stratum
@@ -5540,6 +5619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "winnow_near_pairs": q_winnow_near_pairs,
         "strip_boilerplate": q_strip_boilerplate,
+        "dedup_lines": q_dedup_lines,
         "token_stats": q_token_stats,
         "top_terms": q_top_terms,
         "lang_id_counts": q_lang_id_counts,
@@ -5607,6 +5687,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_pair_modes": sql_neardup_pair_modes(),
         "c4_page_filter": sql_c4_page_filter(),
         "strip_boilerplate": sql_strip_boilerplate(),
+        "dedup_lines": sql_dedup_lines(),
         "focal_stats": sql_focal_stats(),
         "focal_gradient": sql_focal_gradient(),
         "incremental_focal": sql_incremental_focal(),

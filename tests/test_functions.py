@@ -802,6 +802,38 @@ def test_strip_boilerplate_lines(spark):
     assert none == {d: t for d, t in rows}
 
 
+def test_dedup_lines(spark):
+    """Corpus-level line dedup (ownership rule): each distinct trimmed line
+    survives ONLY in its first (doc_id, pos) occurrence — including the
+    first copy (unlike strip_boilerplate_lines, which deletes all copies);
+    within-doc repeats collapse to the first; trimmed variants unify with
+    the earliest raw form kept; blank/whitespace-only lines are kept
+    verbatim everywhere; a doc whose every content line is owned elsewhere
+    returns cleaned = '' (or its blanks); original line order preserved."""
+    rows = [
+        (1, "alpha\nshared banner\nrepeat\nrepeat\n\nomega"),
+        (2, "  shared banner  \nbeta\n\ngamma"),
+        (3, "shared banner\nrepeat"),  # fully owned elsewhere
+        (4, "   \ndelta"),  # whitespace-only line kept raw
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in dedup.dedup_lines(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 owns every line it contains first; within-doc repeat kept once;
+    # the blank separator survives.
+    assert out[1]["cleaned"] == "alpha\nshared banner\nrepeat\n\nomega"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (6, 1)
+    # doc 2: padded banner unifies with doc 1's trimmed fingerprint and is
+    # removed (doc 1 owns it); its own blank line is kept.
+    assert out[2]["cleaned"] == "beta\n\ngamma"
+    assert out[2]["n_removed"] == 1
+    # doc 3: both lines owned by doc 1 -> empty.
+    assert out[3] == {"doc_id": 3, "n_lines": 2, "n_removed": 2, "cleaned": ""}
+    # doc 4: whitespace-only line kept verbatim (raw, untrimmed).
+    assert out[4]["cleaned"] == "   \ndelta"
+    assert out[4]["n_removed"] == 0
+
+
 def test_winnow_shared_run_guarantee(spark):
     """Any shared token run of >= n+w-1 tokens yields a shared fingerprint
     (the winnowing coverage guarantee), surfaced by winnow_near_pairs with

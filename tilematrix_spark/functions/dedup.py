@@ -631,6 +631,79 @@ def strip_boilerplate_lines(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style corpus-level line deduplication (Wenzek 2020 §3.1):
+    every distinct trimmed line keeps only its FIRST occurrence corpus-wide
+    — the occurrence with the minimal ``(id, pos)`` — and every other copy
+    is deleted; documents re-assemble in original line order.  Complements
+    ``strip_boilerplate_lines``, which deletes frequent lines EVERYWHERE
+    including the first copy: boilerplate removal is a frequency rule,
+    line dedup is an ownership rule — together they are the CCNet/
+    RefinedWeb line-wise pipeline.  Whitespace-only lines are kept
+    verbatim everywhere (they are document STRUCTURE, not content — a
+    global first-occurrence rule would collapse every blank separator in
+    the corpus onto one document).
+
+    Output: ``(id, n_lines, n_removed, cleaned)`` — every input doc
+    appears; a doc whose every content line is owned elsewhere comes back
+    with only its blank lines (or ``''``).
+
+    Scale shape: lines explode once; the winner per distinct fingerprint
+    is ``min(struct(id, pos))`` — algebraic, so partial aggregation
+    absorbs hot lines map-side and the winner set is ONE row per distinct
+    line.  Survivorship is an equi-join of content lines against winners
+    on the md5 fingerprint: a uniform hash key, and when one pathological
+    line concentrates millions of occurrence rows under a single fp the
+    winner side is still one row, so AQE's skew-join split handles the
+    reducer fan-out with free replication.  Re-assembly is one groupBy on
+    the doc id — each group is exactly one document's lines."""
+    base = df.select(F.col(id_col), F.col(text_col))
+    lines = base.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    blank = F.trim("line") == ""
+    content = lines.filter(~blank).withColumn("fp", F.md5(F.trim("line")))
+    winners = content.groupBy("fp").agg(
+        F.min(F.struct(id_col, "pos")).alias("_w")
+    )
+    kept_content = (
+        content.join(winners, "fp")
+        .filter(
+            (F.col(id_col) == F.col(f"_w.{id_col}"))
+            & (F.col("pos") == F.col("_w.pos"))
+        )
+        .select(id_col, "pos", "line")
+    )
+    kept = kept_content.unionByName(lines.filter(blank))
+    reasm = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+        F.count("*").alias("n_kept"),
+    )
+    counts = base.select(
+        id_col,
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return counts.join(reasm, id_col, "left").select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+            "n_removed"
+        ),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
+
+
 def _bloom_positions(key: Column, m: int, k: int) -> Column:
     """Array of the k Bloom bit positions of ``key``: position_i =
     int(md5(key || '#b' || i)[:8], 16) % m — k independent md5 draws, all
