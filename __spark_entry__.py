@@ -1964,6 +1964,103 @@ def sql_dedup_lines() -> str:
     """
 
 
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span detection (dedup.exact_substr_spans, the
+    token-level Lee 2021 semantics) at L=4 over documents extended with
+    three planted classes: a cross-doc shared passage (doc_id % 3 == 0,
+    grouped by doc_id % 7), a corpus-wide hot 4-gram every other doc
+    carries ("solo filler marker close" — hundreds of occurrences under
+    one fingerprint, the skew case), and within-doc self-repetition
+    (doc_id % 11 == 0).  Owner occurrences (minimal (doc_id, pos)) keep
+    their spans; every other occurrence is flagged and merged into
+    maximal runs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ds = F.col("doc_id").cast("string")
+    text2 = F.concat(
+        F.lit("open "), ds, F.lit(" "), F.substring("text", 1, 40),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" shared passage alpha beta gamma delta epsilon zeta "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).otherwise(F.lit(" solo filler marker")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit(" rep one two three four rep one two three four"),
+        ).otherwise(F.lit("")),
+        F.lit(" close "), ds,
+    )
+    return dedupfns.exact_substr_spans(
+        docs.select("doc_id", text2.alias("text")), min_len=4
+    )
+
+
+def sql_exact_substr() -> str:
+    return f"""
+      WITH base AS (
+        SELECT doc_id,
+          'open ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40)
+          || CASE WHEN doc_id % 3 = 0
+               THEN ' shared passage alpha beta gamma delta epsilon zeta '
+                    || CAST(doc_id % 7 AS VARCHAR)
+               ELSE ' solo filler marker' END
+          || CASE WHEN doc_id % 11 = 0
+               THEN ' rep one two three four rep one two three four'
+               ELSE '' END
+          || ' close ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents
+      ),
+      toks AS (
+        SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t <> '') AS toks
+        FROM base
+      ),
+      occ AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(list_slice(toks, i, i + 3), ' ')) AS fp
+        FROM toks, unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS u(i)
+      ),
+      stats AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY fp) AS c,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+        FROM occ
+      ),
+      nonowner AS (SELECT doc_id, pos FROM stats WHERE c >= 2 AND rn > 1),
+      isl AS (
+        SELECT doc_id, pos,
+          CASE WHEN coalesce(
+                 max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 -1) < pos THEN 1 ELSE 0 END AS newi
+        FROM nonowner
+      ),
+      isl2 AS (
+        SELECT doc_id, pos,
+               sum(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl
+      ),
+      spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos + 4) AS e
+        FROM isl2 GROUP BY doc_id, island
+      ),
+      per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s) AS BIGINT) AS n_dup_tokens
+        FROM spans GROUP BY doc_id
+      )
+      SELECT t.doc_id,
+        CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        coalesce(p.n_dup_tokens, 0) AS n_dup_tokens,
+        coalesce(p.n_spans, 0) AS n_spans,
+        CASE WHEN len(t.toks) > 0
+             THEN CAST(coalesce(p.n_dup_tokens, 0) AS DOUBLE)
+                  / CAST(len(t.toks) AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS dup_ratio
+      FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalancing stratified sample: downsample the dominant
     language (en 0.3) while keeping the rest at 0.8/1.0 — per-stratum
@@ -5620,6 +5717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_near_pairs": q_winnow_near_pairs,
         "strip_boilerplate": q_strip_boilerplate,
         "dedup_lines": q_dedup_lines,
+        "exact_substr": q_exact_substr,
         "token_stats": q_token_stats,
         "top_terms": q_top_terms,
         "lang_id_counts": q_lang_id_counts,
@@ -5688,6 +5786,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_page_filter": sql_c4_page_filter(),
         "strip_boilerplate": sql_strip_boilerplate(),
         "dedup_lines": sql_dedup_lines(),
+        "exact_substr": sql_exact_substr(),
         "focal_stats": sql_focal_stats(),
         "focal_gradient": sql_focal_gradient(),
         "incremental_focal": sql_incremental_focal(),

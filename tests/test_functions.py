@@ -834,6 +834,48 @@ def test_dedup_lines(spark):
     assert out[4]["n_removed"] == 0
 
 
+def test_exact_substr_spans(spark):
+    """ExactSubstr (Lee 2021) token-level semantics: any token run >= L
+    occurring more than once corpus-wide is flagged in every NON-owner
+    occurrence (owner = minimal (doc_id, pos)); overlapping/touching gram
+    covers merge into maximal spans; within-doc self-repetition keeps the
+    first copy; docs shorter than L produce no grams; empty docs are 0/0."""
+    rows = [
+        (1, "a b c d e f"),  # owns every duplicated gram it contains
+        (2, "x a b c d y"),  # shares run "a b c d" (4 >= L) with doc 1
+        (3, "p q r p q r p q r"),  # self-repetition: first period kept
+        (4, "a b c z1 z2 z3 d e f"),  # two disjoint shared runs
+        (5, "a b"),  # shorter than L
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.exact_substr_spans(df, min_len=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert (out[1]["n_dup_tokens"], out[1]["n_spans"]) == (0, 0)
+    # doc 2: grams at pos 1 ("a b c") and 2 ("b c d") are owned by doc 1;
+    # their covers merge to [1, 5) -> the exact shared run, 4 tokens.
+    assert (out[2]["n_dup_tokens"], out[2]["n_spans"]) == (4, 1)
+    assert out[2]["dup_ratio"] == 4 / 6
+    # doc 3: 9 tokens of period-3 repetition; owner grams at pos 0-2,
+    # non-owner cover merges to [3, 9) -> trailing 6 tokens, one span.
+    assert (out[3]["n_dup_tokens"], out[3]["n_spans"]) == (6, 1)
+    # doc 4: "a b c" (pos 0) and "d e f" (pos 6) owned by doc 1 ->
+    # two disjoint spans [0,3) and [6,9).
+    assert (out[4]["n_dup_tokens"], out[4]["n_spans"]) == (6, 2)
+    assert out[4]["n_tokens"] == 9
+    assert out[5] == {
+        "doc_id": 5, "n_tokens": 2, "n_dup_tokens": 0, "n_spans": 0,
+        "dup_ratio": 0.0,
+    }
+    assert out[6] == {
+        "doc_id": 6, "n_tokens": 0, "n_dup_tokens": 0, "n_spans": 0,
+        "dup_ratio": 0.0,
+    }
+
+
 def test_winnow_shared_run_guarantee(spark):
     """Any shared token run of >= n+w-1 tokens yields a shared fingerprint
     (the winnowing coverage guarantee), surfaced by winnow_near_pairs with

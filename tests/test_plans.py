@@ -611,3 +611,20 @@ def test_hillshade_plan_single_exchange_no_join(spark):
     assert mp == 2, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_exact_substr_plan_materializes_grams_once(spark):
+    """exact_substr_spans feeds the gram-fingerprint explode into BOTH the
+    ownership aggregate and the occurrence join; without the barrier each
+    side would re-tokenize and re-hash every L-gram (the expensive map-side
+    term).  After the localCheckpoint at most the barrier scans remain, and
+    the L-wide md5 projection appears in no live plan node."""
+    from tilematrix_spark.functions import dedup as dedupfns
+
+    docs = spark.createDataFrame(
+        [(i, f"shared run of words number {i % 5} plus tail {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = _plan(dedupfns.exact_substr_spans(docs, min_len=3))
+    assert plan.count("Scan ExistingRDD") >= 1  # checkpoint barrier present
+    assert "posexplode" not in plan and "Generate" not in plan, plan

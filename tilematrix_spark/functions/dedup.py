@@ -704,6 +704,117 @@ def dedup_lines(
     )
 
 
+def exact_substr_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+) -> DataFrame:
+    """ExactSubstr duplicate-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" §4.1) at
+    whitespace-token granularity: every token run of ≥ ``min_len`` tokens
+    that occurs MORE THAN ONCE corpus-wide (across docs or repeated within
+    one doc) is a duplicate; the occurrence with the minimal ``(id, pos)``
+    is the OWNER and is kept, every other occurrence is a removable span.
+    The paper builds a suffix array; the identical token-level semantics
+    fall out of L-gram ownership — a shared run of T ≥ L tokens yields
+    exactly T−L+1 duplicated L-grams whose merged cover IS the run, so the
+    reported spans equal the suffix-array answer for runs ≥ L.
+
+    Output: one row per input doc — ``(id, n_tokens, n_dup_tokens,
+    n_spans, dup_ratio)`` where ``n_dup_tokens`` counts tokens inside
+    non-owner duplicated runs, ``n_spans`` the maximal merged runs, and
+    ``dup_ratio`` is the single exact IEEE division dup/total (0.0 for
+    empty docs).  All other columns are exact integers.
+
+    Scale shape: grams are fingerprinted MAP-SIDE inside the explode
+    projection (md5 of the joined slice), so the shuffle carries only
+    ``(fp, id, pos)`` — never gram text (L× the corpus bytes).  Ownership
+    is ``min(struct(id, pos))`` + ``count`` per fp — algebraic, partial
+    aggregation absorbs hot grams map-side and the duplicated-fp table has
+    ONE row per distinct gram, so the occurrence⋈winner equi-join is
+    linear in occurrences (AQE skew-split handles a pathological gram;
+    the one-row build side replicates free).  Span merge is the classic
+    gaps-and-islands: one window per doc ordered by pos — one exchange on
+    the doc id.  Map-side cost is O(L·tokens) chars to build each gram
+    slice; at the paper's L=50 that is the dominant CPU term and is
+    embarrassingly parallel."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        textfns.tokens(textfns.normalize(text_col)).alias("_toks"),
+    )
+    tk = F.col("_toks")
+    # fp per start position, hashed inside the lambda (no gram strings
+    # survive the projection)
+    fps = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tk) - L, F.lit(-1))),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(L)],
+            )
+        ),
+    )
+    occ = toks.select(
+        "_id", F.posexplode(F.when(F.size(tk) >= L, fps)).alias("pos", "fp")
+    ).localCheckpoint(eager=False)  # occ feeds both the agg and the join
+    dup = occ.groupBy("fp").agg(
+        F.count("*").alias("_c"), F.min(F.struct("_id", "pos")).alias("_w")
+    ).filter(F.col("_c") >= 2)
+    nonowner = (
+        occ.join(dup, "fp")
+        .filter(
+            ~(
+                (F.col("_id") == F.col("_w._id"))
+                & (F.col("pos") == F.col("_w.pos"))
+            )
+        )
+        .select("_id", "pos")
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = nonowner.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("_id", "_isl").agg(
+        F.min("pos").alias("_s"), F.max(F.col("pos") + L).alias("_e")
+    )
+    per_doc = spans.groupBy("_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s")).alias("n_dup_tokens"),
+    )
+    base = df.select(
+        F.col(id_col),
+        textfns.token_count(textfns.normalize(text_col))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    joined = base.join(
+        per_doc.withColumnRenamed("_id", id_col), id_col, "left"
+    )
+    nd = F.coalesce("n_dup_tokens", F.lit(0).cast("long"))
+    return joined.select(
+        id_col,
+        "n_tokens",
+        nd.alias("n_dup_tokens"),
+        F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+        F.when(
+            F.col("n_tokens") > 0,
+            nd.cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
+
+
 def _bloom_positions(key: Column, m: int, k: int) -> Column:
     """Array of the k Bloom bit positions of ``key``: position_i =
     int(md5(key || '#b' || i)[:8], 16) % m — k independent md5 draws, all
