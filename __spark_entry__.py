@@ -2061,6 +2061,62 @@ def sql_exact_substr() -> str:
     """
 
 
+def q_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (sampling.importance_scores) with the
+    English slice of the corpus as the target distribution and the full
+    corpus as raw, B=512 hashed unigram+bigram buckets.  The gated columns
+    are the integer-exact surface (per-doc feature count, target/raw
+    bucket masses, and their single-division mass_score); the float
+    log-weight (summation-order-dependent by nature) is dropped here and
+    covered by pytest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    return samplefns.importance_scores(docs, target, n_buckets=512).drop(
+        "log_weight"
+    )
+
+
+def sql_importance_scores() -> str:
+    bucket = "(" + _sql_hex8_int("md5(g)") + ") % 512"
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t <> '') AS toks
+        FROM documents
+      ),
+      grams AS (
+        SELECT doc_id, unnest(toks) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+        FROM toks, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+      ),
+      feats AS (SELECT doc_id, {bucket} AS bucket FROM grams),
+      rc AS (SELECT bucket, count(*) AS r_cnt FROM feats GROUP BY bucket),
+      tc AS (
+        SELECT f.bucket, count(*) AS t_cnt
+        FROM feats f JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en' GROUP BY f.bucket
+      ),
+      pd AS (
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(coalesce(t.t_cnt, 0)) AS BIGINT) AS target_mass,
+               CAST(sum(r.r_cnt) AS BIGINT) AS raw_mass
+        FROM feats f
+        JOIN rc r USING (bucket)
+        LEFT JOIN tc t USING (bucket)
+        GROUP BY f.doc_id
+      )
+      SELECT d.doc_id,
+        coalesce(p.n_feats, 0) AS n_feats,
+        coalesce(p.target_mass, 0) AS target_mass,
+        coalesce(p.raw_mass, 0) AS raw_mass,
+        CASE WHEN coalesce(p.raw_mass, 0) > 0
+             THEN CAST(p.target_mass AS DOUBLE) / CAST(p.raw_mass AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS mass_score
+      FROM documents d LEFT JOIN pd p USING (doc_id)
+    """
+
+
 def q_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalancing stratified sample: downsample the dominant
     language (en 0.3) while keeping the rest at 0.8/1.0 — per-stratum
@@ -5718,6 +5774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "dedup_lines": q_dedup_lines,
         "exact_substr": q_exact_substr,
+        "importance_scores": q_importance_scores,
         "token_stats": q_token_stats,
         "top_terms": q_top_terms,
         "lang_id_counts": q_lang_id_counts,
@@ -5787,6 +5844,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": sql_strip_boilerplate(),
         "dedup_lines": sql_dedup_lines(),
         "exact_substr": sql_exact_substr(),
+        "importance_scores": sql_importance_scores(),
         "focal_stats": sql_focal_stats(),
         "focal_gradient": sql_focal_gradient(),
         "incremental_focal": sql_incremental_focal(),

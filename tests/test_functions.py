@@ -876,6 +876,42 @@ def test_exact_substr_spans(spark):
     }
 
 
+def test_importance_scores(spark):
+    """DSIR-style scoring: a raw doc sharing the target corpus's vocabulary
+    outranks one with disjoint vocabulary on BOTH scores; the integer
+    masses are exact (every gram of the aligned doc occurs once in target
+    and once in raw -> mass_score 1.0; the disjoint doc hits no target
+    bucket at B=4096 -> 0.0); empty docs come back zeroed."""
+    from tilematrix_spark.functions import sampling
+
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # == a target doc
+            (2, "zork bork gork dork"),  # vocabulary disjoint from target
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in sampling.importance_scores(raw, target).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # 4 unigrams + 3 bigrams
+    assert out[1]["n_feats"] == 7 and out[2]["n_feats"] == 7
+    assert (out[1]["target_mass"], out[1]["raw_mass"]) == (7, 7)
+    assert out[1]["mass_score"] == 1.0
+    assert (out[2]["target_mass"], out[2]["mass_score"]) == (0, 0.0)
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+    assert out[3] == {
+        "doc_id": 3, "n_feats": 0, "target_mass": 0, "raw_mass": 0,
+        "mass_score": 0.0, "log_weight": 0.0,
+    }
+
+
 def test_winnow_shared_run_guarantee(spark):
     """Any shared token run of >= n+w-1 tokens yields a shared fingerprint
     (the winnowing coverage guarantee), surfaced by winnow_near_pairs with

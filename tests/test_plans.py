@@ -628,3 +628,22 @@ def test_exact_substr_plan_materializes_grams_once(spark):
     plan = _plan(dedupfns.exact_substr_spans(docs, min_len=3))
     assert plan.count("Scan ExistingRDD") >= 1  # checkpoint barrier present
     assert "posexplode" not in plan and "Generate" not in plan, plan
+
+
+def test_importance_scores_plan_broadcasts_distributions(spark):
+    """The bucket-distribution side (<= n_buckets rows) must broadcast onto
+    the corpus feature scan — never a shuffle of the corpus on a text/hash
+    key — and the feature table must be barriered so tokenize+md5 runs once
+    (it feeds both the raw distribution and the per-doc join)."""
+    from tilematrix_spark.functions import sampling
+
+    raw = spark.createDataFrame(
+        [(i, f"words number {i % 5} with shared tails") for i in range(60)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(0, "words number zero with shared tails")], "doc_id long, text string"
+    )
+    plan = _plan(sampling.importance_scores(raw, target))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 1, plan

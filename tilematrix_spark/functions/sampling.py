@@ -168,3 +168,132 @@ def spatial_split(
     for name, bound in reversed(bounds[:-1]):
         expr = F.when(h < F.lit(hash_threshold(bound)), F.lit(name)).otherwise(expr)
     return tiled.withColumn(out_col, expr).drop("_sb_row", "_sb_col")
+
+
+def _ngram_buckets(tk: Column, n_buckets: int) -> Column:
+    """Hashed feature-bucket array of a materialized token-array column:
+    every unigram and bigram maps to ``int(md5(gram)[:8], 16) % n_buckets``
+    — all native (md5/conv/pmod, whole-stage codegen) and exactly
+    mirrorable in DuckDB via hex-nibble decoding.  Pass a BOUND column:
+    Catalyst inlines expression arguments into each ``element_at`` in the
+    bigram transform (the quadratic-inlining trap)."""
+    B = int(n_buckets)
+
+    def bucket(g: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+            F.lit(B),
+        )
+
+    uni = F.transform(tk, lambda t: bucket(t))
+    idx = F.sequence(F.lit(0), F.size(tk) - 2)
+    bi = F.transform(
+        idx,
+        lambda i: bucket(
+            F.concat(
+                F.element_at(tk, (i + 1).cast("int")),
+                F.lit(" "),
+                F.element_at(tk, (i + 2).cast("int")),
+            )
+        ),
+    )
+    return F.concat(
+        uni,
+        F.when(F.size(tk) >= 2, bi).otherwise(
+            F.array().cast("array<bigint>")
+        ),
+    )
+
+
+def _ngram_feature_table(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    from . import text as textfns
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        textfns.tokens(textfns.normalize(text_col)).alias("_toks"),
+    )
+    return toks.select(
+        "_id", F.explode(_ngram_buckets(F.col("_toks"), n_buckets)).alias("bucket")
+    )
+
+
+def importance_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW doc by how
+    much its hashed n-gram (unigram+bigram) distribution looks like the
+    TARGET corpus's rather than the raw corpus's.  Two scores per doc:
+
+    - ``log_weight`` — the paper's importance log-weight
+      Σ_g [log p̂_target(b(g)) − log p̂_raw(b(g))] with Laplace smoothing
+      ``smoothing``; float sums are summation-order-dependent, so this
+      column is for ranking/resampling, NOT for bit-exact oracles.
+    - ``mass_score`` — an integer-exact proxy: Σ target bucket counts over
+      the doc's grams divided by Σ raw bucket counts (two int64 sums ≤ 2^53
+      — exact in any order — and ONE correctly-rounded IEEE division), so
+      it carries a full cross-engine value oracle.
+
+    Select by sorting on either score (ties → id) or by Gumbel-top-k on
+    ``log_weight`` for the paper's sampled variant.
+
+    Scale shape: both distributions reduce to ≤ ``n_buckets`` rows
+    (algebraic counts, partial-agg map-side) and BROADCAST — the raw
+    corpus is scanned once for features and never shuffled on a text key;
+    the only corpus-sized exchange is the per-doc groupBy, and each doc's
+    exploded grams are partition-local so map-side combine collapses them
+    to one row per doc before the shuffle.  The feature table feeds both
+    the raw distribution and the per-doc join — localCheckpoint barriers
+    it so tokenize+md5 runs once."""
+    B = int(n_buckets)
+    s = float(smoothing)
+    fr = _ngram_feature_table(raw, id_col, text_col, B).localCheckpoint(
+        eager=False
+    )
+    ft = _ngram_feature_table(target, id_col, text_col, B)
+    tc = ft.groupBy("bucket").agg(F.count("*").alias("t_cnt"))
+    rc = fr.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
+    dists = (
+        tc.join(rc, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("t_cnt", F.lit(0).cast("long")).alias("t_cnt"),
+            F.coalesce("r_cnt", F.lit(0).cast("long")).alias("r_cnt"),
+        )
+        .crossJoin(F.broadcast(tc.agg(F.sum("t_cnt").alias("t_tot"))))
+        .crossJoin(F.broadcast(rc.agg(F.sum("r_cnt").alias("r_tot"))))
+    )
+    lw = F.log(
+        (F.col("t_cnt") + F.lit(s)) / (F.col("t_tot") + F.lit(s * B))
+    ) - F.log((F.col("r_cnt") + F.lit(s)) / (F.col("r_tot") + F.lit(s * B)))
+    per_doc = (
+        fr.join(F.broadcast(dists), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("t_cnt").alias("target_mass"),
+            F.sum("r_cnt").alias("raw_mass"),
+            F.sum(lw).alias("log_weight"),
+        )
+    )
+    base = raw.select(F.col(id_col))
+    j = base.join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+    rm = F.coalesce("raw_mass", F.lit(0).cast("long"))
+    tm = F.coalesce("target_mass", F.lit(0).cast("long"))
+    return j.select(
+        id_col,
+        F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+        tm.alias("target_mass"),
+        rm.alias("raw_mass"),
+        F.when(rm > 0, tm.cast("double") / rm.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("mass_score"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+    )
