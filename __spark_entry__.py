@@ -3712,6 +3712,113 @@ def _zonal_tiles(spark: SparkSession) -> DataFrame:
     )
 
 
+def _cc_tiles(spark: SparkSession) -> DataFrame:
+    """Single-band 16x16 canvases for the connected-components gate, a
+    6x8 tile grid: pixel value 200 where ((23*(gy//4) + 41*(gx//4)) % 7 < 2)
+    AND ((3*gy + 5*gx) % 11 != 0) else 10 — 4x4 on-blocks at ~2/7 density
+    (below site percolation, so components stay small) punched with ~9%
+    pixel holes; block edges align with tile edges, so every cross-tile
+    merge exercises the border-strip equivalence join.  The integer formula
+    is re-derived per pixel by the DuckDB oracle."""
+    grid = (
+        spark.range(0, 6)
+        .select(F.col("id").alias("row"))
+        .crossJoin(spark.range(0, 8).select(F.col("id").alias("col")))
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(16, dtype=np.int64)[:, None]
+        j = np.arange(16, dtype=np.int64)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = pdf["row"].to_numpy()
+            cols = pdf["col"].to_numpy()
+            bufs = []
+            for r, c in zip(rows, cols):
+                gy = int(r) * 16 + i
+                gx = int(c) * 16 + j
+                on = ((23 * (gy // 4) + 41 * (gx // 4)) % 7) < 2
+                hole = ((3 * gy + 5 * gx) % 11) == 0
+                bufs.append(
+                    np.where(on & ~hole, 200, 10).astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "row": rows,
+                    "col": cols,
+                    "tile_w": np.full(len(pdf), 16, dtype=np.int32),
+                    "tile_h": np.full(len(pdf), 16, dtype=np.int32),
+                    "bytes": bufs,
+                }
+            )
+
+    return grid.mapInPandas(
+        gen, "row long, col long, tile_w int, tile_h int, bytes binary"
+    )
+
+
+def q_label_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tile connected-component labeling (raster.label_components):
+    per-tile numpy CCL -> border-strip equivalence joins -> global label
+    propagation (the dedup connected_components engine) -> per-component
+    integer stats.  Component identity = min member pixel in row-major
+    global order (gy*2^32 + gx) — engine-portable, so the DuckDB oracle's
+    recursive-CTE labeling over the same formula-derived pixels matches
+    hash-exact."""
+    from tilematrix_spark import raster
+
+    return raster.label_components(_cc_tiles(spark), threshold=128)
+
+
+def sql_label_components() -> str:
+    return """
+      WITH RECURSIVE g AS (
+        SELECT r.r * 16 + i.i AS gy, c.c * 16 + j.j AS gx
+        FROM (SELECT unnest(generate_series(0, 5)) AS r) r,
+             (SELECT unnest(generate_series(0, 7)) AS c) c,
+             (SELECT unnest(generate_series(0, 15)) AS i) i,
+             (SELECT unnest(generate_series(0, 15)) AS j) j
+      ),
+      fg AS (
+        SELECT gy, gx, gy * 4294967296 + gx AS id FROM g
+        WHERE ((23 * (gy // 4) + 41 * (gx // 4)) % 7) < 2
+          AND ((3 * gy + 5 * gx) % 11) <> 0
+      ),
+      e1 AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM fg a JOIN fg b ON b.gy = a.gy AND b.gx = a.gx + 1
+        UNION ALL
+        SELECT a.id AS src, b.id AS dst
+        FROM fg a JOIN fg b ON b.gy = a.gy + 1 AND b.gx = a.gx
+      ),
+      edges AS (
+        SELECT src, dst FROM e1 UNION SELECT dst AS src, src AS dst FROM e1
+      ),
+      reach AS (
+        SELECT id, id AS r FROM fg
+        UNION
+        SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+      ),
+      lbl AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      SELECT comp AS component,
+        comp // 4294967296 AS comp_gy,
+        comp % 4294967296 AS comp_gx,
+        CAST(count(*) AS BIGINT) AS area,
+        min(gy) AS min_gy,
+        min(gx) AS min_gx,
+        max(gy) AS max_gy,
+        max(gx) AS max_gx,
+        CAST(count(DISTINCT (gy // 16) * 1000 + (gx // 16)) AS BIGINT)
+          AS n_tiles
+      FROM lbl JOIN fg USING (id)
+      GROUP BY comp
+    """
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics (raster.zonal_stats): per-zone pixel count / sum /
     min / max / mean over band 0 of a tiled raster — zone bboxes cover onto
@@ -5785,6 +5892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compose_tiles": q_compose_tiles,
         "overview_coverage": q_overview_coverage,
         "zonal_stats": q_zonal_stats,
+        "label_components": q_label_components,
         "retrieval_recall": q_retrieval_recall,
         "upsample_children": q_upsample_children,
         "raster_histogram": q_raster_histogram,
@@ -5852,6 +5960,7 @@ def oracle_sql() -> dict[str, str]:
         "windows_modes": sql_windows_modes(),
         "bloom_dedup": sql_bloom_dedup(),
         "zonal_stats": sql_zonal_stats(),
+        "label_components": sql_label_components(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),

@@ -1034,3 +1034,97 @@ def test_hillshade_matches_numpy_mirror(spark):
     assert a[iy, ix] == int(254.0 * max(hs, 0.0)) + 1
     interior = a[1:-1, 1:-1]
     assert interior.min() >= 1  # full-window pixels carry the 1..255 range
+
+
+def _cc_mirror(canvases, ts, thr):
+    """Brute-force global-plane 4-connected components via BFS; returns
+    {component_id: (area, min_gy, min_gx, max_gy, max_gx, n_tiles)} with
+    component_id = min (gy << 32 | gx) over members."""
+    from collections import deque
+
+    maxr = max(r for r, _ in canvases) + 1
+    maxc = max(c for _, c in canvases) + 1
+    H, W = maxr * ts, maxc * ts
+    M = np.zeros((H, W), bool)
+    P = np.zeros((H, W), bool)  # pixel present (tile exists)
+    for (r, c), a in canvases.items():
+        M[r * ts : (r + 1) * ts, c * ts : (c + 1) * ts] = a >= thr
+        P[r * ts : (r + 1) * ts, c * ts : (c + 1) * ts] = True
+    seen = np.zeros_like(M)
+    out = {}
+    for sy, sx in zip(*np.nonzero(M)):
+        if seen[sy, sx]:
+            continue
+        q = deque([(int(sy), int(sx))])
+        seen[sy, sx] = True
+        mem = []
+        while q:
+            y, x = q.popleft()
+            mem.append((y, x))
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < H and 0 <= nx < W and P[ny, nx] and M[ny, nx] and not seen[ny, nx]:
+                    seen[ny, nx] = True
+                    q.append((ny, nx))
+        ys = [y for y, _ in mem]
+        xs = [x for _, x in mem]
+        cid = min((y << 32) | x for y, x in mem)
+        tiles = {(y // ts, x // ts) for y, x in mem}
+        out[cid] = (len(mem), min(ys), min(xs), max(ys), max(xs), len(tiles))
+    return out
+
+
+def test_label_components_matches_global_bfs(spark):
+    """Cross-tile connected-component labeling vs a brute-force global BFS
+    mirror: random foreground over a 3x3 block of 6px tiles (components
+    freely crossing tile edges), plus planted shapes on a 2x2 block —
+    a 4x4 square straddling all four tiles, a cross-edge domino, a
+    single pixel, an L inside one tile, and a diagonal-only pair that must
+    NOT merge (4-connectivity)."""
+    import pandas as pd
+
+    # planted 2x2 x 8px case
+    ts = 8
+    cv = {k: np.zeros((ts, ts), np.uint8) for k in [(0, 0), (0, 1), (1, 0), (1, 1)]}
+    for gy in range(6, 10):
+        for gx in range(6, 10):
+            cv[(gy // ts, gx // ts)][gy % ts, gx % ts] = 255  # 4x4, 4 tiles
+    cv[(0, 0)][0, 0] = 255  # lone pixel
+    cv[(0, 0)][2, 7] = 255
+    cv[(0, 1)][2, 0] = 255  # domino across the vertical edge
+    for gy, gx in ((12, 12), (13, 12), (13, 13)):
+        cv[(1, 1)][gy % ts, gx % ts] = 255  # L inside one tile
+    cv[(0, 0)][4, 2] = 255
+    cv[(0, 0)][5, 3] = 255  # diagonal-only: two separate components
+    for canvases, tsz in [
+        (cv, ts),
+        (
+            {
+                (r, c): (np.random.RandomState(31 * r + c).rand(6, 6) < 0.35)
+                .astype(np.uint8) * 200
+                for r in range(3)
+                for c in range(3)
+            },
+            6,
+        ),
+    ]:
+        rows = [
+            {"row": r, "col": c, "tile_w": tsz, "tile_h": tsz,
+             "bytes": canvases[(r, c)].tobytes()}
+            for (r, c) in canvases
+        ]
+        tiles = spark.createDataFrame(pd.DataFrame(rows))
+        got = {
+            r["component"]: (
+                r["area"], r["min_gy"], r["min_gx"], r["max_gy"],
+                r["max_gx"], r["n_tiles"],
+            )
+            for r in raster.label_components(tiles, threshold=128).collect()
+        }
+        assert got == _cc_mirror(canvases, tsz, 128)
+    # spot-check the planted shapes in the first corpus
+    mirror = _cc_mirror(cv, ts, 128)
+    assert mirror[(6 << 32) | 6] == (16, 6, 6, 9, 9, 4)
+    assert mirror[0] == (1, 0, 0, 0, 0, 1)
+    assert mirror[(2 << 32) | 7] == (2, 2, 7, 2, 8, 2)
+    assert mirror[(4 << 32) | 2] == (1, 4, 2, 4, 2, 1)  # no diagonal merge

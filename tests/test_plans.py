@@ -647,3 +647,31 @@ def test_importance_scores_plan_broadcasts_distributions(spark):
     plan = _plan(sampling.importance_scores(raw, target))
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Scan ExistingRDD") >= 1, plan
+
+
+def test_label_components_plan_barriers_kernel_no_group_pandas(spark):
+    """label_components reads canvas bytes in ONE mapInPandas pass whose
+    output is barriered (it feeds per-label stats AND two border joins —
+    without the checkpoint each consumer would re-run CCL per tile), the
+    global merge runs on the label graph (no per-group pandas anywhere),
+    and no Exchange ships the bytes column."""
+    import numpy as np
+    import pandas as pd
+
+    from tilematrix_spark import raster
+
+    rows = [
+        {"row": r, "col": c, "tile_w": 8, "tile_h": 8,
+         "bytes": ((np.arange(64, dtype=np.int64) * (r + 2 * c + 3)) % 251)
+         .astype(np.uint8).tobytes()}
+        for r in range(2) for c in range(2)
+    ]
+    out = raster.label_components(
+        spark.createDataFrame(pd.DataFrame(rows)), threshold=100
+    )
+    plan = _plan(out)
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    for line in plan.splitlines():
+        if ") Exchange" in line:
+            assert "bytes" not in line, line

@@ -1809,3 +1809,239 @@ def hillshade(
                     yield pd.concat(frames, ignore_index=True)
 
     return grouped.mapInPandas(assemble, schema=out_schema)
+
+
+def _ccl4(mask: np.ndarray) -> "tuple[np.ndarray, int]":
+    """4-connected two-pass labeling of a boolean plane, pure numpy: label
+    horizontal runs (vectorized cumsum over run starts), union runs that
+    touch vertically (union-find over the UNIQUE run-pair set — a solid
+    h×w block contributes h-1 pairs, not h·w), then relabel to root runs.
+    Returns (per-pixel root-run id, -1 background; number of runs)."""
+    h, w = mask.shape
+    if not mask.any():
+        return np.full((h, w), -1, np.int64), 0
+    starts = mask.copy()
+    starts[:, 1:] &= ~mask[:, :-1]
+    run_id = np.cumsum(starts.ravel()).reshape(h, w) - 1
+    n_runs = int(starts.sum())
+    parent = np.arange(n_runs, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    both = mask[1:, :] & mask[:-1, :]
+    if both.any():
+        a = run_id[1:, :][both]
+        b = run_id[:-1, :][both]
+        for pa, pb in np.unique(np.stack([a, b], 1), axis=0):
+            ra, rb = find(int(pa)), find(int(pb))
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    roots = np.array([find(i) for i in range(n_runs)], dtype=np.int64)
+    lab = np.where(mask, roots[np.minimum(run_id, n_runs - 1)], -1)
+    return lab, n_runs
+
+
+def label_components(
+    tiles: DataFrame,
+    band: int = 0,
+    threshold: int = 128,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cross-tile connected-component labeling over a tiled raster — the
+    raster→vector "patch extraction" operator (contiguous burned area,
+    water bodies, built-up blobs): pixels of band ``band`` with value
+    ``>= threshold`` are foreground; components are 4-connected regions in
+    GLOBAL pixel space, crossing tile boundaries.
+
+    Output: one row per component — ``(component, comp_gy, comp_gx, area,
+    min_gy, min_gx, max_gy, max_gx, n_tiles)`` where ``component`` is the
+    row-major-minimal member pixel encoded ``gy·2³² + gx`` (engine-portable
+    identity: any labeling that agrees on membership agrees on it),
+    ``comp_gy/comp_gx`` its decoded coordinates, ``area`` the pixel count
+    and the bbox in global pixel coordinates.  All columns exact integers.
+
+    Scale shape — the halo-free stencil: each canvas is labeled LOCALLY in
+    one Arrow kernel pass (vectorized run labeling + union-find over the
+    unique run-pair set), which emits per-local-label 7-int summaries plus
+    one row per FOREGROUND BOUNDARY PIXEL (≤ 2·(tw+th) per tile — border
+    strips, never canvas bytes, exactly the focal-stats discipline).
+    Cross-tile equivalences are two equi-joins of opposing border strips
+    on (tile key, offset); the global merge runs on the LABEL graph — one
+    node per local patch, not per pixel — via the same frontier-delta +
+    pointer-doubling label propagation the dedup endgame uses
+    (functions/dedup.connected_components, O(log diameter) rounds), so a
+    component snaking across thousands of tiles converges in ~log₂ rounds
+    of label-table-sized joins.  Final stats are one groupBy on the
+    resolved component id over per-label partials.  Canvas bytes are read
+    exactly once and never shuffled."""
+    from .functions.dedup import connected_components
+
+    band_i = int(band)
+    thr = int(threshold)
+    out_schema = T.StructType(
+        [
+            T.StructField("kind", T.IntegerType()),
+            T.StructField("row", T.LongType()),
+            T.StructField("col", T.LongType()),
+            T.StructField("gid", T.LongType()),
+            T.StructField("area", T.LongType()),
+            T.StructField("min_gy", T.LongType()),
+            T.StructField("min_gx", T.LongType()),
+            T.StructField("max_gy", T.LongType()),
+            T.StructField("max_gx", T.LongType()),
+            T.StructField("side", T.IntegerType()),
+            T.StructField("off", T.LongType()),
+        ]
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for i in range(len(pdf)):
+                r = int(pdf["row"].iat[i])
+                c = int(pdf["col"].iat[i])
+                tw = int(pdf["tile_w"].iat[i])
+                th = int(pdf["tile_h"].iat[i])
+                buf = pdf["bytes"].iat[i]
+                nb = len(buf) // (th * tw)
+                if nb * th * tw != len(buf) or band_i >= nb:
+                    raise ValueError(
+                        f"canvas of {len(buf)} bytes is not {th}x{tw}xB "
+                        f"with band {band_i} present"
+                    )
+                plane = np.frombuffer(buf, dtype=np.uint8).reshape(th, tw, nb)[
+                    :, :, band_i
+                ]
+                mask = plane >= thr
+                lab, _ = _ccl4(mask)
+                if not mask.any():
+                    continue
+                ys, xs = np.nonzero(mask)
+                lv = lab[ys, xs]
+                gy = r * th + ys.astype(np.int64)
+                gx = c * tw + xs.astype(np.int64)
+                code = (gy << np.int64(32)) | gx
+                u, inv = np.unique(lv, return_inverse=True)
+                k = len(u)
+                gid = np.full(k, np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(gid, inv, code)
+                area = np.bincount(inv, minlength=k).astype(np.int64)
+                mny = np.full(k, np.iinfo(np.int64).max, np.int64)
+                mnx = mny.copy()
+                mxy = np.full(k, np.iinfo(np.int64).min, np.int64)
+                mxx = mxy.copy()
+                np.minimum.at(mny, inv, gy)
+                np.minimum.at(mnx, inv, gx)
+                np.maximum.at(mxy, inv, gy)
+                np.maximum.at(mxx, inv, gx)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "kind": np.zeros(k, np.int32),
+                            "row": np.full(k, r, np.int64),
+                            "col": np.full(k, c, np.int64),
+                            "gid": gid,
+                            "area": area,
+                            "min_gy": mny,
+                            "min_gx": mnx,
+                            "max_gy": mxy,
+                            "max_gx": mxx,
+                            "side": np.zeros(k, np.int32),
+                            "off": np.zeros(k, np.int64),
+                        }
+                    )
+                )
+                # boundary strips: (side, offset, gid of the local label)
+                gid_of = {int(u[j]): int(gid[j]) for j in range(k)}
+                sides = (
+                    (0, lab[0, :]),          # T: offset = x
+                    (1, lab[th - 1, :]),     # B
+                    (2, lab[:, 0]),          # L: offset = y
+                    (3, lab[:, tw - 1]),     # R
+                )
+                for s, line in sides:
+                    offs = np.nonzero(line >= 0)[0]
+                    if not len(offs):
+                        continue
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "kind": np.ones(len(offs), np.int32),
+                                "row": np.full(len(offs), r, np.int64),
+                                "col": np.full(len(offs), c, np.int64),
+                                "gid": np.array(
+                                    [gid_of[int(v)] for v in line[offs]],
+                                    np.int64,
+                                ),
+                                "area": np.zeros(len(offs), np.int64),
+                                "min_gy": np.zeros(len(offs), np.int64),
+                                "min_gx": np.zeros(len(offs), np.int64),
+                                "max_gy": np.zeros(len(offs), np.int64),
+                                "max_gx": np.zeros(len(offs), np.int64),
+                                "side": np.full(len(offs), s, np.int32),
+                                "off": offs.astype(np.int64),
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    out = (
+        tiles.select("row", "col", "tile_w", "tile_h", "bytes")
+        .mapInPandas(emit, schema=out_schema)
+        .localCheckpoint(eager=False)  # feeds stats AND two boundary joins
+    )
+    stats = out.filter(F.col("kind") == 0).select(
+        "row", "col", "gid", "area", "min_gy", "min_gx", "max_gy", "max_gx"
+    )
+    bnd = out.filter(F.col("kind") == 1).select("row", "col", "gid", "side", "off")
+    rgt = bnd.filter(F.col("side") == 3).select(
+        "row", (F.col("col") + 1).alias("col"), "off", F.col("gid").alias("gid_a")
+    )
+    lft = bnd.filter(F.col("side") == 2).select(
+        "row", "col", "off", F.col("gid").alias("gid_b")
+    )
+    bot = bnd.filter(F.col("side") == 1).select(
+        (F.col("row") + 1).alias("row"), "col", "off", F.col("gid").alias("gid_a")
+    )
+    top = bnd.filter(F.col("side") == 0).select(
+        "row", "col", "off", F.col("gid").alias("gid_b")
+    )
+    edges = (
+        rgt.join(lft, ["row", "col", "off"])
+        .select("gid_a", "gid_b")
+        .unionByName(bot.join(top, ["row", "col", "off"]).select("gid_a", "gid_b"))
+        .distinct()
+    )
+    comp = connected_components(edges, "gid_a", "gid_b", max_iters).select(
+        F.col("doc_id").alias("gid"), "component"
+    )
+    labeled = stats.join(comp, "gid", "left").withColumn(
+        "_comp", F.coalesce("component", "gid")
+    )
+    agg = labeled.groupBy("_comp").agg(
+        F.sum("area").alias("area"),
+        F.min("min_gy").alias("min_gy"),
+        F.min("min_gx").alias("min_gx"),
+        F.max("max_gy").alias("max_gy"),
+        F.max("max_gx").alias("max_gx"),
+        F.count_distinct(F.struct("row", "col")).alias("n_tiles"),
+    )
+    return agg.select(
+        F.col("_comp").alias("component"),
+        F.shiftright("_comp", 32).alias("comp_gy"),
+        F.col("_comp").bitwiseAND(F.lit((1 << 32) - 1)).alias("comp_gx"),
+        "area",
+        "min_gy",
+        "min_gx",
+        "max_gy",
+        "max_gx",
+        "n_tiles",
+    )
