@@ -3803,7 +3803,11 @@ def sql_label_components() -> str:
         UNION
         SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
       ),
-      lbl AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      lbl AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      adj AS (
+        SELECT l.comp, CAST(count(*) AS BIGINT) AS n_adj
+        FROM e1 JOIN lbl l ON l.id = e1.src GROUP BY l.comp
+      )
       SELECT comp AS component,
         comp // 4294967296 AS comp_gy,
         comp % 4294967296 AS comp_gx,
@@ -3813,8 +3817,10 @@ def sql_label_components() -> str:
         max(gy) AS max_gy,
         max(gx) AS max_gx,
         CAST(count(DISTINCT (gy // 16) * 1000 + (gx // 16)) AS BIGINT)
-          AS n_tiles
-      FROM lbl JOIN fg USING (id)
+          AS n_tiles,
+        CAST(4 * count(*) - 2 * coalesce(min(a.n_adj), 0) AS BIGINT)
+          AS perimeter
+      FROM lbl JOIN fg USING (id) LEFT JOIN adj a USING (comp)
       GROUP BY comp
     """
 

@@ -1070,7 +1070,14 @@ def _cc_mirror(canvases, ts, thr):
         xs = [x for _, x in mem]
         cid = min((y << 32) | x for y, x in mem)
         tiles = {(y // ts, x // ts) for y, x in mem}
-        out[cid] = (len(mem), min(ys), min(xs), max(ys), max(xs), len(tiles))
+        mset = set(mem)
+        pairs = sum(
+            ((y + 1, x) in mset) + ((y, x + 1) in mset) for y, x in mem
+        )
+        out[cid] = (
+            len(mem), min(ys), min(xs), max(ys), max(xs), len(tiles),
+            4 * len(mem) - 2 * pairs,
+        )
     return out
 
 
@@ -1117,14 +1124,15 @@ def test_label_components_matches_global_bfs(spark):
         got = {
             r["component"]: (
                 r["area"], r["min_gy"], r["min_gx"], r["max_gy"],
-                r["max_gx"], r["n_tiles"],
+                r["max_gx"], r["n_tiles"], r["perimeter"],
             )
             for r in raster.label_components(tiles, threshold=128).collect()
         }
         assert got == _cc_mirror(canvases, tsz, 128)
-    # spot-check the planted shapes in the first corpus
+    # spot-check the planted shapes in the first corpus (perimeter: 4x4
+    # square -> 16; lone pixel -> 4; cross-edge domino -> 6; 3-px L -> 8)
     mirror = _cc_mirror(cv, ts, 128)
-    assert mirror[(6 << 32) | 6] == (16, 6, 6, 9, 9, 4)
-    assert mirror[0] == (1, 0, 0, 0, 0, 1)
-    assert mirror[(2 << 32) | 7] == (2, 2, 7, 2, 8, 2)
-    assert mirror[(4 << 32) | 2] == (1, 4, 2, 4, 2, 1)  # no diagonal merge
+    assert mirror[(6 << 32) | 6] == (16, 6, 6, 9, 9, 4, 16)
+    assert mirror[0] == (1, 0, 0, 0, 0, 1, 4)
+    assert mirror[(2 << 32) | 7] == (2, 2, 7, 2, 8, 2, 6)
+    assert mirror[(4 << 32) | 2] == (1, 4, 2, 4, 2, 1, 4)  # no diagonal merge

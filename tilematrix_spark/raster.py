@@ -1861,11 +1861,14 @@ def label_components(
     GLOBAL pixel space, crossing tile boundaries.
 
     Output: one row per component — ``(component, comp_gy, comp_gx, area,
-    min_gy, min_gx, max_gy, max_gx, n_tiles)`` where ``component`` is the
-    row-major-minimal member pixel encoded ``gy·2³² + gx`` (engine-portable
-    identity: any labeling that agrees on membership agrees on it),
-    ``comp_gy/comp_gx`` its decoded coordinates, ``area`` the pixel count
-    and the bbox in global pixel coordinates.  All columns exact integers.
+    min_gy, min_gx, max_gy, max_gx, n_tiles, perimeter)`` where
+    ``component`` is the row-major-minimal member pixel encoded
+    ``gy·2³² + gx`` (engine-portable identity: any labeling that agrees on
+    membership agrees on it), ``comp_gy/comp_gx`` its decoded coordinates,
+    ``area`` the pixel count, the bbox in global pixel coordinates, and
+    ``perimeter`` the exposed-edge count ``4·area − 2·adjacent_pairs``
+    (within-tile pairs counted in the kernel; cross-tile pairs are exactly
+    the border-strip join matches).  All columns exact integers.
 
     Scale shape — the halo-free stencil: each canvas is labeled LOCALLY in
     one Arrow kernel pass (vectorized run labeling + union-find over the
@@ -1896,6 +1899,7 @@ def label_components(
             T.StructField("min_gx", T.LongType()),
             T.StructField("max_gy", T.LongType()),
             T.StructField("max_gx", T.LongType()),
+            T.StructField("adj", T.LongType()),
             T.StructField("side", T.IntegerType()),
             T.StructField("off", T.LongType()),
         ]
@@ -1941,6 +1945,16 @@ def label_components(
                 np.minimum.at(mnx, inv, gx)
                 np.maximum.at(mxy, inv, gy)
                 np.maximum.at(mxx, inv, gx)
+                # within-tile 4-adjacencies per label (horizontal pairs are
+                # run-internal, vertical pairs were unioned -> both endpoints
+                # always share the label)
+                adj = np.zeros(k, np.int64)
+                hp = mask[:, 1:] & mask[:, :-1]
+                if hp.any():
+                    np.add.at(adj, np.searchsorted(u, lab[:, :-1][hp]), 1)
+                vp = mask[1:, :] & mask[:-1, :]
+                if vp.any():
+                    np.add.at(adj, np.searchsorted(u, lab[:-1, :][vp]), 1)
                 frames.append(
                     pd.DataFrame(
                         {
@@ -1953,6 +1967,7 @@ def label_components(
                             "min_gx": mnx,
                             "max_gy": mxy,
                             "max_gx": mxx,
+                            "adj": adj,
                             "side": np.zeros(k, np.int32),
                             "off": np.zeros(k, np.int64),
                         }
@@ -1985,6 +2000,7 @@ def label_components(
                                 "min_gx": np.zeros(len(offs), np.int64),
                                 "max_gy": np.zeros(len(offs), np.int64),
                                 "max_gx": np.zeros(len(offs), np.int64),
+                                "adj": np.zeros(len(offs), np.int64),
                                 "side": np.full(len(offs), s, np.int32),
                                 "off": offs.astype(np.int64),
                             }
@@ -1999,7 +2015,8 @@ def label_components(
         .localCheckpoint(eager=False)  # feeds stats AND two boundary joins
     )
     stats = out.filter(F.col("kind") == 0).select(
-        "row", "col", "gid", "area", "min_gy", "min_gx", "max_gy", "max_gx"
+        "row", "col", "gid", "area", "min_gy", "min_gx", "max_gy", "max_gx",
+        "adj",
     )
     bnd = out.filter(F.col("kind") == 1).select("row", "col", "gid", "side", "off")
     rgt = bnd.filter(F.col("side") == 3).select(
@@ -2014,14 +2031,23 @@ def label_components(
     top = bnd.filter(F.col("side") == 0).select(
         "row", "col", "off", F.col("gid").alias("gid_b")
     )
-    edges = (
+    # matched border pairs carry MULTIPLICITY (one row per cross-tile pixel
+    # adjacency — the perimeter needs the count, the merge needs the set)
+    matched = (
         rgt.join(lft, ["row", "col", "off"])
         .select("gid_a", "gid_b")
         .unionByName(bot.join(top, ["row", "col", "off"]).select("gid_a", "gid_b"))
-        .distinct()
+        .localCheckpoint(eager=False)
     )
+    edges = matched.distinct()
     comp = connected_components(edges, "gid_a", "gid_b", max_iters).select(
         F.col("doc_id").alias("gid"), "component"
+    )
+    cross = (
+        matched.join(comp.withColumnRenamed("gid", "gid_a"), "gid_a")
+        .groupBy("component")
+        .agg(F.count("*").alias("_cross"))
+        .withColumnRenamed("component", "_comp")
     )
     labeled = stats.join(comp, "gid", "left").withColumn(
         "_comp", F.coalesce("component", "gid")
@@ -2033,8 +2059,9 @@ def label_components(
         F.max("max_gy").alias("max_gy"),
         F.max("max_gx").alias("max_gx"),
         F.count_distinct(F.struct("row", "col")).alias("n_tiles"),
+        F.sum("adj").alias("_adj"),
     )
-    return agg.select(
+    return agg.join(cross, "_comp", "left").select(
         F.col("_comp").alias("component"),
         F.shiftright("_comp", 32).alias("comp_gy"),
         F.col("_comp").bitwiseAND(F.lit((1 << 32) - 1)).alias("comp_gx"),
@@ -2044,4 +2071,9 @@ def label_components(
         "max_gy",
         "max_gx",
         "n_tiles",
+        (
+            F.lit(4) * F.col("area")
+            - F.lit(2)
+            * (F.col("_adj") + F.coalesce("_cross", F.lit(0).cast("long")))
+        ).alias("perimeter"),
     )
