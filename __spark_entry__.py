@@ -3917,6 +3917,90 @@ def sql_zonal_stats() -> str:
     """
 
 
+def q_zonal_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal class histogram (raster.zonal_class_counts): per-zone pixel
+    counts per category value over band 0 of the 72-tile formula canvas —
+    same window semantics and broadcast shape as zonal_stats, but the
+    kernel emits sparse bincounts and the final exchange groups on
+    (zone, class).  All-integer output, hash-exact oracle."""
+    from tilematrix_spark import raster
+
+    return raster.zonal_class_counts(
+        _zonal_tiles(spark),
+        _zonal_zones(spark, sf_dir),
+        GEODETIC,
+        5,
+        zone_id_col="zone_id",
+        left="zleft",
+        bottom="zbottom",
+        right="zright",
+        top="ztop",
+    )
+
+
+def sql_zonal_classes() -> str:
+    zoom = 5
+    h = _d(_tile_size(zoom))
+    px = _d(GEODETIC.pixel_x_size(zoom))
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}),
+      z0 AS (
+        SELECT event_id AS zone_id,
+          ({_d(-89.0)} + fmod(abs(lon) * {_d(7.0)} + abs(lat) * {_d(3.0)}, {_d(60.0)})) AS zl,
+          ({_d(12.0)} + fmod(abs(lat) * {_d(5.0)} + abs(lon) * {_d(2.0)}, {_d(28.0)})) AS zb,
+          ({_d(0.11)} + fmod(abs(lon), {_d(0.37)})) AS zw,
+          ({_d(0.13)} + fmod(abs(lat), {_d(0.31)})) AS zh
+        FROM pts WHERE event_id % 16 = 7
+      ),
+      z AS (SELECT zone_id, zl, zb, zl + zw AS zr, zb + zh AS zt FROM z0),
+      cov AS (
+        SELECT zone_id, zl, zb, zr, zt,
+          CAST(trunc(({_d(TOP)} - zt) / {h}) AS BIGINT) AS row_min,
+          CAST(trunc(({_d(TOP)} - zb) / {h}) AS BIGINT)
+            - CASE WHEN fmod({_d(TOP)} - zb, {h}) = {_d(0.0)} THEN 1 ELSE 0 END AS row_max,
+          CAST(trunc((zl - {_d(LEFT)}) / {h}) AS BIGINT) AS col_min,
+          CAST(trunc((zr - {_d(LEFT)}) / {h}) AS BIGINT)
+            - CASE WHEN fmod(zr - {_d(LEFT)}, {h}) = {_d(0.0)} THEN 1 ELSE 0 END AS col_max
+        FROM z
+      ),
+      p0 AS (
+        SELECT *, unnest(generate_series(row_min, row_max)) AS trow FROM cov
+      ),
+      pairs AS (
+        SELECT *, unnest(generate_series(col_min, col_max)) AS tcol FROM p0
+      ),
+      win AS (
+        SELECT zone_id, trow, tcol,
+          greatest(CAST(floor((zl - ({_d(LEFT)} + tcol * {h})) / {px}) AS BIGINT), 0) AS c0,
+          least(CAST(ceil((zr - ({_d(LEFT)} + tcol * {h})) / {px}) AS BIGINT), 256) AS cend,
+          greatest(CAST(floor((({_d(TOP)} - trow * {h}) - zt) / {px}) AS BIGINT), 0) AS r0,
+          least(CAST(ceil((({_d(TOP)} - trow * {h}) - zb) / {px}) AS BIGINT), 256) AS rend
+        FROM pairs
+      ),
+      w2 AS (
+        SELECT zone_id, trow, tcol, c0, r0, cend - c0 AS cw, rend - r0 AS rh
+        FROM win WHERE cend - c0 > 0 AND rend - r0 > 0
+      ),
+      pix0 AS (
+        SELECT zone_id, trow, tcol, c0, cw,
+               unnest(generate_series(r0, r0 + rh - 1)) AS pi
+        FROM w2
+      ),
+      pix AS (
+        SELECT zone_id, trow, tcol, pi,
+               unnest(generate_series(c0, c0 + cw - 1)) AS pj
+        FROM pix0
+      ),
+      vals AS (
+        SELECT zone_id, (3 * pi + 7 * pj + 11 * trow + 13 * tcol) % 251 AS v
+        FROM pix
+      )
+      SELECT zone_id, CAST(v AS INTEGER) AS class,
+             CAST(count(*) AS BIGINT) AS n_px
+      FROM vals GROUP BY 1, 2
+    """
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tile halo-exchange focal statistics (raster.focal_stats): 5x5
     moving-window n/sum/min/max/trunc-mean over the 72-tile zonal canvas
@@ -5899,6 +5983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_coverage": q_overview_coverage,
         "zonal_stats": q_zonal_stats,
         "label_components": q_label_components,
+        "zonal_classes": q_zonal_classes,
         "retrieval_recall": q_retrieval_recall,
         "upsample_children": q_upsample_children,
         "raster_histogram": q_raster_histogram,
@@ -5967,6 +6052,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": sql_bloom_dedup(),
         "zonal_stats": sql_zonal_stats(),
         "label_components": sql_label_components(),
+        "zonal_classes": sql_zonal_classes(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),

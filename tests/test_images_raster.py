@@ -1136,3 +1136,62 @@ def test_label_components_matches_global_bfs(spark):
     assert mirror[0] == (1, 0, 0, 0, 0, 1, 4)
     assert mirror[(2 << 32) | 7] == (2, 2, 7, 2, 8, 2, 6)
     assert mirror[(4 << 32) | 2] == (1, 4, 2, 4, 2, 1, 4)  # no diagonal merge
+
+
+def test_zonal_class_counts_marginalizes_to_zonal_stats(spark, geodetic):
+    """The class histogram must marginalize exactly to the moment stats on
+    the same canvases/zones/band: Σ_class n = n_px, Σ class·n = sum_val,
+    min/max present class = min_val/max_val — plus a direct numpy bincount
+    check on an interior single-tile zone."""
+    from tilematrix_spark import raster
+
+    rng = np.random.default_rng(11)
+    tiles_rows = [(r, c) for r in (2, 3) for c in (4, 5)]
+    canv = {
+        rc: rng.integers(0, 40, size=(256, 256, 3), dtype=np.uint8)
+        for rc in tiles_rows
+    }
+    tiles = spark.createDataFrame(
+        [(r, c, 256, 256, bytearray(canv[(r, c)].tobytes())) for r, c in tiles_rows],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    zones = spark.createDataFrame(
+        [
+            (1, -157.0, 74.0, -156.0, 75.0),
+            (2, -152.5, 74.2, -151.0, 75.9),  # straddles two tiles
+        ],
+        "zone_id long, zleft double, zbottom double, zright double, ztop double",
+    )
+    kw = dict(left="zleft", bottom="zbottom", right="zright", top="ztop", band=1)
+    hist = raster.zonal_class_counts(tiles, zones, geodetic, 5, **kw).collect()
+    stats = {
+        r["zone_id"]: r.asDict()
+        for r in raster.zonal_stats(tiles, zones, geodetic, 5, **kw).collect()
+    }
+    per_zone = {}
+    for r in hist:
+        per_zone.setdefault(r["zone_id"], {})[r["class"]] = r["n_px"]
+    assert set(per_zone) == set(stats)
+    for zid, cc in per_zone.items():
+        st = stats[zid]
+        assert sum(cc.values()) == st["n_px"]
+        assert sum(k * v for k, v in cc.items()) == st["sum_val"]
+        assert (min(cc), max(cc)) == (st["min_val"], st["max_val"])
+    # direct bincount for the interior zone
+    win = [
+        w
+        for w in raster.raster_tile_windows(
+            zones, geodetic, 5, fp_left="zleft", fp_bottom="zbottom",
+            fp_right="zright", fp_top="ztop",
+        ).collect()
+        if w["zone_id"] == 1 and w["win_width"] > 0 and w["win_height"] > 0
+    ]
+    assert len(win) == 1
+    w = win[0]
+    v = canv[(w["row"], w["col"])][
+        w["win_row_off"] : w["win_row_off"] + w["win_height"],
+        w["win_col_off"] : w["win_col_off"] + w["win_width"],
+        1,
+    ]
+    bc = np.bincount(v.ravel(), minlength=256)
+    assert per_zone[1] == {int(k): int(bc[k]) for k in np.nonzero(bc)[0]}

@@ -810,6 +810,118 @@ def zonal_stats(
     )
 
 
+def zonal_class_counts(
+    tiles: DataFrame,
+    zones: DataFrame,
+    tp: PyramidConfig,
+    zoom: exprs.ZoomLike,
+    zone_id_col: str = "zone_id",
+    left: str = "left",
+    bottom: str = "bottom",
+    right: str = "right",
+    top: str = "top",
+    band: int = 0,
+    max_cover_tiles: Optional[int] = None,
+) -> DataFrame:
+    """Zonal CLASS histogram: per-zone pixel counts per category value —
+    the categorical companion of :func:`zonal_stats` (land-cover
+    composition inside each zone: how many pixels of each class code).
+    Window semantics, inputs, and the scale shape are identical to
+    zonal_stats — zone windows BROADCAST onto the canvas scan, bytes never
+    shuffle — but the kernel reduces each (zone, tile) window to its
+    SPARSE bincount (≤256 rows per pair, usually far fewer) instead of
+    5-int moments, and the final exchange groups on (zone, class).
+
+    Output: (zone_id, class, n_px) — one row per class present in the
+    zone; all integers, so the cross-engine oracle is hash-exact."""
+    win = raster_tile_windows(
+        zones.select(zone_id_col, left, bottom, right, top),
+        tp,
+        zoom,
+        fp_left=left,
+        fp_bottom=bottom,
+        fp_right=right,
+        fp_top=top,
+        max_cover_tiles=max_cover_tiles,
+    )
+    win = win.filter((F.col("win_width") > 0) & (F.col("win_height") > 0)).select(
+        F.col(zone_id_col).alias("_zid"),
+        "row",
+        "col",
+        "win_col_off",
+        "win_row_off",
+        "win_width",
+        "win_height",
+    )
+    joined = (
+        tiles.select("row", "col", "tile_w", "tile_h", "bytes")
+        .join(F.broadcast(win), ["row", "col"])
+        .select(
+            "_zid",
+            "tile_w",
+            "tile_h",
+            "bytes",
+            "win_col_off",
+            "win_row_off",
+            "win_width",
+            "win_height",
+        )
+    )
+    part_schema = T.StructType(
+        [
+            T.StructField("_zid", zones.schema[zone_id_col].dataType),
+            T.StructField("class", T.IntegerType()),
+            T.StructField("n_px", T.LongType()),
+        ]
+    )
+    band_i = int(band)
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            zids, clss, cnts = [], [], []
+            tw = pdf["tile_w"].to_numpy()
+            th = pdf["tile_h"].to_numpy()
+            c0 = pdf["win_col_off"].to_numpy()
+            r0 = pdf["win_row_off"].to_numpy()
+            cw = pdf["win_width"].to_numpy()
+            rh = pdf["win_height"].to_numpy()
+            for i in range(m):
+                buf = pdf["bytes"].iat[i]
+                h, w = int(th[i]), int(tw[i])
+                nb = len(buf) // (h * w)
+                if nb * h * w != len(buf) or band_i >= nb:
+                    raise ValueError(
+                        f"canvas of {len(buf)} bytes is not {h}x{w}xB "
+                        f"with band {band_i} present"
+                    )
+                v = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, nb)[
+                    r0[i] : r0[i] + rh[i], c0[i] : c0[i] + cw[i], band_i
+                ]
+                bc = np.bincount(v.ravel(), minlength=256)
+                nz = np.nonzero(bc)[0]
+                zids.append(np.full(len(nz), pdf["_zid"].iat[i]))
+                clss.append(nz.astype(np.int32))
+                cnts.append(bc[nz].astype(np.int64))
+            if zids:
+                yield pd.DataFrame(
+                    {
+                        "_zid": np.concatenate(zids),
+                        "class": np.concatenate(clss),
+                        "n_px": np.concatenate(cnts),
+                    }
+                )
+
+    part = joined.mapInPandas(hist, schema=part_schema)
+    return (
+        part.groupBy("_zid", "class")
+        .agg(F.sum("n_px").alias("n_px"))
+        .select(F.col("_zid").alias(zone_id_col), "class", "n_px")
+    )
+
+
 _FOCAL_CANVAS_SCHEMA = T.StructType(
     [
         T.StructField("row", T.LongType()),
