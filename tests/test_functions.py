@@ -912,6 +912,38 @@ def test_importance_scores(spark):
     }
 
 
+def test_portable_flag_production_hash_paths(spark):
+    """portable=False swaps md5 for native xxhash64: exact_substr output
+    must be ROW-IDENTICAL (fingerprints only ever compared for equality);
+    importance_scores keeps n_feats/raw-totals identical (bucket
+    membership may differ, never the feature count) and the aligned doc
+    still outranks the disjoint one."""
+    from tilematrix_spark.functions import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"shared run of words number {i % 4} tail {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = dedup.exact_substr_spans(docs, min_len=3, portable=True)
+    b = dedup.exact_substr_spans(docs, min_len=3, portable=False)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zork bork gork dork")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in sampling.importance_scores(raw, target, portable=False).collect()
+    }
+    assert out[1]["n_feats"] == 7 and out[2]["n_feats"] == 7
+    assert out[1]["mass_score"] > out[2]["mass_score"]
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+
+
 def test_winnow_shared_run_guarantee(spark):
     """Any shared token run of >= n+w-1 tokens yields a shared fingerprint
     (the winnowing coverage guarantee), surfaced by winnow_near_pairs with

@@ -170,16 +170,21 @@ def spatial_split(
     return tiled.withColumn(out_col, expr).drop("_sb_row", "_sb_col")
 
 
-def _ngram_buckets(tk: Column, n_buckets: int) -> Column:
+def _ngram_buckets(tk: Column, n_buckets: int, portable: bool = True) -> Column:
     """Hashed feature-bucket array of a materialized token-array column:
     every unigram and bigram maps to ``int(md5(gram)[:8], 16) % n_buckets``
     — all native (md5/conv/pmod, whole-stage codegen) and exactly
-    mirrorable in DuckDB via hex-nibble decoding.  Pass a BOUND column:
-    Catalyst inlines expression arguments into each ``element_at`` in the
-    bigram transform (the quadratic-inlining trap)."""
+    mirrorable in DuckDB via hex-nibble decoding.  ``portable=False``
+    swaps md5 for native ``xxhash64`` (no string hex round-trip) for
+    production runs that don't need the cross-engine oracle.  Pass a
+    BOUND column: Catalyst inlines expression arguments into each
+    ``element_at`` in the bigram transform (the quadratic-inlining
+    trap)."""
     B = int(n_buckets)
 
     def bucket(g: Column) -> Column:
+        if not portable:
+            return F.pmod(F.xxhash64(g), F.lit(B))
         return F.pmod(
             F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
             F.lit(B),
@@ -206,7 +211,8 @@ def _ngram_buckets(tk: Column, n_buckets: int) -> Column:
 
 
 def _ngram_feature_table(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int,
+    portable: bool = True,
 ) -> DataFrame:
     from . import text as textfns
 
@@ -215,7 +221,10 @@ def _ngram_feature_table(
         textfns.tokens(textfns.normalize(text_col)).alias("_toks"),
     )
     return toks.select(
-        "_id", F.explode(_ngram_buckets(F.col("_toks"), n_buckets)).alias("bucket")
+        "_id",
+        F.explode(
+            _ngram_buckets(F.col("_toks"), n_buckets, portable)
+        ).alias("bucket"),
     )
 
 
@@ -226,6 +235,7 @@ def importance_scores(
     text_col: str = "text",
     n_buckets: int = 4096,
     smoothing: float = 1.0,
+    portable: bool = True,
 ) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every RAW doc by how
@@ -254,10 +264,10 @@ def importance_scores(
     it so tokenize+md5 runs once."""
     B = int(n_buckets)
     s = float(smoothing)
-    fr = _ngram_feature_table(raw, id_col, text_col, B).localCheckpoint(
-        eager=False
-    )
-    ft = _ngram_feature_table(target, id_col, text_col, B)
+    fr = _ngram_feature_table(
+        raw, id_col, text_col, B, portable
+    ).localCheckpoint(eager=False)
+    ft = _ngram_feature_table(target, id_col, text_col, B, portable)
     tc = ft.groupBy("bucket").agg(F.count("*").alias("t_cnt"))
     rc = fr.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
     dists = (
