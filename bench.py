@@ -779,19 +779,14 @@ def verify_scaling_job(spark: SparkSession, n: int) -> float:
 _FOCAL_STAGED: dict = {}
 
 
-def focal_scaling_job(spark: SparkSession, n_side: int) -> float:
-    """tiles/s of the halo-exchange stencil (focal_stats canvas emit,
-    radius=2, 256px single-band tiles) over an n_side x n_side block at z6
-    geodetic.  Canvas GENERATION is staged to parquet outside the timed
-    region (the verify-job discipline): the timed region is scan -> strip
-    exchange -> assemble/stat, the production shape.  The only exchange is
-    the strips+plane groupBy — the operator whose scaling story is
-    'shuffle ~= corpus + 3% halo traffic'."""
+def _stage_focal_corpus(spark: SparkSession, n_side: int) -> str:
+    """Stage (or reuse) the deterministic n_side x n_side 256px formula-
+    canvas corpus as parquet and return its path — generation stays
+    OUTSIDE every timed region (the verify-job discipline); a staging left
+    by a previous subprocess at the same n_side is byte-identical and
+    reused instead of paying the ~1.7GB write per scaling worker."""
     import os as _os
     import tempfile as _tf
-    import time as _t
-
-    from tilematrix_spark import raster
 
     path = _FOCAL_STAGED.get(n_side)
     if path is None:
@@ -849,6 +844,21 @@ def focal_scaling_job(spark: SparkSession, n_side: int) -> float:
         tiles.write.mode("overwrite").parquet(path)
         spark.read.parquet(path).agg(F.sum(F.length("bytes"))).collect()
         _FOCAL_STAGED[n_side] = path
+    return path
+
+
+def focal_scaling_job(spark: SparkSession, n_side: int) -> float:
+    """tiles/s of the halo-exchange stencil (focal_stats canvas emit,
+    radius=2, 256px single-band tiles) over an n_side x n_side block at z6
+    geodetic.  The timed region is scan -> strip exchange -> assemble/stat,
+    the production shape.  The only exchange is the strips+plane groupBy —
+    the operator whose scaling story is 'shuffle ~= corpus + 3% halo
+    traffic'."""
+    import time as _t
+
+    from tilematrix_spark import raster
+
+    path = _stage_focal_corpus(spark, n_side)
     df = spark.read.parquet(path)
     # z7 geodetic: 128x256 matrix — covers any n_side <= 128
     out = raster.focal_stats(df, entrymod.GEODETIC, 7, radius=2, emit="canvas")
@@ -857,6 +867,31 @@ def focal_scaling_job(spark: SparkSession, n_side: int) -> float:
     dt = _t.time() - t0
     assert n_out == n_side * n_side, f"focal produced {n_out}/{n_side**2}"
     return n_out / dt
+
+
+def cc_scaling_job(spark: SparkSession, n_side: int) -> float:
+    """tiles/s of cross-tile connected-component labeling
+    (raster.label_components, threshold 128 -> 49% foreground in long
+    diagonal stripes, the worst shape for the merge) over the same staged
+    formula corpus — the GRAPH-MERGE family leg of the executor-scaling
+    ladder: per-tile python CCL kernels (the per-JVM Arrow/python-worker
+    lever, like focal/verify) plus the iterative label-propagation rounds
+    (JVM joins, like minhash).  Timing forces every output column through
+    an aggregate — count() alone would prune the perimeter branch."""
+    import time as _t
+
+    from tilematrix_spark import raster
+
+    path = _stage_focal_corpus(spark, n_side)
+    df = spark.read.parquet(path)
+    t0 = _t.time()
+    out = raster.label_components(df, threshold=128)
+    res = out.agg(
+        F.count("*"), F.sum("area"), F.sum("perimeter"), F.max("n_tiles")
+    ).collect()[0]
+    dt = _t.time() - t0
+    assert res[0] > 0 and res[1] > 0
+    return n_side * n_side / dt
 
 
 _MINHASH_STAGED: dict = {}

@@ -83,6 +83,14 @@ def _worker(master: str, job: str, sf_dir: str) -> None:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         bench.focal_scaling_job(spark, 12)
         rate = max(bench.focal_scaling_job(spark, 160) for _ in range(2))
+    elif job == "cc":
+        # cross-tile CCL: python CCL kernels per tile (per-JVM worker
+        # lever) + iterative JVM label-propagation rounds; canvas rows ->
+        # record-capped Arrow batches
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+        bench.cc_scaling_job(spark, 12)
+        n_side = int(os.environ.get("TMX_CC_SIDE", "48"))
+        rate = max(bench.cc_scaling_job(spark, n_side) for _ in range(2))
     elif job == "minhash":
         # JVM-native text pipeline (shingle explode + md5 signatures +
         # banded self-join): the executor lever is heap/shuffle/GC
