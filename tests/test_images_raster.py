@@ -1129,6 +1129,19 @@ def test_label_components_matches_global_bfs(spark):
             for r in raster.label_components(tiles, threshold=128).collect()
         }
         assert got == _cc_mirror(canvases, tsz, 128)
+    # both merge paths must agree exactly (min-gid labeling is path-free)
+    tiles = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"row": r, "col": c, "tile_w": 8, "tile_h": 8,
+                 "bytes": cv[(r, c)].tobytes()}
+                for (r, c) in cv
+            ]
+        )
+    )
+    drv = raster.label_components(tiles, threshold=128, merge="driver")
+    dst = raster.label_components(tiles, threshold=128, merge="distributed")
+    assert drv.exceptAll(dst).isEmpty() and dst.exceptAll(drv).isEmpty()
     # spot-check the planted shapes in the first corpus (perimeter: 4x4
     # square -> 16; lone pixel -> 4; cross-edge domino -> 6; 3-px L -> 8)
     mirror = _cc_mirror(cv, ts, 128)

@@ -1960,11 +1960,34 @@ def _ccl4(mask: np.ndarray) -> "tuple[np.ndarray, int]":
     return lab, n_runs
 
 
+def _driver_min_label(edges_pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Vectorized driver-side min-label resolution of an edge list:
+    repeated edge relaxation (np.minimum.at both directions) + pointer
+    jumping until fixpoint — O(E·log diameter) numpy passes, no python
+    loop over edges.  Node ids are sorted ascending so index order ==
+    gid order and the fixpoint label IS the min member gid."""
+    a = edges_pdf["gid_a"].to_numpy(np.int64)
+    b = edges_pdf["gid_b"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = lbl.copy()
+        np.minimum.at(lbl, ia, lbl[ib])
+        np.minimum.at(lbl, ib, lbl[ia])
+        lbl = np.minimum(lbl, lbl[lbl])
+        if np.array_equal(lbl, prev):
+            break
+    return pd.DataFrame({"gid": nodes, "component": nodes[lbl]})
+
+
 def label_components(
     tiles: DataFrame,
     band: int = 0,
     threshold: int = 128,
     max_iters: int = 25,
+    merge: str = "auto",
+    driver_merge_max: int = 4_000_000,
 ) -> DataFrame:
     """Cross-tile connected-component labeling over a tiled raster — the
     raster→vector "patch extraction" operator (contiguous burned area,
@@ -1995,7 +2018,15 @@ def label_components(
     component snaking across thousands of tiles converges in ~log₂ rounds
     of label-table-sized joins.  Final stats are one groupBy on the
     resolved component id over per-label partials.  Canvas bytes are read
-    exactly once and never shuffled."""
+    exactly once and never shuffled.
+
+    ``merge``: "auto" (default) resolves the label graph DRIVER-SIDE in
+    one vectorized numpy pass when it has ≤ ``driver_merge_max`` edges —
+    the graph is one node per local patch, so even a 600M-pixel corpus
+    yields only ~10⁴–10⁵ edges, and collecting it removes the distributed
+    loop's serial per-round job latency — falling back to the distributed
+    propagation above the threshold; "driver"/"distributed" force a path.
+    Both paths produce identical output (min-gid labeling, pytest-pinned)."""
     from .functions.dedup import connected_components
 
     band_i = int(band)
@@ -2152,9 +2183,29 @@ def label_components(
         .localCheckpoint(eager=False)
     )
     edges = matched.distinct()
-    comp = connected_components(edges, "gid_a", "gid_b", max_iters).select(
-        F.col("doc_id").alias("gid"), "component"
+    # Merge strategy: the label graph has one node per LOCAL PATCH — orders
+    # of magnitude smaller than the pixel data — so up to
+    # ``driver_merge_max`` edges it collects to the driver and resolves in
+    # one vectorized numpy pass (edge relaxation + pointer jumping), which
+    # removes the distributed loop's serial per-round job latency (measured:
+    # the O(log diameter) eager rounds, not the kernels, floored the 2304-
+    # tile wall at ~10s).  Above the threshold — true planet-scale patch
+    # graphs — ``merge="auto"`` falls back to the frontier-delta +
+    # pointer-doubling propagation (functions/dedup.connected_components).
+    if merge not in ("auto", "driver", "distributed"):
+        raise ValueError("merge must be auto|driver|distributed")
+    use_driver = merge == "driver" or (
+        merge == "auto" and edges.limit(driver_merge_max + 1).count() <= driver_merge_max
     )
+    if use_driver:
+        comp = tiles.sparkSession.createDataFrame(
+            _driver_min_label(edges.toPandas()),
+            "gid long, component long",
+        )
+    else:
+        comp = connected_components(edges, "gid_a", "gid_b", max_iters).select(
+            F.col("doc_id").alias("gid"), "component"
+        )
     cross = (
         matched.join(comp.withColumnRenamed("gid", "gid_a"), "gid_a")
         .groupBy("component")
