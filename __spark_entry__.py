@@ -3917,6 +3917,124 @@ def sql_zonal_stats() -> str:
     """
 
 
+def q_zonal_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygonal zonal statistics (raster.zonal_poly_stats): diamond
+    (rotated-square) zones scattered into the 72-tile canvas region — the
+    pixel mask is the CCW half-plane sign test on pixel CENTERS, a fixed
+    IEEE double expression DuckDB reproduces bit-for-bit, so rotated-
+    geometry zonal sums are value-gated with NO tolerance.  Diamonds
+    exclude ~half their bbox, so this genuinely exercises the polygon
+    path, not the window math already covered by zonal_stats."""
+    from tilematrix_spark import raster
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 16 == 5)
+    al, at = F.abs(F.col("lon")), F.abs(F.col("lat"))
+    cx = F.lit(-89.0) + (al * F.lit(7.0) + at * F.lit(3.0)) % F.lit(60.0)
+    cy = F.lit(13.0) + (at * F.lit(5.0) + al * F.lit(2.0)) % F.lit(26.0)
+    w = F.lit(0.15) + al % F.lit(0.4)
+    hh = F.lit(0.17) + at % F.lit(0.35)
+    zones = ev.select(
+        F.col("event_id").alias("zone_id"),
+        F.array(cx + w, cx, cx - w, cx).alias("poly_x"),
+        F.array(cy, cy + hh, cy, cy - hh).alias("poly_y"),
+    )
+    return raster.zonal_poly_stats(
+        _zonal_tiles(spark), zones, GEODETIC, 5, zone_id_col="zone_id"
+    )
+
+
+def sql_zonal_poly() -> str:
+    zoom = 5
+    h = _d(_tile_size(zoom))
+    px = _d(GEODETIC.pixel_x_size(zoom))
+    # CCW diamond V0=(cx+w,cy) V1=(cx,cy+hh) V2=(cx-w,cy) V3=(cx,cy-hh);
+    # edge test written EXACTLY as the kernel computes it — (x2-x1), never
+    # algebraically simplified, so the doubles match bit-for-bit
+    edge = "(({x2}) - ({x1})) * (cyp - ({y1})) - (({y2}) - ({y1})) * (cxp - ({x1})) >= 0"
+    v = {
+        0: ("cx + w", "cy"),
+        1: ("cx", "cy + hh"),
+        2: ("cx - w", "cy"),
+        3: ("cx", "cy - hh"),
+    }
+    tests = " AND ".join(
+        edge.format(x1=v[e][0], y1=v[e][1], x2=v[(e + 1) % 4][0], y2=v[(e + 1) % 4][1])
+        for e in range(4)
+    )
+    return f"""
+      WITH pts AS ({_EVENTS_SQL}),
+      z0 AS (
+        SELECT event_id AS zone_id,
+          ({_d(-89.0)} + fmod(abs(lon) * {_d(7.0)} + abs(lat) * {_d(3.0)}, {_d(60.0)})) AS cx,
+          ({_d(13.0)} + fmod(abs(lat) * {_d(5.0)} + abs(lon) * {_d(2.0)}, {_d(26.0)})) AS cy,
+          ({_d(0.15)} + fmod(abs(lon), {_d(0.4)})) AS w,
+          ({_d(0.17)} + fmod(abs(lat), {_d(0.35)})) AS hh
+        FROM pts WHERE event_id % 16 = 5
+      ),
+      z AS (SELECT zone_id, cx, cy, w, hh,
+                   cx - w AS zl, cy - hh AS zb, cx + w AS zr, cy + hh AS zt
+            FROM z0),
+      cov AS (
+        SELECT zone_id, cx, cy, w, hh, zl, zb, zr, zt,
+          CAST(trunc(({_d(TOP)} - zt) / {h}) AS BIGINT) AS row_min,
+          CAST(trunc(({_d(TOP)} - zb) / {h}) AS BIGINT)
+            - CASE WHEN fmod({_d(TOP)} - zb, {h}) = {_d(0.0)} THEN 1 ELSE 0 END AS row_max,
+          CAST(trunc((zl - {_d(LEFT)}) / {h}) AS BIGINT) AS col_min,
+          CAST(trunc((zr - {_d(LEFT)}) / {h}) AS BIGINT)
+            - CASE WHEN fmod(zr - {_d(LEFT)}, {h}) = {_d(0.0)} THEN 1 ELSE 0 END AS col_max
+        FROM z
+      ),
+      p0 AS (
+        SELECT *, unnest(generate_series(row_min, row_max)) AS trow FROM cov
+      ),
+      pairs AS (
+        SELECT *, unnest(generate_series(col_min, col_max)) AS tcol FROM p0
+      ),
+      win AS (
+        SELECT zone_id, cx, cy, w, hh, trow, tcol,
+          greatest(CAST(floor((zl - ({_d(LEFT)} + tcol * {h})) / {px}) AS BIGINT), 0) AS c0,
+          least(CAST(ceil((zr - ({_d(LEFT)} + tcol * {h})) / {px}) AS BIGINT), 256) AS cend,
+          greatest(CAST(floor((({_d(TOP)} - trow * {h}) - zt) / {px}) AS BIGINT), 0) AS r0,
+          least(CAST(ceil((({_d(TOP)} - trow * {h}) - zb) / {px}) AS BIGINT), 256) AS rend
+        FROM pairs
+      ),
+      w2 AS (
+        SELECT zone_id, cx, cy, w, hh, trow, tcol, c0, r0,
+               cend - c0 AS cw, rend - r0 AS rh
+        FROM win WHERE cend - c0 > 0 AND rend - r0 > 0
+      ),
+      pix0 AS (
+        SELECT zone_id, cx, cy, w, hh, trow, tcol, c0, cw,
+               unnest(generate_series(r0, r0 + rh - 1)) AS pi
+        FROM w2
+      ),
+      pix AS (
+        SELECT zone_id, cx, cy, w, hh, trow, tcol, pi,
+               unnest(generate_series(c0, c0 + cw - 1)) AS pj
+        FROM pix0
+      ),
+      cand AS (
+        SELECT zone_id, cx, cy, w, hh, trow, tcol,
+          (3 * pi + 7 * pj + 11 * trow + 13 * tcol) % 251 AS v,
+          ({_d(LEFT)} + tcol * {h}) + (pj + {_d(0.5)}) * {px} AS cxp,
+          ({_d(TOP)} - trow * {h}) - (pi + {_d(0.5)}) * {px} AS cyp
+        FROM pix
+      ),
+      inside AS (SELECT zone_id, trow, tcol, v FROM cand WHERE {tests}),
+      t AS (SELECT zone_id, count(DISTINCT trow * 1000 + tcol) AS n_tiles
+            FROM inside GROUP BY 1),
+      agg AS (
+        SELECT zone_id, count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_val,
+               CAST(min(v) AS BIGINT) AS min_val, CAST(max(v) AS BIGINT) AS max_val
+        FROM inside GROUP BY 1
+      )
+      SELECT zone_id, CAST(n_tiles AS BIGINT) AS n_tiles, n_px, sum_val,
+             min_val, max_val,
+             CAST(sum_val AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_val
+      FROM t JOIN agg USING (zone_id)
+    """
+
+
 def q_zonal_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal class histogram (raster.zonal_class_counts): per-zone pixel
     counts per category value over band 0 of the 72-tile formula canvas —
@@ -5984,6 +6102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "label_components": q_label_components,
         "zonal_classes": q_zonal_classes,
+        "zonal_poly": q_zonal_poly,
         "retrieval_recall": q_retrieval_recall,
         "upsample_children": q_upsample_children,
         "raster_histogram": q_raster_histogram,
@@ -6053,6 +6172,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": sql_zonal_stats(),
         "label_components": sql_label_components(),
         "zonal_classes": sql_zonal_classes(),
+        "zonal_poly": sql_zonal_poly(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),

@@ -1208,3 +1208,70 @@ def test_zonal_class_counts_marginalizes_to_zonal_stats(spark, geodetic):
     ]
     bc = np.bincount(v.ravel(), minlength=256)
     assert per_zone[1] == {int(k): int(bc[k]) for k in np.nonzero(bc)[0]}
+
+
+def test_zonal_poly_stats_matches_pixel_mirror(spark, geodetic):
+    """Polygonal zonal stats vs a brute-force per-pixel-center mirror:
+    a diamond straddling two tiles and a triangle inside one, over random
+    3-band canvases — the mask must match the half-plane test exactly
+    (boundary inclusive), stats must aggregate across the tile straddle,
+    and the polygon must exclude bbox corners (diamond n_px < bbox n_px)."""
+    from tilematrix_spark import raster
+
+    rng = np.random.default_rng(5)
+    keys = [(2, 4), (2, 5)]
+    canv = {
+        rc: rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+        for rc in keys
+    }
+    tiles = spark.createDataFrame(
+        [(r, c, 256, 256, bytearray(canv[(r, c)].tobytes())) for r, c in keys],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    # tile (2,4): x [-157.5, -151.875], y [73.125, 78.75] at z5 geodetic
+    diamond = (  # centered on the tile boundary x = -151.875
+        [-150.875, -151.875, -152.875, -151.875],
+        [75.0, 76.0, 75.0, 74.0],
+    )
+    triangle = ([-156.9, -155.9, -156.9], [74.0, 74.0, 75.0])
+    zones = spark.createDataFrame(
+        [(1, *diamond), (2, *triangle)],
+        "zone_id long, poly_x array<double>, poly_y array<double>",
+    )
+    got = {
+        r["zone_id"]: r.asDict()
+        for r in raster.zonal_poly_stats(
+            tiles, zones, geodetic, 5, band=2
+        ).collect()
+    }
+    px = geodetic.pixel_x_size(5)
+    tsx = geodetic.tile_x_size(5)
+    for zid, (rx, ry) in ((1, diamond), (2, triangle)):
+        vals = []
+        ntiles = 0
+        for (r, c), a in canv.items():
+            tl = geodetic.left + c * tsx
+            tt = geodetic.top - r * tsx
+            cx = tl + (np.arange(256) + 0.5) * px
+            cy = tt - (np.arange(256) + 0.5) * px
+            mask = np.ones((256, 256), bool)
+            for e in range(len(rx)):
+                x1, y1 = rx[e], ry[e]
+                x2, y2 = rx[(e + 1) % len(rx)], ry[(e + 1) % len(ry)]
+                mask &= (x2 - x1) * (cy[:, None] - y1) - (y2 - y1) * (
+                    cx[None, :] - x1
+                ) >= 0.0
+            if mask.any():
+                ntiles += 1
+                vals.append(a[:, :, 2][mask])
+        vals = np.concatenate(vals)
+        g = got[zid]
+        assert g["n_tiles"] == ntiles
+        assert g["n_px"] == len(vals)
+        assert g["sum_val"] == int(vals.sum(dtype=np.int64))
+        assert (g["min_val"], g["max_val"]) == (int(vals.min()), int(vals.max()))
+        assert g["mean_val"] == float(vals.sum(dtype=np.int64)) / len(vals)
+    assert got[1]["n_tiles"] == 2  # the diamond really straddles
+    # diamond area ~ half its bbox: the polygon mask genuinely excludes
+    bbox_px = (2.0 / px) * (2.0 / px)
+    assert got[1]["n_px"] < 0.6 * bbox_px

@@ -810,6 +810,183 @@ def zonal_stats(
     )
 
 
+def zonal_poly_stats(
+    tiles: DataFrame,
+    zones: DataFrame,
+    tp: PyramidConfig,
+    zoom: exprs.ZoomLike,
+    zone_id_col: str = "zone_id",
+    poly_x_col: str = "poly_x",
+    poly_y_col: str = "poly_y",
+    band: int = 0,
+    max_cover_tiles: Optional[int] = None,
+) -> DataFrame:
+    """Zonal statistics over CONVEX POLYGON zones — the polygon×raster
+    counterpart of :func:`zonal_stats` (which takes bboxes): a pixel
+    belongs to the zone iff its CENTER passes every half-plane sign test
+    of the CCW vertex ring, ``(x2−x1)·(cy−y1) − (y2−y1)·(cx−x1) ≥ 0``
+    (boundary inclusive).  The test is a fixed IEEE double expression, so
+    numpy, Spark and DuckDB produce bit-identical masks — the oracle
+    needs NO tolerance even though the zones are rotated geometry.
+
+    Input ``zones``: (zone_id, poly_x array<double>, poly_y array<double>)
+    — CCW convex ring, no repeated closing vertex.  Output and scale shape
+    are identical to zonal_stats: the zone bbox is derived natively from
+    the ring, covers onto tiles via ``raster_tile_windows``, the
+    (zone, tile, window, ring) table BROADCASTS onto the canvas scan —
+    tile bytes never shuffle — and the kernel reduces each window's
+    masked pixels to 5-int partials; one final groupBy on zone_id.  The
+    per-window mask costs E·|window| multiply-adds (E = ring length),
+    vectorized, temporaries window-sized (≤ a few KB)."""
+    xs, ys = F.col(poly_x_col), F.col(poly_y_col)
+    zb = zones.select(
+        zone_id_col,
+        poly_x_col,
+        poly_y_col,
+        F.array_min(xs).alias("_zl"),
+        F.array_min(ys).alias("_zb"),
+        F.array_max(xs).alias("_zr"),
+        F.array_max(ys).alias("_zt"),
+    )
+    win = raster_tile_windows(
+        zb,
+        tp,
+        zoom,
+        fp_left="_zl",
+        fp_bottom="_zb",
+        fp_right="_zr",
+        fp_top="_zt",
+        max_cover_tiles=max_cover_tiles,
+    )
+    zoom_i = int(zoom)
+    pxs = float(tp.pixel_x_size(zoom_i))
+    pys = float(tp.pixel_y_size(zoom_i))
+    tsx = float(tp.tile_x_size(zoom_i))
+    tsy = float(tp.tile_y_size(zoom_i))
+    win = win.filter((F.col("win_width") > 0) & (F.col("win_height") > 0)).select(
+        F.col(zone_id_col).alias("_zid"),
+        F.col(poly_x_col).alias("_px_ring"),
+        F.col(poly_y_col).alias("_py_ring"),
+        "row",
+        "col",
+        "win_col_off",
+        "win_row_off",
+        "win_width",
+        "win_height",
+        (F.lit(float(tp.left)) + F.col("col") * F.lit(tsx)).alias("_tleft"),
+        (F.lit(float(tp.top)) - F.col("row") * F.lit(tsy)).alias("_ttop"),
+    )
+    joined = (
+        tiles.select("row", "col", "tile_w", "tile_h", "bytes")
+        .join(F.broadcast(win), ["row", "col"])
+        .select(
+            "_zid",
+            "_px_ring",
+            "_py_ring",
+            "_tleft",
+            "_ttop",
+            "tile_w",
+            "tile_h",
+            "bytes",
+            "win_col_off",
+            "win_row_off",
+            "win_width",
+            "win_height",
+        )
+    )
+    part_schema = T.StructType(
+        [
+            T.StructField("_zid", zones.schema[zone_id_col].dataType),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sum_val", T.LongType()),
+            T.StructField("min_val", T.LongType()),
+            T.StructField("max_val", T.LongType()),
+        ]
+    )
+    band_i = int(band)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            keep, n_px, s, mn, mx = [], [], [], [], []
+            for i in range(m):
+                buf = pdf["bytes"].iat[i]
+                h, w = int(pdf["tile_h"].iat[i]), int(pdf["tile_w"].iat[i])
+                nb = len(buf) // (h * w)
+                if nb * h * w != len(buf) or band_i >= nb:
+                    raise ValueError(
+                        f"canvas of {len(buf)} bytes is not {h}x{w}xB "
+                        f"with band {band_i} present"
+                    )
+                r0 = int(pdf["win_row_off"].iat[i])
+                c0 = int(pdf["win_col_off"].iat[i])
+                rh = int(pdf["win_height"].iat[i])
+                cw = int(pdf["win_width"].iat[i])
+                v = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, nb)[
+                    r0 : r0 + rh, c0 : c0 + cw, band_i
+                ]
+                # pixel centers in world coords — the EXACT expression the
+                # oracle mirrors: t_left + (pj + 0.5)*px, t_top - (pi + 0.5)*py
+                cx = pdf["_tleft"].iat[i] + (
+                    c0 + np.arange(cw, dtype=np.float64) + 0.5
+                ) * pxs
+                cy = pdf["_ttop"].iat[i] - (
+                    r0 + np.arange(rh, dtype=np.float64) + 0.5
+                ) * pys
+                rx = np.asarray(pdf["_px_ring"].iat[i], dtype=np.float64)
+                ry = np.asarray(pdf["_py_ring"].iat[i], dtype=np.float64)
+                mask = np.ones((rh, cw), dtype=bool)
+                for e in range(len(rx)):
+                    x1, y1 = rx[e], ry[e]
+                    x2, y2 = rx[(e + 1) % len(rx)], ry[(e + 1) % len(ry)]
+                    mask &= (x2 - x1) * (cy[:, None] - y1) - (y2 - y1) * (
+                        cx[None, :] - x1
+                    ) >= 0.0
+                vals = v[mask]
+                if not len(vals):
+                    continue
+                keep.append(i)
+                n_px.append(len(vals))
+                s.append(int(vals.sum(dtype=np.int64)))
+                mn.append(int(vals.min()))
+                mx.append(int(vals.max()))
+            if keep:
+                yield pd.DataFrame(
+                    {
+                        "_zid": pdf["_zid"].iloc[keep].values,
+                        "n_px": np.asarray(n_px, np.int64),
+                        "sum_val": np.asarray(s, np.int64),
+                        "min_val": np.asarray(mn, np.int64),
+                        "max_val": np.asarray(mx, np.int64),
+                    }
+                )
+
+    part = joined.mapInPandas(stats, schema=part_schema)
+    return (
+        part.groupBy("_zid")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("n_px").alias("n_px"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+        .select(
+            F.col("_zid").alias(zone_id_col),
+            "n_tiles",
+            "n_px",
+            "sum_val",
+            "min_val",
+            "max_val",
+            (
+                F.col("sum_val").cast("double") / F.col("n_px").cast("double")
+            ).alias("mean_val"),
+        )
+    )
+
+
 def zonal_class_counts(
     tiles: DataFrame,
     zones: DataFrame,
