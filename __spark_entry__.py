@@ -4119,6 +4119,47 @@ def sql_zonal_classes() -> str:
     """
 
 
+def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority class per zone (raster.zonal_majority — a composition over
+    zonal_class_counts): highest pixel count, ties broken by the smallest
+    class code.  Over the %251 formula canvas most small windows are
+    tie-heavy (windows up to 529 px over 251 classes), so this gate
+    primarily pins the cross-engine determinism of the tie-break window
+    order plus the exact frac division; the two-class SEMANTICS are
+    pytest-pinned."""
+    from tilematrix_spark import raster
+
+    return raster.zonal_majority(
+        _zonal_tiles(spark),
+        _zonal_zones(spark, sf_dir),
+        GEODETIC,
+        5,
+        zone_id_col="zone_id",
+        left="zleft",
+        bottom="zbottom",
+        right="zright",
+        top="ztop",
+    )
+
+
+def sql_zonal_majority() -> str:
+    base = sql_zonal_classes()
+    return f"""
+      WITH cc AS ({base}),
+      r AS (
+        SELECT zone_id, class, n_px,
+               row_number() OVER (PARTITION BY zone_id
+                                  ORDER BY n_px DESC, class ASC) AS rn,
+               CAST(sum(n_px) OVER (PARTITION BY zone_id) AS BIGINT)
+                 AS n_zone_px
+        FROM cc
+      )
+      SELECT zone_id, class AS majority_class, n_px, n_zone_px,
+             CAST(n_px AS DOUBLE) / CAST(n_zone_px AS DOUBLE) AS frac
+      FROM r WHERE rn = 1
+    """
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tile halo-exchange focal statistics (raster.focal_stats): 5x5
     moving-window n/sum/min/max/trunc-mean over the 72-tile zonal canvas
@@ -6103,6 +6144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_components": q_label_components,
         "zonal_classes": q_zonal_classes,
         "zonal_poly": q_zonal_poly,
+        "zonal_majority": q_zonal_majority,
         "retrieval_recall": q_retrieval_recall,
         "upsample_children": q_upsample_children,
         "raster_histogram": q_raster_histogram,
@@ -6173,6 +6215,7 @@ def oracle_sql() -> dict[str, str]:
         "label_components": sql_label_components(),
         "zonal_classes": sql_zonal_classes(),
         "zonal_poly": sql_zonal_poly(),
+        "zonal_majority": sql_zonal_majority(),
         "minhash_lsh_verified": sql_minhash_lsh_verified(),
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),

@@ -1275,3 +1275,46 @@ def test_zonal_poly_stats_matches_pixel_mirror(spark, geodetic):
     # diamond area ~ half its bbox: the polygon mask genuinely excludes
     bbox_px = (2.0 / px) * (2.0 / px)
     assert got[1]["n_px"] < 0.6 * bbox_px
+
+
+def test_zonal_majority_two_class_and_tie(spark, geodetic):
+    """Majority semantics on a controlled canvas: the dominant class wins
+    inside the zone window; an exact tie picks the SMALLEST class code;
+    frac = n_px / n_zone_px exactly."""
+    from tilematrix_spark import raster
+
+    a = np.full((256, 256), 9, np.uint8)
+    a[:, :100] = 3  # inside a window covering cols >=100 only, 9 dominates
+    tiles = spark.createDataFrame(
+        [(2, 4, 256, 256, bytearray(a.tobytes()))],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    # tile (2,4) at z5: x [-157.5, -151.875], y [73.125, 78.75]
+    zones = spark.createDataFrame(
+        [
+            (1, -154.0, 74.0, -152.0, 75.0),  # right half: all class 9
+            (2, -157.5, 74.0, -151.875, 75.0),  # full width: 100 vs 156 cols
+        ],
+        "zone_id long, zleft double, zbottom double, zright double, ztop double",
+    )
+    kw = dict(left="zleft", bottom="zbottom", right="zright", top="ztop")
+    out = {
+        r["zone_id"]: r.asDict()
+        for r in raster.zonal_majority(tiles, zones, geodetic, 5, **kw).collect()
+    }
+    assert out[1]["majority_class"] == 9 and out[1]["frac"] == 1.0
+    assert out[2]["majority_class"] == 9
+    assert out[2]["n_px"] + out[2]["n_zone_px"] - out[2]["n_px"] == out[2]["n_zone_px"]
+    # exact tie: 128/128 columns -> smaller class (3) must win
+    b = np.full((256, 256), 9, np.uint8)
+    b[:, :128] = 3
+    tiles2 = spark.createDataFrame(
+        [(2, 4, 256, 256, bytearray(b.tobytes()))],
+        "row long, col long, tile_w int, tile_h int, bytes binary",
+    )
+    zfull = spark.createDataFrame(
+        [(7, -157.5, 74.0, -151.875, 75.0)],
+        "zone_id long, zleft double, zbottom double, zright double, ztop double",
+    )
+    tie = raster.zonal_majority(tiles2, zfull, geodetic, 5, **kw).collect()[0]
+    assert tie["majority_class"] == 3 and tie["frac"] == 0.5

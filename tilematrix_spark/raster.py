@@ -1099,6 +1099,44 @@ def zonal_class_counts(
     )
 
 
+def zonal_majority(
+    tiles: DataFrame,
+    zones: DataFrame,
+    tp: PyramidConfig,
+    zoom: exprs.ZoomLike,
+    zone_id_col: str = "zone_id",
+    **kwargs,
+) -> DataFrame:
+    """Majority (mode) class per zone — the classic categorical zonal
+    product (dominant land-cover class), a pure composition over
+    :func:`zonal_class_counts`: one window per zone picks the class with
+    the highest pixel count, ties broken by the SMALLEST class code
+    (deterministic, engine-portable).  Output: (zone_id, majority_class,
+    n_px, n_zone_px, frac) with ``frac`` the single exact IEEE division
+    n_px/n_zone_px.  Adds one zone-keyed window + groupBy over the
+    (zone, class) table — ≤256 rows per zone, never pixel-sized."""
+    from pyspark.sql import Window
+
+    cc = zonal_class_counts(tiles, zones, tp, zoom, zone_id_col, **kwargs)
+    w = Window.partitionBy(zone_id_col).orderBy(
+        F.col("n_px").desc(), F.col("class").asc()
+    )
+    tot = Window.partitionBy(zone_id_col)
+    return (
+        cc.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_zone_px", F.sum("n_px").over(tot))
+        .filter(F.col("_rn") == 1)
+        .select(
+            zone_id_col,
+            F.col("class").alias("majority_class"),
+            "n_px",
+            "n_zone_px",
+            (F.col("n_px").cast("double") / F.col("n_zone_px").cast("double"))
+            .alias("frac"),
+        )
+    )
+
+
 _FOCAL_CANVAS_SCHEMA = T.StructType(
     [
         T.StructField("row", T.LongType()),
